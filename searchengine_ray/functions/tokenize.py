@@ -1,0 +1,104 @@
+"""Tokenizer — exact reference semantics, fully vectorized.
+
+Reference (duplicated at /root/reference/Indexer/Program.cs:97-121 and
+:263-298): scan chars; a Unicode letter extends the current word
+(lowercased); any non-letter terminates it; the word is KEPT only if every
+source char was ASCII (< 128) and its length is <= 20. Equivalent spec
+(SURVEY.md §1.3.2): tokens are maximal runs of Unicode letters; keep a run
+iff it matches ^[A-Za-z]{1,20}$; lowercase it.
+
+The query-side parser is intentionally different (plain split(' ') +
+lower, /root/reference/Engine/Engine/Engine.cs:127): see `parse_query`.
+
+Everything here runs as pyarrow C++ kernels (RE2) — no Python loop over
+rows or tokens.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2: \pL = Unicode letter. Split on non-letter runs -> maximal letter runs.
+SPLIT_PATTERN = r"[^\pL]+"
+# Keep: all-ASCII letters, length 1..20 (also rejects the empty strings that
+# split_pattern_regex produces at string boundaries).
+KEEP_PATTERN = r"^[A-Za-z]{1,20}$"
+MAX_TOKEN_LEN = 20
+
+
+def tokenize_flat(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array]:
+    """Tokenize a string column.
+
+    Returns (row_indices, tokens): `tokens` is a flat lowercased string
+    array of every kept token occurrence, `row_indices` (int64 ndarray)
+    maps each token back to its source row.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    runs = pc.split_pattern_regex(texts, pattern=SPLIT_PATTERN)
+    parents = pc.list_parent_indices(runs).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(runs)
+    keep = pc.match_substring_regex(flat, KEEP_PATTERN)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    tokens = pc.ascii_lower(flat.filter(keep))
+    return parents[keep_np], tokens
+
+
+def count_postings(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-(row, term) term frequencies + per-row kept-token counts.
+
+    Returns (terms, row_indices, tf, dl_per_row):
+      - terms: string array, one entry per distinct (row, term) pair
+      - row_indices: int64 ndarray aligned with `terms`
+      - tf: occurrence count per (row, term)  (reference: Indexer/Program.cs:283-293)
+      - dl_per_row: kept-token count for EVERY input row (len == len(texts))
+    """
+    parents, tokens = tokenize_flat(texts)
+    n_rows = len(texts)
+    dl = np.bincount(parents, minlength=n_rows).astype(np.uint32)
+    if len(parents) == 0:
+        return pa.array([], type=pa.string()), np.zeros(0, np.int64), np.zeros(0, np.uint32), dl
+    pairs = pa.table({"i": pa.array(parents, type=pa.int64()), "term": tokens})
+    grouped = pairs.group_by(["i", "term"]).aggregate([([], "count_all")])
+    return (
+        grouped.column("term").combine_chunks(),
+        grouped.column("i").to_numpy(zero_copy_only=False),
+        grouped.column("count_all").to_numpy(zero_copy_only=False).astype(np.uint32),
+        dl,
+    )
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Pure-Python reference tokenizer (oracle; mirrors Indexer/Program.cs:97-121)."""
+    out: list[str] = []
+    word: list[str] = []
+    ascii_ok = True
+    for ch in text:
+        if ch.isalpha():
+            word.append(ch)
+            if ord(ch) >= 128:
+                ascii_ok = False
+        else:
+            if word and ascii_ok and len(word) <= MAX_TOKEN_LEN:
+                out.append("".join(word).lower())
+            word = []
+            ascii_ok = True
+    if word and ascii_ok and len(word) <= MAX_TOKEN_LEN:
+        out.append("".join(word).lower())
+    return out
+
+
+def parse_query(query: str) -> Counter[str]:
+    """Query-side parser: split on ' ', lowercase, count multiplicity.
+
+    Mirrors /root/reference/Engine/Engine/Engine.cs:127-139 — no
+    letter/ASCII/length filtering; unknown words simply miss the lexicon
+    and contribute nothing.
+    """
+    return Counter(w.lower() for w in query.split(" ") if w)

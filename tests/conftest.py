@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+import pytest
+import ray
+from ray.data import DataContext
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    """One Ray session for the whole pytest run (per project convention)."""
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def pages_dir(tmp_path_factory) -> str:
+    """Small deterministic pages fixture shared across tests (t1 smoke scale)."""
+    from searchengine_ray.synth import write_pages
+
+    d = tmp_path_factory.mktemp("pages_t1")
+    return write_pages(str(d), n_rows=1000, n_files=4, parallel=False)

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_ray.functions.tokenize import (
+    count_postings,
+    parse_query,
+    tokenize_flat,
+    tokenize_py,
+)
+
+# Golden cases mirroring /root/reference/Indexer/Program.cs:97-121 semantics.
+GOLDEN = [
+    ("hello world\n", ["hello", "world"]),
+    ("naïve plan\n", ["plan"]),  # non-ASCII letter -> whole run dropped
+    ("abcdefghijklmnopqrstu x\n", ["x"]),  # 21 letters -> dropped
+    ("abcdefghijklmnopqrst y\n", ["abcdefghijklmnopqrst", "y"]),  # 20 -> kept
+    ("Mixed-CASE\n", ["mixed", "case"]),
+    ("don't stop\n", ["don", "t", "stop"]),
+    ("12345 ... \n", []),
+    ("trailingword", ["trailingword"]),  # end-of-string flush
+    ("", []),
+    ("ÆØÅ über café\n", ["ber", "caf"]),  # ASCII sub-runs after non-ASCII letters? no:
+    # "über": ü is a letter -> one run "über" (has non-ASCII) -> dropped entirely;
+    # BUT RE2/Python agree runs are maximal, so "ber"/"caf" must NOT appear.
+]
+# fix the last golden entry: maximal letter runs keep non-ASCII letters inside the run
+GOLDEN[-1] = ("ÆØÅ über café\n", [])
+
+
+def test_golden_vectorized_and_py():
+    texts = pa.array([t for t, _ in GOLDEN], pa.string())
+    parents, toks = tokenize_flat(texts)
+    got = [[] for _ in GOLDEN]
+    for p, tok in zip(parents, toks.to_pylist()):
+        got[p].append(tok)
+    for (text, want), g in zip(GOLDEN, got):
+        assert g == want, (text, g, want)
+        assert tokenize_py(text) == want, text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_vectorized_matches_py(text):
+    parents, toks = tokenize_flat(pa.array([text], pa.string()))
+    assert toks.to_pylist() == tokenize_py(text)
+
+
+def test_count_postings():
+    texts = pa.array(["a b a b a\n", "", "c C c\n"], pa.string())
+    terms, rows, tf, dl = count_postings(texts)
+    assert list(dl) == [5, 0, 3]
+    pairs = sorted(zip(rows.tolist(), terms.to_pylist(), tf.tolist()))
+    assert pairs == [(0, "a", 3), (0, "b", 2), (2, "c", 3)]
+
+
+def test_parse_query():
+    c = parse_query("Foo foo  BAR")
+    assert c == {"foo": 2, "bar": 1}
+    # no filtering on the query side (Engine.cs:127): non-ASCII survives parsing
+    assert parse_query("naïve") == {"naïve": 1}
