@@ -30,12 +30,15 @@ def crc32(data: bytes | str) -> int:
 
 
 def hash64(data: bytes | str) -> int:
-    """Stable 64-bit key: (crc32(x) << 32) | crc32(x, seed2)."""
+    """Stable 64-bit key: (crc32(x) << 32) | crc32(x, seed2), bit-reinterpreted
+    as SIGNED int64 (Arrow/Ray groupby and DuckDB all prefer int64; uint64
+    keys >= 2^63 degrade to pickled-object columns in Ray aggregations)."""
     if isinstance(data, str):
         data = data.encode("utf-8")
     hi = zlib.crc32(data) & 0xFFFFFFFF
     lo = zlib.crc32(data, _SEED2) & 0xFFFFFFFF
-    return (hi << 32) | lo
+    h = (hi << 32) | lo
+    return h - (1 << 64) if h >= 1 << 63 else h
 
 
 def hash64_array(values: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
@@ -43,7 +46,7 @@ def hash64_array(values: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
 
     Token columns are highly repetitive (Zipf), so dictionary-encode first
     and hash only the dictionary; the per-row cost is one int32 gather.
-    Returns a uint64 ndarray aligned with `values`.
+    Returns an int64 ndarray aligned with `values`.
     """
     if isinstance(values, list):
         values = pa.array(values, type=pa.string())
@@ -52,17 +55,19 @@ def hash64_array(values: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
     dic = pc.dictionary_encode(values)
     uniq = dic.dictionary.to_pylist()
     table = np.fromiter(
-        (hash64(u) for u in uniq), dtype=np.uint64, count=len(uniq)
+        (hash64(u) for u in uniq), dtype=np.int64, count=len(uniq)
     )
     idx = dic.indices.to_numpy(zero_copy_only=False)
     if len(table) == 0:
-        return np.zeros(0, dtype=np.uint64)
+        return np.zeros(0, dtype=np.int64)
     return table[idx]
 
 
 def mix64(x: np.ndarray) -> np.ndarray:
-    """Cheap invertible mixer for integer ids (splitmix-style multiply-xor)."""
-    x = x.astype(np.uint64, copy=True)
+    """Cheap invertible mixer for integer ids (splitmix-style multiply-xor).
+    Accepts signed or unsigned input; operates on the raw 64-bit pattern."""
+    x = np.ascontiguousarray(x)
+    x = x.view(np.uint64).copy() if x.dtype == np.int64 else x.astype(np.uint64, copy=True)
     x *= _MIX
     x ^= x >> np.uint64(29)
     x *= np.uint64(0xBF58476D1CE4E5B9)

@@ -1,0 +1,91 @@
+"""Brute-force oracles (pure Python/numpy, no Ray, no index) used to prove
+rank-identity of the engine (SURVEY.md §5.2).
+
+Builds in-memory postings with the pure-Python reference tokenizer
+(`tokenize_py`) — a fully independent implementation path from the
+vectorized engine — then scores every candidate doc exhaustively with the
+SAME scoring kernels (functions/scoring.py), so any engine bug in
+extraction, tokenization, hashing, partitioning, encoding, decoding or
+merging shows up as a rank mismatch.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from .functions.scoring import (
+    bm25_idf,
+    bm25_term_scores,
+    ref_body_term_scores,
+    ref_title_term_scores,
+    topk_by_score,
+)
+from .functions.tokenize import parse_query, tokenize_py
+from .schemas import FIELD_BODY, FIELD_TITLE
+
+
+@dataclass
+class BruteIndex:
+    n_docs: int = 0
+    doc_ids: list[int] = dc_field(default_factory=list)
+    # (field, term) -> {doc_id: tf}
+    postings: dict[tuple[int, str], dict[int, int]] = dc_field(default_factory=dict)
+    dl: dict[tuple[int, int], int] = dc_field(default_factory=dict)  # (field, doc_id) -> dl
+    total_len: dict[int, int] = dc_field(default_factory=dict)
+
+
+def build_brute_index(docs: list[tuple[int, str, str | None]]) -> BruteIndex:
+    """docs: (doc_id, body_text, title_text-or-None)."""
+    idx = BruteIndex()
+    for doc_id, body, title in docs:
+        idx.n_docs += 1
+        idx.doc_ids.append(doc_id)
+        for field, text in ((FIELD_BODY, body), (FIELD_TITLE, title)):
+            if text is None:
+                continue
+            toks = tokenize_py(text)
+            idx.dl[(field, doc_id)] = len(toks)
+            idx.total_len[field] = idx.total_len.get(field, 0) + len(toks)
+            for w, tf in Counter(toks).items():
+                idx.postings.setdefault((field, w), {})[doc_id] = tf
+    return idx
+
+
+def brute_topk(
+    idx: BruteIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "bm25",
+    fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
+) -> list[tuple[int, float]]:
+    counts = parse_query(query)
+    scores: dict[int, float] = {}
+    n = float(idx.n_docs)
+    for word, qtf in counts.items():
+        for field in fields:
+            plist = idx.postings.get((field, word))
+            if not plist:
+                continue
+            avgdl = idx.total_len.get(field, 0) / n if n else 0.0
+            df = float(len(plist))
+            cf = float(sum(plist.values()))
+            docs = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))
+            tfs = np.fromiter(plist.values(), dtype=np.uint32, count=len(plist))
+            if mode == "bm25":
+                dl = np.array([idx.dl[(field, int(d))] for d in docs], dtype=np.uint32)
+                contrib = bm25_term_scores(tfs, dl, bm25_idf(df, n), float(qtf), avgdl)
+            elif field == FIELD_TITLE:
+                contrib = ref_title_term_scores(tfs, float(qtf))
+            else:
+                contrib = ref_body_term_scores(tfs, float(qtf), n, cf)
+            for d, c in zip(docs.tolist(), contrib.tolist()):
+                scores[d] = scores.get(d, 0.0) + c
+    if not scores:
+        return []
+    d = np.fromiter(scores.keys(), dtype=np.int64, count=len(scores))
+    s = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
+    dd, ss = topk_by_score(d, s, k)
+    return [(int(a), float(b)) for a, b in zip(dd, ss)]

@@ -1,0 +1,330 @@
+"""Index build pipeline — the Ray-Data re-architecture of the reference's
+Repository + 9-stage Indexer (/root/reference/Indexer/Repository/Program.cs:25-41,
+/root/reference/Indexer/Program.cs:42-65; mapping in SURVEY.md §3.1-3.2).
+
+The reference's nine checkpoint-gated single-node stages collapse to three
+streaming stages with ONE all-to-all shuffle:
+
+  docs:     read_parquet(url,lang)            -> docs table + N        (no shuffle)
+  segments: read_parquet(html|text,lang)
+              -> map_batches(extract+tokenize+count)   [zero-copy Arrow]
+              -> groupby(part).map_groups(encode+write)  [THE shuffle]
+  lexicon:  read segment stats (field,term_hash,df,cf)
+              -> groupby.sum -> lexicon.parquet        (tiny shuffle)
+
+`part = mix64(doc_id) % P` — doc-bucketed. Head-term skew (the reference's
+ReverseIndex scatter is O(postings) per term regardless, Program.cs:617-723)
+is handled structurally: a hot term's list is split ("salted") across all P
+partitions by doc bucket, so partition sizes are uniform by construction
+and serving is document-partitioned (per-shard top-k pruning stays exact).
+
+Resume: per-partition manifests (state/manifest.py). A rerun skips
+partitions whose manifest matches the input fingerprint; killed builds
+restart where they stopped (tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..functions.hashing import doc_partition, hash64, hash64_array
+from ..functions.tokenize import count_postings
+from ..schemas import FIELD_BODY, FIELD_TITLE, POSTINGS
+from ..stages.extract import extract_text
+from ..state import manifest as mf
+from ..state.segments import build_segment
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    num_partitions: int = 16
+    block_size: int = 128
+    lang_filter: str | None = "en"
+    batch_size: int = 2048
+    index_title: bool = True  # pages source: also build the title field
+    # (the reference builds two complete indexes, titles_* and repos_*,
+    #  Engine/Engine/Engine.cs:100-122; here it is a field code)
+
+
+def _fingerprint(input_path: str, cfg: BuildConfig, source: str) -> str:
+    """Input+config identity for checkpoint validity. File names+sizes stand
+    in for content at 100 TB scale (re-hashing the corpus would be a read)."""
+    files = []
+    if os.path.isdir(input_path):
+        for fn in sorted(os.listdir(input_path)):
+            p = os.path.join(input_path, fn)
+            if fn.endswith(".parquet"):
+                files.append((fn, os.path.getsize(p)))
+    elif os.path.exists(input_path):
+        files.append((os.path.basename(input_path), os.path.getsize(input_path)))
+    body = json.dumps({"files": files, "cfg": asdict(cfg), "source": source, "v": 1})
+    return f"{hash64(body) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _postings_table(
+    doc_ids: np.ndarray,
+    texts_by_field: list[tuple[int, pa.Array]],
+    num_partitions: int,
+) -> pa.Table:
+    """Tokenize one batch's docs (per field) into flat POSTINGS rows."""
+    parts_out: list[pa.Table] = []
+    for field_code, texts in texts_by_field:
+        terms, rows, tf, dl = count_postings(texts)
+        if len(rows) == 0:
+            continue
+        th = hash64_array(terms)
+        did = doc_ids[rows]
+        parts_out.append(
+            pa.table(
+                {
+                    "part": pa.array(doc_partition(did, num_partitions), pa.uint32()),
+                    "field": pa.array(
+                        np.full(len(rows), field_code, dtype=np.uint8), pa.uint8()
+                    ),
+                    "term_hash": pa.array(th, pa.int64()),
+                    "doc_id": pa.array(did, pa.int64()),
+                    "tf": pa.array(tf, pa.uint32()),
+                    "dl": pa.array(dl[rows], pa.uint32()),
+                },
+                schema=POSTINGS,
+            )
+        )
+    if not parts_out:
+        return POSTINGS.empty_table()
+    return pa.concat_tables(parts_out)
+
+
+def make_pages_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = frozenset()):
+    """Batch fn: pages (url, html, lang) -> POSTINGS rows.
+
+    Extraction runs on `html` (per-row invariant extract(html) == text is
+    asserted separately, pipelines/validate.py); doc_id = hash64(url)
+    (reference: titleCRC = Crc32(title), Repository/Program.cs:125).
+    """
+    skip = np.sort(np.fromiter(skip_parts, dtype=np.uint32, count=len(skip_parts)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        if cfg.lang_filter is not None:
+            t = t.filter(pc.equal(t.column("lang"), cfg.lang_filter))
+        if t.num_rows == 0:
+            return POSTINGS.empty_table()
+        titles, text = extract_text(t.column("html"))
+        doc_ids = hash64_array(t.column("url"))
+        fields = [(FIELD_BODY, text)]
+        if cfg.index_title:
+            fields.append((FIELD_TITLE, titles))
+        out = _postings_table(doc_ids, fields, cfg.num_partitions)
+        if len(skip):
+            mask = np.isin(out.column("part").to_numpy(zero_copy_only=False), skip, invert=True)
+            out = out.filter(pa.array(mask))
+        return out
+
+    return fn
+
+
+def make_documents_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = frozenset()):
+    """Batch fn: testdata documents (doc_id, text[, lang]) -> POSTINGS rows
+    (body field only; doc_id is given)."""
+    skip = np.sort(np.fromiter(skip_parts, dtype=np.uint32, count=len(skip_parts)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        if cfg.lang_filter is not None:
+            t = t.filter(pc.equal(t.column("lang"), cfg.lang_filter))
+        if t.num_rows == 0:
+            return POSTINGS.empty_table()
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = _postings_table(doc_ids, [(FIELD_BODY, t.column("text").combine_chunks())], cfg.num_partitions)
+        if len(skip):
+            mask = np.isin(out.column("part").to_numpy(zero_copy_only=False), skip, invert=True)
+            out = out.filter(pa.array(mask))
+        return out
+
+    return fn
+
+
+def make_segment_writer(index_dir: str, fingerprint: str, block_size: int):
+    """map_groups fn: one partition's postings -> segment files + manifest.
+
+    Writes atomically (tmp+rename) and returns a one-row metrics table —
+    the collected output of the shuffle stage is pure metadata, the data
+    plane goes straight to Parquet (resumable layout)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        part = int(group.column("part")[0].as_py())
+        docmeta, postings = build_segment(group, block_size=block_size)
+        part_dir = os.path.join(index_dir, "segments", mf.part_name(part))
+        tmp_dir = part_dir + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(docmeta, os.path.join(tmp_dir, "docs.parquet"))
+        pq.write_table(postings, os.path.join(tmp_dir, "postings.parquet"))
+        if os.path.isdir(part_dir):  # leftover from a retried task
+            import shutil
+
+            shutil.rmtree(part_dir)
+        os.rename(tmp_dir, part_dir)
+        wall = time.perf_counter() - t0
+        mf.write_part_manifest(
+            index_dir,
+            part,
+            {
+                "part": part,
+                "fingerprint": fingerprint,
+                "n_docs": docmeta.num_rows,
+                "n_terms": postings.num_rows,
+                "n_postings": group.num_rows,
+                "ords_bytes": postings.column("ords").nbytes,
+                "tfs_bytes": postings.column("tfs").nbytes,
+                "wall_s": round(wall, 4),
+            },
+        )
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "n_docs": pa.array([docmeta.num_rows], pa.int64()),
+                "n_terms": pa.array([postings.num_rows], pa.int64()),
+                "n_postings": pa.array([group.num_rows], pa.int64()),
+                "wall_s": pa.array([wall], pa.float64()),
+            }
+        )
+
+    return fn
+
+
+def build_index(
+    input_path: str,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    source: str = "pages",
+) -> dict:
+    """Run the full build. Returns a metrics dict (also written to
+    index_dir/stats.json). Idempotent / resumable at partition granularity."""
+    cfg = cfg or BuildConfig()
+    fingerprint = _fingerprint(input_path, cfg, source)
+    os.makedirs(index_dir, exist_ok=True)
+    t_start = time.perf_counter()
+    metrics: dict = {"fingerprint": fingerprint, "source": source, "config": asdict(cfg)}
+
+    # --- stage: docs (N + id->url map; no tokenization, column-pruned) ---
+    docs_path = os.path.join(index_dir, "docs")
+    if source == "pages":
+        ds = rd.read_parquet(input_path, columns=["url", "lang"])
+        if cfg.lang_filter is not None:
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.equal(t.column("lang"), cfg.lang_filter)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+
+        def to_docs(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pa.array(hash64_array(t.column("url")), pa.int64()),
+                    "url": t.column("url").combine_chunks(),
+                }
+            )
+
+        # stream to a partitioned directory — never materialized on the driver
+        ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+            docs_path
+        )
+        n_docs = sum(
+            pq.ParquetFile(os.path.join(docs_path, f)).metadata.num_rows
+            for f in os.listdir(docs_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        ds = rd.read_parquet(
+            f"{input_path}/documents.parquet" if os.path.isdir(input_path) else input_path,
+            columns=["doc_id", "lang"],
+        )
+        if cfg.lang_filter is not None:
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.equal(t.column("lang"), cfg.lang_filter)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        n_docs = ds.count()
+    metrics["n_docs"] = int(n_docs)
+
+    # --- stage: segments (tokenize -> shuffle -> encode; resumable) ---
+    done = mf.completed_parts(index_dir, fingerprint)
+    metrics["parts_skipped_resume"] = len(done)
+    if len(done) < cfg.num_partitions:
+        if source == "pages":
+            src = rd.read_parquet(input_path, columns=["url", "html", "lang"])
+            prep = make_pages_postings_fn(cfg, frozenset(done))
+        else:
+            src = rd.read_parquet(
+                f"{input_path}/documents.parquet" if os.path.isdir(input_path) else input_path,
+                columns=["doc_id", "text", "lang"],
+            )
+            prep = make_documents_postings_fn(cfg, frozenset(done))
+        postings = src.map_batches(
+            prep, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+        )
+        writer = make_segment_writer(index_dir, fingerprint, cfg.block_size)
+        seg_metrics = (
+            postings.groupby("part").map_groups(writer, batch_format="pyarrow").to_pandas()
+        )
+        metrics["segments"] = {
+            "n_parts_built": int(len(seg_metrics)),
+            "n_postings": int(seg_metrics["n_postings"].sum()),
+            "n_terms": int(seg_metrics["n_terms"].sum()),
+            "max_part_postings": int(seg_metrics["n_postings"].max()) if len(seg_metrics) else 0,
+            "min_part_postings": int(seg_metrics["n_postings"].min()) if len(seg_metrics) else 0,
+        }
+
+    # --- stage: lexicon (global df/cf; segments already hold local stats) ---
+    seg_glob = os.path.join(index_dir, "segments")
+    part_files = [
+        os.path.join(seg_glob, d, "postings.parquet")
+        for d in sorted(os.listdir(seg_glob))
+        if d.startswith("part-") and not d.endswith(".tmp")
+    ]
+    from ray.data.aggregate import Sum
+
+    lex_dir = os.path.join(index_dir, "lexicon")
+    (
+        rd.read_parquet(part_files, columns=["field", "term_hash", "df", "cf"])
+        .groupby(["field", "term_hash"])
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        .write_parquet(lex_dir)  # streamed; a web-scale lexicon is itself big
+    )
+    lex_files = [os.path.join(lex_dir, f) for f in os.listdir(lex_dir) if f.endswith(".parquet")]
+    metrics["n_terms_global"] = sum(pq.ParquetFile(f).metadata.num_rows for f in lex_files)
+
+    # --- global stats (avgdl per field = sum cf / N; SURVEY.md §1.3.3) ---
+    totals = {
+        int(r["field"]): float(r["sum(cf)"])
+        for r in rd.read_parquet(lex_files, columns=["field", "cf"])
+        .groupby("field")
+        .aggregate(Sum("cf"))
+        .take_all()
+    }
+    total_body = totals.get(FIELD_BODY, 0.0)
+    total_title = totals.get(FIELD_TITLE, 0.0)
+    stats = {
+        "n_docs": int(n_docs),
+        "total_len_body": total_body,
+        "total_len_title": total_title,
+        "avgdl_body": total_body / n_docs if n_docs else 0.0,
+        "avgdl_title": total_title / n_docs if n_docs else 0.0,
+        "num_partitions": cfg.num_partitions,
+        "block_size": cfg.block_size,
+        "fingerprint": fingerprint,
+        "source": source,
+    }
+    mf.write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
+    metrics["wall_s"] = round(time.perf_counter() - t_start, 3)
+    metrics["stats"] = stats
+    return metrics

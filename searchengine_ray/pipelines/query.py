@@ -1,0 +1,90 @@
+"""Offline/batched query evaluation as a Ray Data pipeline.
+
+The reference serves one query per HTTP request from static in-RAM arrays
+(/root/reference/Engine/Engine/Engine.cs:37-95). The rebuild's batch path
+evaluates a whole `queries` Dataset with an ACTOR POOL: each actor loads
+the index once in __init__ (stateful stage, SURVEY.md §2.3 T4) and scores
+its batches vectorized. Queries are the partitioned axis; the index is the
+broadcast state.
+
+Scale note: actors here load all partitions (index << RAM at test scale).
+At 10^12 docs an actor pool of `SearchEngine` coordinators scatter-gathers
+shard actors instead (state/shards.py); the output schema is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..schemas import FIELD_BODY, FIELD_TITLE
+from ..state.shards import Lexicon, LocalIndex, make_term_specs
+
+
+class QueryEvalActor:
+    """map_batches callable class: (query_id, query, k) -> top-k rows."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        mode: str = "bm25",
+        fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
+        default_k: int = 10,
+    ):
+        self.index = LocalIndex(index_dir)
+        self.lexicon = Lexicon(index_dir)
+        self.mode = mode
+        self.fields = fields
+        self.default_k = default_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_numpy(zero_copy_only=False)
+        queries = batch.column("query").to_pylist()
+        ks = (
+            batch.column("k").to_numpy(zero_copy_only=False)
+            if "k" in batch.column_names
+            else np.full(len(qids), self.default_k)
+        )
+        out_qid: list[int] = []
+        out_rank: list[int] = []
+        out_doc: list[int] = []
+        out_score: list[float] = []
+        for qid, query, k in zip(qids, queries, ks):
+            specs = make_term_specs(
+                query, self.lexicon, self.index.n_docs, self.fields, self.mode
+            )
+            if not specs:
+                continue
+            docs, scores = self.index.topk(specs, int(k), self.mode)
+            for r, (d, s) in enumerate(zip(docs, scores), start=1):
+                out_qid.append(int(qid))
+                out_rank.append(r)
+                out_doc.append(int(d))
+                out_score.append(float(s))
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, pa.int64()),
+                "rank": pa.array(out_rank, pa.int32()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+
+def evaluate_queries(
+    queries_ds: rd.Dataset,
+    index_dir: str,
+    mode: str = "bm25",
+    fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
+    concurrency: int = 2,
+    batch_size: int = 256,
+) -> rd.Dataset:
+    return queries_ds.map_batches(
+        QueryEvalActor,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode, "fields": fields},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

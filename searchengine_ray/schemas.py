@@ -33,7 +33,7 @@ PAGES = pa.schema(
 # /root/reference/Indexer/Repository/Program.cs:136-143).
 DOCS = pa.schema(
     [
-        pa.field("doc_id", pa.uint64()),
+        pa.field("doc_id", pa.int64()),
         pa.field("url", pa.string()),
         pa.field("title", pa.string()),
     ]
@@ -47,8 +47,8 @@ POSTINGS = pa.schema(
     [
         pa.field("part", pa.uint32()),
         pa.field("field", pa.uint8()),
-        pa.field("term_hash", pa.uint64()),
-        pa.field("doc_id", pa.uint64()),
+        pa.field("term_hash", pa.int64()),
+        pa.field("doc_id", pa.int64()),
         pa.field("tf", pa.uint32()),
         pa.field("dl", pa.uint32()),
     ]
@@ -59,16 +59,16 @@ POSTINGS = pa.schema(
 LEXICON = pa.schema(
     [
         pa.field("field", pa.uint8()),
-        pa.field("term_hash", pa.uint64()),
-        pa.field("df", pa.uint64()),
-        pa.field("cf", pa.uint64()),
+        pa.field("term_hash", pa.int64()),
+        pa.field("df", pa.int64()),
+        pa.field("cf", pa.int64()),
     ]
 )
 
 # Per-partition segment: local doc table ...
 SEGMENT_DOCS = pa.schema(
     [
-        pa.field("doc_id", pa.uint64()),  # ascending; row index == local ordinal
+        pa.field("doc_id", pa.int64()),  # ascending; row index == local ordinal
         pa.field("dl_body", pa.uint32()),
         pa.field("dl_title", pa.uint32()),
     ]
@@ -81,9 +81,9 @@ SEGMENT_DOCS = pa.schema(
 SEGMENT_POSTINGS = pa.schema(
     [
         pa.field("field", pa.uint8()),
-        pa.field("term_hash", pa.uint64()),
+        pa.field("term_hash", pa.int64()),
         pa.field("df", pa.uint32()),  # local df (list length in this partition)
-        pa.field("cf", pa.uint64()),  # local sum of tf
+        pa.field("cf", pa.int64()),  # local sum of tf
         pa.field("ords", pa.large_binary()),  # varbyte deltas of local ordinals, per block
         pa.field("tfs", pa.large_binary()),  # varbyte of tf-1, per block
         pa.field("blk_first", pa.list_(pa.uint32())),  # first ordinal per block

@@ -1,0 +1,266 @@
+"""Query serving: document-partitioned index shards as a Ray actor pool.
+
+Reference analog: the Engine loads 6 index files + 256^3 prefix jump-tables
+once at startup and serves queries from shared static arrays
+(/root/reference/Engine/Engine/Engine.cs:97-124). Rebuild (SURVEY.md §2.3 T4):
+
+- `LocalIndex` — plain Python: loads a set of partition segment dirs into
+  RAM (Arrow-backed, zero-copy numpy views where possible) and answers
+  exact top-k. Used directly for offline/batched evaluation
+  (pipelines/query.py map_batches actor pool) and wrapped in an actor for
+  online scatter-gather.
+- `IndexShardActor` — `@ray.remote` wrapper; one actor owns a slice of
+  partitions (load once in __init__).
+- `SearchEngine` — coordinator: parses the query
+  (split(' ')+lower+Counter, Engine.cs:127-139), looks up global term
+  stats from the lexicon, scatter-gathers per-shard top-k and k-way
+  merges with the deterministic tie-break (score desc, doc_id asc).
+
+Because partitions are doc-bucketed, each doc's full score is computed inside
+exactly one shard, so per-shard top-k + merge is EXACT (term-partitioned
+layouts cannot prune this way — see package docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.hashing import hash64
+from ..functions.scoring import (
+    bm25_idf,
+    bm25_term_scores,
+    ref_body_term_scores,
+    ref_title_term_scores,
+    topk_by_score,
+)
+from ..functions.tokenize import parse_query
+from ..schemas import FIELD_BODY, FIELD_TITLE
+from ..state.segments import decode_ords, decode_tfs
+from ..state.manifest import part_name
+
+
+@dataclass
+class TermSpec:
+    """Everything a shard needs to score one (field, term): global stats are
+    resolved by the coordinator (a shard only has local df/cf)."""
+
+    field: int
+    term_hash: int
+    qtf: float
+    idf: float  # bm25 mode
+    cf: float  # reference mode (global collection frequency)
+
+
+class _Part:
+    """One partition's segments, decoded lazily per query."""
+
+    def __init__(self, part_dir: str, block_size: int):
+        docs = pq.read_table(os.path.join(part_dir, "docs.parquet"))
+        self.doc_ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        self.dl = {
+            FIELD_BODY: docs.column("dl_body").to_numpy(zero_copy_only=False),
+            FIELD_TITLE: docs.column("dl_title").to_numpy(zero_copy_only=False),
+        }
+        post = pq.read_table(os.path.join(part_dir, "postings.parquet"))
+        f = post.column("field").to_numpy(zero_copy_only=False)
+        th = post.column("term_hash").to_numpy(zero_copy_only=False)
+        self.lookup: dict[tuple[int, int], int] = {
+            (int(f[i]), int(th[i])): i for i in range(len(f))
+        }
+        self.post = post
+        self.block_size = block_size
+
+    def postings_for(self, field: int, term_hash: int) -> tuple[np.ndarray, np.ndarray] | None:
+        row = self.lookup.get((field, term_hash))
+        if row is None:
+            return None
+        ords_b = self.post.column("ords")[row].as_py()
+        tfs_b = self.post.column("tfs")[row].as_py()
+        blk_first = np.asarray(self.post.column("blk_first")[row].as_py(), dtype=np.uint32)
+        ords = decode_ords(ords_b, blk_first, self.block_size)
+        tfs = decode_tfs(tfs_b)
+        return ords, tfs
+
+
+class LocalIndex:
+    """Exact scorer over a set of partitions (no Ray dependency)."""
+
+    def __init__(self, index_dir: str, parts: list[int] | None = None):
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            self.stats = json.load(fh)
+        seg_dir = os.path.join(index_dir, "segments")
+        all_parts = sorted(
+            int(d.split("-")[1])
+            for d in os.listdir(seg_dir)
+            if d.startswith("part-") and not d.endswith(".tmp")
+        )
+        self.part_ids = all_parts if parts is None else [p for p in all_parts if p in set(parts)]
+        bs = int(self.stats["block_size"])
+        self.parts = [
+            _Part(os.path.join(seg_dir, part_name(p)), bs) for p in self.part_ids
+        ]
+        self.avgdl = {
+            FIELD_BODY: float(self.stats["avgdl_body"]),
+            FIELD_TITLE: float(self.stats["avgdl_title"]),
+        }
+        self.n_docs = float(self.stats["n_docs"])
+
+    def topk(
+        self, terms: list[TermSpec], k: int, mode: str = "bm25"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact TAAT scoring, fully vectorized per (part, term)."""
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for part in self.parts:
+            scores = np.zeros(len(part.doc_ids), dtype=np.float64)
+            touched = np.zeros(len(part.doc_ids), dtype=bool)
+            for t in terms:
+                got = part.postings_for(t.field, t.term_hash)
+                if got is None:
+                    continue
+                ords, tfs = got
+                dl = part.dl[t.field][ords]
+                if mode == "bm25":
+                    contrib = bm25_term_scores(tfs, dl, t.idf, t.qtf, self.avgdl[t.field])
+                elif t.field == FIELD_TITLE:
+                    contrib = ref_title_term_scores(tfs, t.qtf)
+                else:
+                    contrib = ref_body_term_scores(tfs, t.qtf, self.n_docs, t.cf)
+                scores[ords] += contrib
+                touched[ords] = True
+            cand = np.flatnonzero(touched)
+            if len(cand):
+                d, s = topk_by_score(part.doc_ids[cand], scores[cand], k)
+                out_docs.append(d)
+                out_scores.append(s)
+        if not out_docs:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        return topk_by_score(np.concatenate(out_docs), np.concatenate(out_scores), k)
+
+
+@ray.remote
+class IndexShardActor:
+    """Stateful stage: segments loaded once per actor (SURVEY.md §2.3 T4)."""
+
+    def __init__(self, index_dir: str, parts: list[int]):
+        self.index = LocalIndex(index_dir, parts)
+
+    def topk(self, terms: list[TermSpec], k: int, mode: str) -> tuple[np.ndarray, np.ndarray]:
+        return self.index.topk(terms, k, mode)
+
+    def topk_batch(
+        self, term_lists: list[list[TermSpec]], k: int, mode: str
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        return [self.index.topk(t, k, mode) for t in term_lists]
+
+
+class Lexicon:
+    """Global term stats lookup (df/cf per (field, term_hash)).
+
+    Held by the coordinator. At 10^12-doc scale this table is itself
+    sharded (hash by term_hash across lexicon actors); single-map here —
+    only query terms are ever looked up, so the coordinator could equally
+    fetch-on-miss."""
+
+    def __init__(self, index_dir: str):
+        lex_dir = os.path.join(index_dir, "lexicon")
+        files = [
+            os.path.join(lex_dir, f) for f in sorted(os.listdir(lex_dir)) if f.endswith(".parquet")
+        ]
+        self.stats: dict[tuple[int, int], tuple[int, int]] = {}
+        for f in files:
+            t = pq.read_table(f)
+            fld = t.column("field").to_numpy(zero_copy_only=False)
+            th = t.column("term_hash").to_numpy(zero_copy_only=False)
+            df = t.column("df").to_numpy(zero_copy_only=False)
+            cf = t.column("cf").to_numpy(zero_copy_only=False)
+            for i in range(len(fld)):
+                self.stats[(int(fld[i]), int(th[i]))] = (int(df[i]), int(cf[i]))
+
+    def get(self, field: int, term_hash: int) -> tuple[int, int] | None:
+        return self.stats.get((field, term_hash))
+
+
+def make_term_specs(
+    query: str,
+    lexicon: Lexicon,
+    n_docs: float,
+    fields: tuple[int, ...],
+    mode: str,
+) -> list[TermSpec]:
+    """Query words -> TermSpecs with global stats resolved; unknown words
+    contribute nothing (reference behavior, Engine.cs:146-153)."""
+    counts: Counter[str] = parse_query(query)
+    specs: list[TermSpec] = []
+    for word, qtf in counts.items():
+        th = hash64(word)
+        for field in fields:
+            st = lexicon.get(field, th)
+            if st is None:
+                continue
+            df, cf = st
+            idf = bm25_idf(float(df), n_docs) if mode == "bm25" else 0.0
+            specs.append(TermSpec(field, th, float(qtf), idf, float(cf)))
+    return specs
+
+
+class SearchEngine:
+    """Online scatter-gather coordinator over an IndexShardActor pool."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        n_shards: int = 4,
+        mode: str = "bm25",
+        fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
+    ):
+        self.index_dir = index_dir
+        self.mode = mode
+        self.fields = fields
+        self.lexicon = Lexicon(index_dir)
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            self.stats = json.load(fh)
+        self.n_docs = float(self.stats["n_docs"])
+        seg_dir = os.path.join(index_dir, "segments")
+        all_parts = sorted(
+            int(d.split("-")[1])
+            for d in os.listdir(seg_dir)
+            if d.startswith("part-") and not d.endswith(".tmp")
+        )
+        n_shards = max(1, min(n_shards, len(all_parts)))
+        self.shards = [
+            IndexShardActor.remote(index_dir, all_parts[i::n_shards]) for i in range(n_shards)
+        ]
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        specs = make_term_specs(query, self.lexicon, self.n_docs, self.fields, self.mode)
+        if not specs:
+            return []
+        parts = ray.get([s.topk.remote(specs, k, self.mode) for s in self.shards])
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)
+        d, s = topk_by_score(docs, scores, k)
+        return [(int(di), float(si)) for di, si in zip(d, s)]
+
+    def search_batch(self, queries: list[str], k: int = 10) -> list[list[tuple[int, float]]]:
+        """Batched scatter-gather: one round trip per shard for ALL queries."""
+        spec_lists = [
+            make_term_specs(q, self.lexicon, self.n_docs, self.fields, self.mode)
+            for q in queries
+        ]
+        futures = [s.topk_batch.remote(spec_lists, k, self.mode) for s in self.shards]
+        per_shard = ray.get(futures)
+        out = []
+        for qi in range(len(queries)):
+            docs = np.concatenate([shard[qi][0] for shard in per_shard])
+            scores = np.concatenate([shard[qi][1] for shard in per_shard])
+            d, s = topk_by_score(docs, scores, k)
+            out.append([(int(di), float(si)) for di, si in zip(d, s)])
+        return out

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from searchengine_ray.functions.hashing import hash64
+from searchengine_ray.oracle import brute_topk, build_brute_index
+from searchengine_ray.pipelines.build import BuildConfig, build_index
+from searchengine_ray.pipelines.query import evaluate_queries
+from searchengine_ray.schemas import FIELD_BODY, FIELD_TITLE
+from searchengine_ray.state.shards import SearchEngine
+from searchengine_ray.synth import make_queries_table
+
+
+@pytest.fixture(scope="module")
+def built(pages_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index_t1"))
+    cfg = BuildConfig(num_partitions=8, block_size=32)
+    metrics = build_index(pages_dir, index_dir, cfg, source="pages")
+    return index_dir, metrics, cfg
+
+
+@pytest.fixture(scope="module")
+def brute(pages_dir):
+    """Independent oracle: pure-Python tokenizer over the golden text column."""
+    tbl = pq.read_table(pages_dir)
+    docs = []
+    for url, text, lang in zip(
+        tbl.column("url").to_pylist(),
+        tbl.column("text").to_pylist(),
+        tbl.column("lang").to_pylist(),
+    ):
+        if lang != "en":
+            continue
+        title = text.split("\n", 1)[0] + "\n"
+        docs.append((hash64(url), text, title))
+    return build_brute_index(docs)
+
+
+def test_build_metrics(built, brute):
+    index_dir, metrics, cfg = built
+    assert metrics["n_docs"] == brute.n_docs
+    seg = metrics["segments"]
+    assert seg["n_parts_built"] == cfg.num_partitions
+    # doc-bucketed partitioning: near-uniform partitions even with Zipf head
+    # terms. At 1000 docs / 8 parts the doc-count noise is ~±10%, so bound
+    # against the mean (the 100k-id uniformity bound lives in test_hashing).
+    mean = metrics["segments"]["n_postings"] / seg["n_parts_built"]
+    assert seg["max_part_postings"] < 1.5 * mean
+    assert seg["min_part_postings"] > 0.5 * mean
+    # global stats agree with the oracle
+    assert metrics["stats"]["total_len_body"] == brute.total_len[FIELD_BODY]
+    assert metrics["stats"]["total_len_title"] == brute.total_len[FIELD_TITLE]
+
+
+@pytest.mark.parametrize("mode", ["bm25", "reference"])
+def test_rank_identity_vs_oracle(built, brute, mode, ray_session):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir, n_shards=2, mode=mode)
+    queries = make_queries_table(60).column("query").to_pylist()
+    results = engine.search_batch(queries, k=10)
+    n_nonempty = 0
+    for q, got in zip(queries, results):
+        want = brute_topk(brute, q, k=10, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=0
+        )  # scores bit-identical (same kernels, same accumulation order)
+        n_nonempty += bool(got)
+    assert n_nonempty > len(queries) * 0.8  # the query set mostly hits
+
+
+def test_batch_eval_matches_online(built, ray_session):
+    index_dir, _, _ = built
+    q_tbl = make_queries_table(30)
+    out = (
+        evaluate_queries(rd.from_arrow(q_tbl), index_dir, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    engine = SearchEngine(index_dir, n_shards=2)
+    online = engine.search_batch(q_tbl.column("query").to_pylist(), k=10)
+    for qid, want in enumerate(online):
+        sub = out[out.query_id == qid]
+        assert [int(d) for d in sub.doc_id] == [d for d, _ in want]
+
+
+def test_empty_and_oov_queries(built, ray_session):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir, n_shards=1)
+    assert engine.search("zzzznotaword", k=10) == []
+    assert engine.search("naïve", k=10) == []  # dropped at index time, present in query
+    assert engine.search("", k=10) == []

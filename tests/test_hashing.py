@@ -23,21 +23,21 @@ def test_crc32_matches_reference_polynomial():
 
 def test_hash64_structure():
     h = hash64("abc")
-    assert h >> 32 == zlib.crc32(b"abc")
+    assert (h & 0xFFFFFFFFFFFFFFFF) >> 32 == zlib.crc32(b"abc")
     assert h != hash64("abd")
-    assert 0 <= h < 2**64
+    assert -(2**63) <= h < 2**63  # signed int64 (Arrow/DuckDB-native)
 
 
 def test_hash64_array_matches_scalar():
     words = ["a", "b", "a", "the", "zzz", "a"]
     arr = hash64_array(pa.array(words))
-    assert arr.dtype == np.uint64
+    assert arr.dtype == np.int64
     assert arr.tolist() == [hash64(w) for w in words]
     assert len(hash64_array(pa.array([], pa.string()))) == 0
 
 
 def test_doc_partition_uniform_and_deterministic():
-    ids = np.arange(100_000, dtype=np.uint64)
+    ids = np.arange(100_000, dtype=np.int64)
     parts = doc_partition(ids, 16)
     counts = np.bincount(parts, minlength=16)
     assert parts.min() >= 0 and parts.max() < 16
