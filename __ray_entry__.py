@@ -1,44 +1,320 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in searchengine_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Layout:
+- entry(): flagship pipeline (index build + BM25 batch eval) on sf0.001.
+- queries(): one callable per implemented operator (SURVEY.md §2 + the
+  training-data ops), each over `sf_dir` testdata tables.
+- oracle_sql(): DuckDB SQL equivalents. Rounding contract: all floats are
+  half-up rounded via floor(x*1e6+0.5)/1e6 (both sides); rankings order by
+  floor(score*1e9+0.5) DESC, id ASC so cross-engine float-summation noise
+  (~1 ulp) cannot flip ranks.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+from searchengine_ray.functions.scoring import round6
+from searchengine_ray.functions.tokenize import parse_query
+from searchengine_ray.pipelines import ann as ann_ops
+from searchengine_ray.pipelines import dedup as dedup_ops
+from searchengine_ray.pipelines import multimodal as mm_ops
+from searchengine_ray.pipelines import textops
+from searchengine_ray.pipelines.build import BuildConfig, build_index
+from searchengine_ray.pipelines.query import evaluate_queries
+from searchengine_ray.schemas import FIELD_BODY
+
+# ---------------------------------------------------------------------------
+# Reference query set over the testdata `documents` vocabulary: head terms,
+# the rare term 'dup', repeats (multiplicity weighting), OOV and non-ASCII
+# words that must contribute zero (FIXTURES.md §2).
+DOC_QUERIES: list[str] = [
+    "join hash",
+    "dup",
+    "spark window stream",
+    "the the fast",
+    "customer order line",
+    "query",
+    "merge sort merge",
+    "big data vector",
+    "zzznotaword",
+    "naïve filter",
+    "agg group value key",
+    "dup batch",
+    "slow scan table column",
+    "a",
+    "part row small",
+]
+TOPK = 10
+ANN_QUERIES = 8
+
+_TOKENIZE_SQL = (
+    "SELECT doc_id, unnest(list_transform(list_filter("
+    "regexp_extract_all(text, '\\pL+'), "
+    "x -> regexp_matches(x, '^[A-Za-z]{1,20}$')), x -> lower(x))) AS term "
+    "FROM documents"
+)
+_TOKS_LIST_SQL = (
+    "list_transform(list_filter(regexp_extract_all(text, '\\pL+'), "
+    "x -> regexp_matches(x, '^[A-Za-z]{1,20}$')), x -> lower(x))"
+)
+
+
+def _r6(col: str) -> str:
+    return f"floor(({col}) * 1000000 + 0.5) / 1000000"
+
+
+def _query_values() -> str:
+    """(query_id, term, qtf) VALUES rows — produced by the SAME query parser
+    the engine uses, so the SQL oracle sees identical term multisets."""
+    rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for term, qtf in parse_query(q).items():
+            esc = term.replace("'", "''")
+            rows.append(f"({qid}, '{esc}', {qtf}.0)")
+    return ", ".join(rows)
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    safe = sf_dir.strip("/").replace("/", "_")
+    return os.path.join("/tmp", "seray_index_cache", safe)
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (or resume) the inverted index for a testdata documents table.
+    lang_filter=None: every row is indexed (the oracle SQL scans all rows)."""
+    index_dir = _index_dir_for(sf_dir)
+    cfg = BuildConfig(num_partitions=8, block_size=128, lang_filter=None)
+    build_index(sf_dir, index_dir, cfg, source="documents")
+    return index_dir
+
+
+def _rerank(df: pd.DataFrame, score_col: str, id_col: str, k: int) -> pd.DataFrame:
+    """Contract ranking: floor(score*1e9+0.5) desc, id asc, cut k, round6."""
+    out = []
+    for qid, g in df.groupby("query_id", sort=True):
+        s9 = np.floor(g[score_col].to_numpy() * 1e9 + 0.5)
+        order = np.lexsort((g[id_col].to_numpy(), -s9))[:k]
+        sel = g.iloc[order].copy()
+        sel["rank"] = np.arange(1, len(sel) + 1, dtype=np.int32)
+        sel[score_col] = round6(sel[score_col].to_numpy())
+        out.append(sel)
+    cols = ["query_id", "rank", id_col, score_col]
+    if not out:
+        return pd.DataFrame(columns=cols).astype(
+            {"query_id": "int64", "rank": "int32", id_col: "int64", score_col: "float64"}
+        )
+    return pd.concat(out)[cols].reset_index(drop=True)
+
+
+def _topk_pipeline(sf_dir: str, mode: str) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    index_dir = _ensure_index(sf_dir)
+    q_tbl = pa.table(
+        {
+            "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+            "query": pa.array(DOC_QUERIES, pa.string()),
+            "k": pa.array([TOPK + 32] * len(DOC_QUERIES), pa.int32()),
+        }
+    )
+    res = evaluate_queries(
+        rd.from_arrow(q_tbl), index_dir, mode=mode, fields=(FIELD_BODY,), concurrency=2
+    ).to_pandas()
+    return _rerank(res, "score", "doc_id", TOPK)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full index build + BM25 batch evaluation on sf0.001."""
+    return _topk_pipeline("/root/testdata/sf0.001", mode="bm25")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
+        "lexicon": lambda sf: textops.lexicon(sf),
+        "doc_token_stats": lambda sf: textops.doc_token_stats(sf),
+        "postings": lambda sf: textops.postings(sf),
+        "top_terms": lambda sf: textops.top_terms(sf, k=20),
+        "bm25_topk": lambda sf: _topk_pipeline(sf, mode="bm25"),
+        "reference_topk": lambda sf: _topk_pipeline(sf, mode="reference"),
+        # dedup suite
+        "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
+        "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
+        "dedup_ngram_jaccard": lambda sf: dedup_ops.ngram_jaccard_pairs(sf, threshold=0.5),
+        "dedup_simhash": lambda sf: dedup_ops.simhash(sf),
+        "dedup_embedding": lambda sf: dedup_ops.embedding_dup_pairs(sf, threshold=0.4),
+        # similarity search
+        "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        # text analysis
+        "quality_scores": lambda sf: textops.quality_scores(sf),
+        "lang_id": lambda sf: textops.lang_id(sf),
+        "fingerprints": lambda sf: textops.fingerprints(sf),
+        # multimodal plumbing (deterministic fake payloads; decode stubbed)
+        "media_meta": lambda sf: mm_ops.media_meta(mm_ops.synth_media_dataset(200)),
+        "media_frames": lambda sf: mm_ops.sample_frames(mm_ops.synth_media_dataset(200)),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = textops.STOPWORDS
+    stop_flat = ", ".join(f"'{w}'" for w in textops.STOPWORDS_FLAT)
+    tok = _TOKENIZE_SQL
+    toks = _TOKS_LIST_SQL
+    qvals = _query_values()
+
+    bm25 = f"""
+WITH tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) *
+         (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl)))) AS c
+  FROM q JOIN tf ON q.term = tf.term
+       JOIN df ON df.term = q.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    ref = f"""
+WITH tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, (tf.tf * q.qtf) * (s.n / cf.cf) AS c
+  FROM q JOIN tf ON q.term = tf.term
+       JOIN cf ON cf.term = q.term
+       CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    lang_cases = []
+    for lang in sorted(sw):
+        inlist = ", ".join(f"'{w}'" for w in sw[lang])
+        lang_cases.append(
+            f"len(list_filter(toks, x -> x IN ({inlist}))) AS h_{lang}"
+        )
+    lang_sql = f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS (SELECT doc_id, {', '.join(lang_cases)} FROM base)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+
+    ann = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(e.ee, q.qe) AS sim
+         FROM q CROSS JOIN e),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(sim*1000000000 + 0.5) DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT query_id, rank::INT AS rank, neighbor_id, {_r6('sim')} AS sim
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    emb_dup = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_cosine_similarity(a.ee, b.ee) * 1000000 + 0.5) / 1000000 AS sim
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.ee, b.ee) >= 0.4
+"""
+
+    return {
+        "lexicon": f"""
+WITH tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+""",
+        "doc_token_stats": f"""
+WITH tok AS ({tok}),
+s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             count(DISTINCT term)::BIGINT AS n_distinct FROM tok GROUP BY 1)
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.n_distinct, 0) AS n_distinct
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+""",
+        "postings": f"""
+WITH tok AS ({tok})
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+""",
+        "top_terms": f"""
+WITH tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+lex AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
+SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
+""",
+        "bm25_topk": bm25,
+        "reference_topk": ref,
+        "dedup_exact": """
+SELECT doc_id,
+       (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+FROM documents
+""",
+        "dedup_embedding": emb_dup,
+        "ann_brute_topk": ann,
+        "quality_scores": f"""
+WITH base AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(toks)::BIGINT AS n_tokens,
+  {_r6("coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE"
+       " / greatest(len(toks), 1)")} AS mean_token_len,
+  {_r6(f"len(list_filter(toks, x -> x IN ({stop_flat})))::DOUBLE"
+       " / greatest(len(toks), 1)")} AS stopword_ratio,
+  {_r6("length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE"
+       " / greatest(length(text), 1)")} AS alpha_ratio
+FROM base
+""",
+        "lang_id": lang_sql,
+        "fingerprints": f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM base
+""",
+        # no SQL (approximate / stateful / media): driver does rows-only checks
+        # for dedup_minhash_pairs, dedup_ngram_jaccard, dedup_simhash,
+        # ann_lsh_topk, media_meta, media_frames.
+    }

@@ -25,6 +25,13 @@ B = 0.75
 TITLE_SCORE = 100.0  # /root/reference/Engine/Engine/Engine.cs:18
 
 
+def round6(x):
+    """Half-up rounding to 6 decimals, formula-identical to the SQL oracle's
+    floor(x*1000000 + 0.5)/1000000 (np.round is half-to-even, DuckDB round
+    is half-away — both would hash-mismatch on exact .5 boundaries)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
 def bm25_idf(df: float, n_docs: float) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 

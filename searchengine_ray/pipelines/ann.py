@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (vec_id:int64,
+embedding:list<float>).
+
+- `ann_brute_topk`: exact cosine top-k. The query matrix is normalized
+  once on the driver and broadcast with ray.put (read in every task, never
+  re-shipped per batch); each batch contributes one numpy matmul and only
+  its LOCAL top-k per query leaves the task, so the driver-side merge sees
+  O(n_blocks * q * k) candidate rows regardless of corpus size.
+- `ann_lsh_topk`: the scale path — random-hyperplane LSH buckets; only
+  vectors whose bucket matches a query bucket (within `probe` bit flips)
+  are scored. Recall measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.scoring import round6, topk_by_score
+from ..sources.tables import read_embeddings
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    q = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = q["vec_id"].to_numpy()
+    mat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
+
+def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = t.column("embedding").combine_chunks()
+    m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+        len(ids), -1
+    )
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return ids, m
+
+
+def _merge_topk(cands, k: int) -> pa.Table:
+    """(query_id, neighbor_id, sim) candidate rows -> global ranked top-k."""
+    out_q, out_r, out_n, out_s = [], [], [], []
+    qids = cands["query_id"].to_numpy()
+    nids = cands["neighbor_id"].to_numpy()
+    sims = cands["sim"].to_numpy()
+    for q in np.unique(qids):
+        m = qids == q
+        d, s = topk_by_score(nids[m].astype(np.int64), sims[m], k)
+        for r, (di, si) in enumerate(zip(d, s), start=1):
+            out_q.append(int(q))
+            out_r.append(r)
+            out_n.append(int(di))
+            out_s.append(float(round6(si)))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> rd.Dataset:
+    """(query_id, rank, neighbor_id, sim) exact cosine top-k; sim rounded 6;
+    tie-break sim desc, neighbor_id asc. Self-matches included (oracle SQL
+    does the same)."""
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    ref = ray.put((q_ids, q_mat))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        r_ids, r_mat = ray.get(ref)
+        ids, m = _batch_matrix(t)
+        sims = m @ r_mat.T  # (batch, q)
+        kk = min(k, len(ids))
+        out = []
+        for qi in range(len(r_ids)):
+            d, s = topk_by_score(ids.astype(np.int64), sims[:, qi], kk)
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(len(d), r_ids[qi]), pa.int64()),
+                        "neighbor_id": pa.array(d, pa.int64()),
+                        "sim": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    cands = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return rd.from_arrow(_merge_topk(cands, k))
+
+
+def ann_lsh_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 10, planes: int = 12, probe: int = 1, seed: int = 777
+) -> rd.Dataset:
+    """Approximate cosine top-k: score only vectors in the query's LSH
+    bucket or any bucket within `probe` Hamming bits. Same output schema as
+    ann_brute_topk."""
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    dim = q_mat.shape[1]
+    g = np.random.Generator(np.random.PCG64(seed))
+    hyper = g.standard_normal((dim, planes))
+    pow2 = (1 << np.arange(planes, dtype=np.int64))[::-1]
+
+    def buckets_of(m: np.ndarray) -> np.ndarray:
+        return ((m @ hyper) > 0).astype(np.int64) @ pow2
+
+    q_buckets = buckets_of(q_mat)
+    allowed: list[set[int]] = []
+    for qb in q_buckets:
+        s = {int(qb)}
+        if probe >= 1:
+            s |= {int(qb) ^ (1 << j) for j in range(planes)}
+        allowed.append(s)
+    ref = ray.put((q_ids, q_mat, allowed))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        r_ids, r_mat, allow = ray.get(ref)
+        ids, m = _batch_matrix(t)
+        b = buckets_of(m)
+        out = []
+        for qi in range(len(r_ids)):
+            mask = np.fromiter((int(x) in allow[qi] for x in b), dtype=bool, count=len(b))
+            if not mask.any():
+                continue
+            sims = m[mask] @ r_mat[qi]
+            d, s = topk_by_score(ids[mask].astype(np.int64), sims, min(k, mask.sum()))
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(len(d), r_ids[qi]), pa.int64()),
+                        "neighbor_id": pa.array(d, pa.int64()),
+                        "sim": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.concat_tables(out)
+
+    cands = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return rd.from_arrow(_merge_topk(cands, k))

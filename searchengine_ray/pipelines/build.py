@@ -233,7 +233,13 @@ def build_index(
                 }
             )
 
-        # stream to a partitioned directory — never materialized on the driver
+        # stream to a partitioned directory — never materialized on the driver.
+        # write_parquet APPENDS into an existing dir: clear it first or a
+        # rebuild double-counts every doc.
+        if os.path.isdir(docs_path):
+            import shutil
+
+            shutil.rmtree(docs_path)
         ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
             docs_path
         )
@@ -294,6 +300,10 @@ def build_index(
     from ray.data.aggregate import Sum
 
     lex_dir = os.path.join(index_dir, "lexicon")
+    if os.path.isdir(lex_dir):  # write_parquet appends; stale files double cf
+        import shutil
+
+        shutil.rmtree(lex_dir)
     (
         rd.read_parquet(part_files, columns=["field", "term_hash", "df", "cf"])
         .groupby(["field", "term_hash"])

@@ -1,0 +1,153 @@
+"""Multimodal columns: image/audio/video as opaque `binary` with typed
+metadata. The decode kernels themselves are STUBS (no image/audio libs in
+this container — clearly marked below); the Ray-side plumbing — schema,
+actor-pool stage, batch sizing, output layout — is real and tested.
+
+Pattern: a stateful actor-pool `map_batches` stage (decoder state built
+once per actor in __init__), small batch sizes because each row carries a
+large binary payload, `batch_format="pyarrow"` end-to-end (binary columns
+do NOT round-trip pandas cleanly).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+# 16-byte deterministic fake media header: magic, kind, width, height, n_frames
+_MAGIC = b"SRAY"
+_HEADER = struct.Struct("<4sHHHHxx")
+KIND_IMAGE, KIND_AUDIO, KIND_VIDEO = 0, 1, 2
+
+
+def make_media_payload(kind: int, width: int, height: int, n_frames: int, body: bytes) -> bytes:
+    """Synthesize a deterministic fake media blob (fixtures + tests)."""
+    return _HEADER.pack(_MAGIC, kind, width, height, n_frames) + body
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: binary payload -> typed metadata (+ features).
+
+    __init__ loads the decoder ONCE per actor. Real decoders (PIL,
+    libsndfile, pyav) are not in this container: `strict=True` raises
+    NotImplementedError at the decode site; the default decodes the
+    deterministic fake header, which exercises the identical plumbing.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        try:  # pragma: no cover - not installed in this container
+            from PIL import Image  # noqa: F401
+
+            self.pil = True
+        except ImportError:
+            self.pil = False
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.strict and not self.pil:
+            raise NotImplementedError(
+                "real media decode requires PIL/libsndfile/pyav (not in container); "
+                "run with strict=False for the deterministic fake-header decoder"
+            )
+        payloads = t.column("payload").to_pylist()
+        kinds, widths, heights, frames, nbytes, ok = [], [], [], [], [], []
+        for p in payloads:
+            nbytes.append(len(p))
+            if p[:4] == _MAGIC and len(p) >= _HEADER.size:
+                _, kind, w, h, nf = _HEADER.unpack(p[: _HEADER.size])
+                kinds.append(kind)
+                widths.append(w)
+                heights.append(h)
+                frames.append(nf)
+                ok.append(True)
+            else:
+                kinds.append(-1)
+                widths.append(0)
+                heights.append(0)
+                frames.append(0)
+                ok.append(False)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "kind": pa.array(kinds, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_frames": pa.array(frames, pa.int32()),
+                "n_bytes": pa.array(nbytes, pa.int64()),
+                "decoded_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample every `stride`-th frame of a fake video
+    payload; emits one row per sampled frame (flat_map shape). Frame
+    content here is a deterministic slice of the body bytes — the real
+    kernel would be pyav decode (stubbed, see MediaDecodeStage)."""
+
+    def __init__(self, stride: int = 10, frame_bytes: int = 64):
+        self.stride = stride
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_out, frame_idx, frames = [], [], []
+        for mid, p in zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()):
+            if p[:4] != _MAGIC:
+                continue
+            _, kind, w, h, nf = _HEADER.unpack(p[: _HEADER.size])
+            body = p[_HEADER.size :]
+            for j in range(0, nf, self.stride):
+                start = (j * self.frame_bytes) % max(1, len(body) or 1)
+                ids_out.append(mid)
+                frame_idx.append(j)
+                frames.append(body[start : start + self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def media_meta(media_ds: rd.Dataset, concurrency: int = 2, batch_size: int = 64) -> rd.Dataset:
+    """Decode metadata via the actor pool (small batches: binary payloads)."""
+    return media_ds.map_batches(
+        MediaDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(media_ds: rd.Dataset, stride: int = 10, concurrency: int = 2) -> rd.Dataset:
+    return media_ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synth_media_dataset(n: int = 200, seed: int = 99) -> rd.Dataset:
+    """Deterministic fake media table (media_id, payload)."""
+    g = np.random.Generator(np.random.PCG64(seed))
+    rows_id, rows_payload = [], []
+    for i in range(n):
+        kind = int(g.integers(0, 3))
+        w, h = int(g.integers(16, 512)), int(g.integers(16, 512))
+        nf = int(g.integers(1, 100)) if kind == KIND_VIDEO else 1
+        body = g.integers(0, 256, int(g.integers(64, 2048)), dtype=np.uint8).tobytes()
+        rows_id.append(i)
+        rows_payload.append(make_media_payload(kind, w, h, nf, body))
+    return rd.from_arrow(
+        pa.table(
+            {"media_id": pa.array(rows_id, pa.int64()), "payload": pa.array(rows_payload, pa.binary())}
+        )
+    )

@@ -1,0 +1,221 @@
+"""Text-analysis operators over a documents table (doc_id:int64, text:string).
+
+These generalize the reference's Lexicon/WordsCount stages
+(/root/reference/Indexer/Program.cs:68-224,417-558) into the standalone
+operators a training-data pipeline needs: lexicon df/cf, per-doc token
+stats, flat postings, top terms, quality scoring, language-ID heuristic and
+document fingerprints. All are map_batches-vectorized; only lexicon/top_terms
+shuffle (a pre-aggregated groupby).
+
+Every operator here has a DuckDB oracle in __ray_entry__.oracle_sql() —
+column names and rounding are part of the contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.scoring import round6
+from ..functions.tokenize import tokenize_flat
+from ..sources.tables import read_documents
+
+# Shared stopword profiles (kept tiny and fixed: the contract is
+# determinism, not linguistic accuracy). Mirrored literally in oracle SQL.
+STOPWORDS = {
+    "en": ("the", "and", "of", "a", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "y", "es", "un", "una"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+STOPWORDS_FLAT = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+
+def _tokens_per_row(t: pa.Table) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """(row_indices, tokens, tokens_per_row) for a documents batch."""
+    texts = t.column("text").combine_chunks()
+    parents, tokens = tokenize_flat(texts)
+    counts = np.bincount(parents, minlength=t.num_rows)
+    return parents, tokens, counts
+
+
+def lexicon(sf_dir: str) -> rd.Dataset:
+    """(term, df, cf) — global document/collection frequency per term
+    (reference A2/A3, Indexer/Program.cs:458-467). Pre-aggregated per batch
+    (one row per term per batch) before the groupby shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        parents, tokens, _ = _tokens_per_row(t)
+        if len(tokens) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df_p": pa.array([], pa.int64()),
+                 "cf_p": pa.array([], pa.int64())}
+            )
+        pairs = pa.table({"i": pa.array(parents, pa.int64()), "term": tokens})
+        per_doc = (
+            pairs.group_by(["i", "term"])
+            .aggregate([([], "count_all")])
+            .select(["i", "term", "count_all"])  # name-based: key/agg order varies
+            .rename_columns(["i", "term", "tf"])
+        )
+        agg = per_doc.group_by("term").aggregate([("tf", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "term": agg.column("term"),
+                "df_p": agg.column("count_all"),
+                "cf_p": agg.column("tf_sum"),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+    )
+
+
+def doc_token_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, n_distinct) — per-doc, no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        parents, tokens, counts = _tokens_per_row(t)
+        distinct = np.zeros(t.num_rows, dtype=np.int64)
+        if len(tokens):
+            pairs = pa.table({"i": pa.array(parents, pa.int64()), "term": tokens})
+            per_doc = pairs.group_by(["i", "term"]).aggregate([([], "count_all")])
+            ii = per_doc.column("i").to_numpy(zero_copy_only=False)
+            distinct = np.bincount(ii, minlength=t.num_rows)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_distinct": pa.array(distinct.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def postings(sf_dir: str) -> rd.Dataset:
+    """(term, doc_id, tf) — the exploded forward index (reference M5/A4)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        parents, tokens, _ = _tokens_per_row(t)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(tokens) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        pairs = pa.table({"i": pa.array(parents, pa.int64()), "term": tokens})
+        g = pairs.group_by(["i", "term"]).aggregate([([], "count_all")])
+        ii = g.column("i").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "term": g.column("term"),
+                "doc_id": pa.array(doc_ids[ii], pa.int64()),
+                "tf": g.column("count_all"),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def top_terms(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Top-k terms by cf (cf desc, term asc) — reference O-class sort+limit."""
+    return lexicon(sf_dir).sort(["cf", "term"], descending=[True, False]).limit(k)
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio, alpha_ratio)
+    — length/punctuation/stopword quality heuristics, all rounded to 6."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        parents, tokens = tokenize_flat(texts)
+        n = t.num_rows
+        n_tok = np.bincount(parents, minlength=n).astype(np.float64)
+        tok_len = pc.utf8_length(tokens).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(parents, weights=tok_len, minlength=n)
+        stop_mask = pc.is_in(tokens, value_set=pa.array(STOPWORDS_FLAT)).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(parents, weights=stop_mask.astype(np.float64), minlength=n)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_alpha = pc.count_substring_regex(texts, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        safe_tok = np.maximum(n_tok, 1.0)
+        safe_chars = np.maximum(n_chars, 1.0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "mean_token_len": pa.array(round6(sum_len / safe_tok), pa.float64()),
+                "stopword_ratio": pa.array(round6(n_stop / safe_tok), pa.float64()),
+                "alpha_ratio": pa.array(round6(n_alpha / safe_chars), pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """(doc_id, lang_pred) — stopword-profile language ID. Deterministic rule:
+    most stoplist hits wins; ties broken alphabetically; zero hits -> 'und'."""
+    langs = sorted(STOPWORDS)  # alphabetical == tie-break order
+
+    def fn(t: pa.Table) -> pa.Table:
+        parents, tokens, _ = _tokens_per_row(t)
+        n = t.num_rows
+        hits = np.zeros((len(langs), n), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            m = pc.is_in(tokens, value_set=pa.array(STOPWORDS[lang])).to_numpy(
+                zero_copy_only=False
+            )
+            hits[li] = np.bincount(parents, weights=m.astype(np.float64), minlength=n)
+        best = np.argmax(hits, axis=0)  # first (alphabetical) max wins
+        zero = hits.max(axis=0) == 0
+        pred = np.array(langs, dtype=object)[best]
+        pred[zero] = "und"
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "lang_pred": pa.array(pred.tolist(), pa.string())}
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """(doc_id, fp) — md5 hex of the normalized token stream (' '-joined).
+    The per-row digest is inherently scalar; the join is vectorized and the
+    digest loop is C-speed hashlib over short strings."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        parents, tokens, counts = _tokens_per_row(t)
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), tokens)
+        joined = pc.binary_join(lists, " ").to_pylist()
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in joined]
+        return pa.table({"doc_id": t.column("doc_id"), "fp": pa.array(fps, pa.string())})
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.pipelines.build import BuildConfig, build_index
+from searchengine_ray.state import manifest as mf
+
+
+def _segments_equal(a: str, b: str) -> bool:
+    for part in sorted(os.listdir(os.path.join(a, "segments"))):
+        for f in ("docs.parquet", "postings.parquet"):
+            ta = pq.read_table(os.path.join(a, "segments", part, f))
+            tb = pq.read_table(os.path.join(b, "segments", part, f))
+            if not ta.equals(tb):
+                return False
+    return True
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return BuildConfig(num_partitions=6, block_size=32)
+
+
+def test_resume_skips_completed_partitions(pages_dir, tmp_path_factory, cfg, ray_session):
+    full = str(tmp_path_factory.mktemp("idx_full"))
+    build_index(pages_dir, full, cfg, source="pages")
+
+    # simulate a build killed after 4 of 6 partitions completed
+    interrupted = str(tmp_path_factory.mktemp("idx_resume"))
+    build_index(pages_dir, interrupted, cfg, source="pages")
+    for part in (1, 4):
+        shutil.rmtree(os.path.join(interrupted, "segments", mf.part_name(part)))
+        os.unlink(os.path.join(mf.manifest_dir(interrupted), mf.part_name(part) + ".json"))
+
+    metrics = build_index(pages_dir, interrupted, cfg, source="pages")
+    assert metrics["parts_skipped_resume"] == 4
+    assert metrics["segments"]["n_parts_built"] == 2
+    # resumed result byte-identical to the uninterrupted build
+    assert _segments_equal(full, interrupted)
+
+
+def test_stale_manifest_invalidated_by_config_change(pages_dir, tmp_path_factory, ray_session):
+    idx = str(tmp_path_factory.mktemp("idx_stale"))
+    build_index(pages_dir, idx, BuildConfig(num_partitions=4, block_size=32), source="pages")
+    # different config -> different fingerprint -> nothing skipped
+    metrics = build_index(pages_dir, idx, BuildConfig(num_partitions=4, block_size=64), source="pages")
+    assert metrics["parts_skipped_resume"] == 0
+
+
+def test_determinism_across_parallelism(pages_dir, tmp_path_factory, cfg, ray_session):
+    """Same input, different batch sizes -> byte-identical segments (the
+    property the reference lacks, SURVEY.md §1.3.6)."""
+    a = str(tmp_path_factory.mktemp("idx_a"))
+    b = str(tmp_path_factory.mktemp("idx_b"))
+    build_index(pages_dir, a, cfg, source="pages")
+    import dataclasses
+
+    cfg_b = dataclasses.replace(cfg, batch_size=97)
+    build_index(pages_dir, b, cfg_b, source="pages")
+    assert _segments_equal(a, b)
