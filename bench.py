@@ -1,0 +1,158 @@
+"""Benchmark driver — prints ONE JSON line with headline + per-query secs.
+
+Headline: full inverted-index build (docs -> tokenize -> shuffle ->
+compressed segments -> lexicon) over a deterministic synthetic pages
+corpus sized to $GRAFT_SF_DIR's scale factor, plus BM25 batch-query
+throughput and the flagship data ops over the sf testdata tables.
+
+  python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # fresh-process runs at 8 and 32 CPUs ->
+                               # throughput at both + scaling efficiency
+
+Ray session is owned HERE (not in the library / __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 1_000_000  # sf0.1 -> 100k pages (~60 MB of html)
+
+
+def _sf() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from searchengine_ray.pipelines import ann as ann_ops
+    from searchengine_ray.pipelines import dedup as dedup_ops
+    from searchengine_ray.pipelines import textops
+    from searchengine_ray.pipelines.build import BuildConfig, build_index
+    from searchengine_ray.state.shards import SearchEngine
+    from searchengine_ray.synth import make_queries_table, write_pages
+
+    sf = _sf()
+    n_pages = max(2000, int(PAGES_PER_SF * sf))
+    pages_dir = f"/tmp/seray_bench_pages_{n_pages}"
+    write_pages(pages_dir, n_rows=n_pages, n_files=max(16, NUM_CPUS), parallel=True)
+
+    # warm the OS page cache (untimed) so we measure compute+shuffle
+    rd.read_parquet(pages_dir, columns=["url"]).count()
+
+    queries: dict[str, float] = {}
+
+    # --- headline: index build ---
+    index_dir = f"/tmp/seray_bench_idx_{n_pages}_{NUM_CPUS}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    n_parts = max(16, NUM_CPUS)
+    t0 = time.perf_counter()
+    metrics = build_index(
+        pages_dir, index_dir, BuildConfig(num_partitions=n_parts), source="pages"
+    )
+    build_s = time.perf_counter() - t0
+    queries["index_build"] = round(build_s, 3)
+    docs_per_s = metrics["n_docs"] / build_s
+
+    # --- BM25 batch query throughput (200 queries, scatter-gather actors) ---
+    q = make_queries_table(200).column("query").to_pylist()
+    engine = SearchEngine(index_dir, n_shards=max(2, NUM_CPUS // 8), mode="bm25")
+    engine.search_batch(q[:8], k=10)  # warm actors
+    t0 = time.perf_counter()
+    engine.search_batch(q, k=10)
+    queries["bm25_200_queries"] = round(time.perf_counter() - t0, 3)
+
+    # --- data ops over the sf testdata tables ---
+    t0 = time.perf_counter()
+    textops.lexicon(SF_DIR).to_pandas()
+    queries["lexicon_documents"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dedup_ops.minhash_lsh_pairs(SF_DIR).to_pandas()
+    queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ann_ops.ann_brute_topk(SF_DIR).to_pandas()
+    queries["ann_brute"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "index_build_sec",
+        "value": round(build_s, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_docs": metrics["n_docs"],
+        "docs_per_sec": round(docs_per_s, 1),
+        "n_postings": metrics.get("segments", {}).get("n_postings"),
+        "stage_wall_s": metrics.get("stage_wall_s"),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = sub(lo_cpus)
+    hi = sub(hi_cpus)
+    thr_lo = lo["docs_per_sec"]
+    thr_hi = hi["docs_per_sec"]
+    eff = thr_hi / (thr_lo * (hi_cpus / lo_cpus))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "docs_per_sec_lo": thr_lo,
+        "docs_per_sec_hi": thr_hi,
+        "sf": lo["sf"],
+        "queries": {"lo": lo["queries"], "hi": hi["queries"]},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

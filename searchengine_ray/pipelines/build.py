@@ -213,6 +213,9 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.perf_counter()
     metrics: dict = {"fingerprint": fingerprint, "source": source, "config": asdict(cfg)}
+    stage_wall: dict[str, float] = {}
+    metrics["stage_wall_s"] = stage_wall
+    t_stage = time.perf_counter()
 
     # --- stage: docs (N + id->url map; no tokenization, column-pruned) ---
     docs_path = os.path.join(index_dir, "docs")
@@ -261,6 +264,8 @@ def build_index(
             )
         n_docs = ds.count()
     metrics["n_docs"] = int(n_docs)
+    stage_wall["docs"] = round(time.perf_counter() - t_stage, 3)
+    t_stage = time.perf_counter()
 
     # --- stage: segments (tokenize -> shuffle -> encode; resumable) ---
     done = mf.completed_parts(index_dir, fingerprint)
@@ -288,7 +293,10 @@ def build_index(
             "n_terms": int(seg_metrics["n_terms"].sum()),
             "max_part_postings": int(seg_metrics["n_postings"].max()) if len(seg_metrics) else 0,
             "min_part_postings": int(seg_metrics["n_postings"].min()) if len(seg_metrics) else 0,
+            "sum_encode_wall_s": round(float(seg_metrics["wall_s"].sum()), 3),
         }
+    stage_wall["segments"] = round(time.perf_counter() - t_stage, 3)
+    t_stage = time.perf_counter()
 
     # --- stage: lexicon (global df/cf; segments already hold local stats) ---
     seg_glob = os.path.join(index_dir, "segments")
@@ -304,25 +312,44 @@ def build_index(
         import shutil
 
         shutil.rmtree(lex_dir)
-    (
-        rd.read_parquet(part_files, columns=["field", "term_hash", "df", "cf"])
-        .groupby(["field", "term_hash"])
-        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-        .write_parquet(lex_dir)  # streamed; a web-scale lexicon is itself big
-    )
+    seg_stat_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in part_files)
+    if seg_stat_rows <= 5_000_000:
+        # small input: one driver-side Arrow group_by beats a Ray shuffle's
+        # fixed cost by seconds (input is per-part term stats, NOT postings)
+        os.makedirs(lex_dir, exist_ok=True)
+        lex_tbl = (
+            pq.read_table(part_files, columns=["field", "term_hash", "df", "cf"])
+            .group_by(["field", "term_hash"])
+            .aggregate([("df", "sum"), ("cf", "sum")])
+            .select(["field", "term_hash", "df_sum", "cf_sum"])
+            .rename_columns(["field", "term_hash", "df", "cf"])
+        )
+        pq.write_table(lex_tbl, os.path.join(lex_dir, "lexicon-0.parquet"))
+    else:
+        (
+            rd.read_parquet(part_files, columns=["field", "term_hash", "df", "cf"])
+            .groupby(["field", "term_hash"])
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .write_parquet(lex_dir)  # streamed; a web-scale lexicon is itself big
+        )
     lex_files = [os.path.join(lex_dir, f) for f in os.listdir(lex_dir) if f.endswith(".parquet")]
     metrics["n_terms_global"] = sum(pq.ParquetFile(f).metadata.num_rows for f in lex_files)
+    stage_wall["lexicon"] = round(time.perf_counter() - t_stage, 3)
+    t_stage = time.perf_counter()
 
     # --- global stats (avgdl per field = sum cf / N; SURVEY.md §1.3.3) ---
-    totals = {
-        int(r["field"]): float(r["sum(cf)"])
-        for r in rd.read_parquet(lex_files, columns=["field", "cf"])
-        .groupby("field")
-        .aggregate(Sum("cf"))
-        .take_all()
-    }
-    total_body = totals.get(FIELD_BODY, 0.0)
-    total_title = totals.get(FIELD_TITLE, 0.0)
+    # Two scalars per field: stream file-by-file on the driver (exact int
+    # sums in int64; one file's two columns resident at a time). A Ray
+    # aggregate here would pay a whole-pipeline fixed cost to add numbers.
+    totals: dict[int, int] = {}
+    for f in lex_files:
+        t = pq.read_table(f, columns=["field", "cf"])
+        fld = t.column("field").to_numpy(zero_copy_only=False)
+        cfv = t.column("cf").to_numpy(zero_copy_only=False)
+        for code in np.unique(fld):
+            totals[int(code)] = totals.get(int(code), 0) + int(cfv[fld == code].sum())
+    total_body = float(totals.get(FIELD_BODY, 0))
+    total_title = float(totals.get(FIELD_TITLE, 0))
     stats = {
         "n_docs": int(n_docs),
         "total_len_body": total_body,
@@ -335,6 +362,7 @@ def build_index(
         "source": source,
     }
     mf.write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
+    stage_wall["stats"] = round(time.perf_counter() - t_stage, 3)
     metrics["wall_s"] = round(time.perf_counter() - t_start, 3)
     metrics["stats"] = stats
     return metrics

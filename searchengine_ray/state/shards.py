@@ -88,6 +88,13 @@ class _Part:
         tfs = decode_tfs(tfs_b)
         return ords, tfs
 
+    def row_dict(self, field: int, term_hash: int) -> dict | None:
+        """Raw segment row (for the BMW cursor's selective block decode)."""
+        row = self.lookup.get((field, term_hash))
+        if row is None:
+            return None
+        return {name: self.post.column(name)[row].as_py() for name in self.post.column_names}
+
 
 class LocalIndex:
     """Exact scorer over a set of partitions (no Ray dependency)."""
@@ -113,9 +120,13 @@ class LocalIndex:
         self.n_docs = float(self.stats["n_docs"])
 
     def topk(
-        self, terms: list[TermSpec], k: int, mode: str = "bm25"
+        self, terms: list[TermSpec], k: int, mode: str = "bm25", algo: str = "taat"
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact TAAT scoring, fully vectorized per (part, term)."""
+        """Exact top-k. algo='taat': exhaustive vectorized term-at-a-time.
+        algo='bmw' (bm25 only): block-max WAND with selective block decode —
+        same results bit-for-bit, decodes only blocks that can matter."""
+        if algo == "bmw" and mode == "bm25":
+            return self._topk_bmw(terms, k)
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
         for part in self.parts:
@@ -140,6 +151,36 @@ class LocalIndex:
                 d, s = topk_by_score(part.doc_ids[cand], scores[cand], k)
                 out_docs.append(d)
                 out_scores.append(s)
+        if not out_docs:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        return topk_by_score(np.concatenate(out_docs), np.concatenate(out_scores), k)
+
+    def _topk_bmw(self, terms: list[TermSpec], k: int) -> tuple[np.ndarray, np.ndarray]:
+        from .bmw import _Cursor, bmw_topk
+
+        bs = int(self.stats["block_size"])
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        for part in self.parts:
+            cursors = []
+            dl_ref: np.ndarray | None = None
+            for si, t in enumerate(terms):
+                row = part.row_dict(t.field, t.term_hash)
+                if row is None:
+                    continue
+                cursors.append(_Cursor(si, t.qtf * t.idf, self.avgdl[t.field], row, bs))
+                dl_ref = part.dl[t.field]
+            if not cursors:
+                continue
+            if len({t.field for t in terms if part.lookup.get((t.field, t.term_hash)) is not None}) > 1:
+                raise NotImplementedError(
+                    "BMW path is single-field (dl differs per field); "
+                    "use algo='taat' for multi-field queries"
+                )
+            ords, scores = bmw_topk(cursors, dl_ref, k)
+            if len(ords):
+                out_docs.append(part.doc_ids[ords])
+                out_scores.append(scores)
         if not out_docs:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         return topk_by_score(np.concatenate(out_docs), np.concatenate(out_scores), k)
