@@ -1,0 +1,55 @@
+"""Worker-process runtime tuning.
+
+pyarrow sizes its compute (Acero group_by, parquet codec) thread pool to
+the machine's core count PER PROCESS. Under Ray, N worker processes each
+spawn an N-thread pool and the node thrashes (measured 3-17x CPU-time
+inflation on the tokenize and encode stages at 32 workers). Every
+worker-side batch fn calls `cap_worker_threads()` first — idempotent,
+~0 cost after the first call. The DRIVER process is intentionally NOT
+capped (driver-side Arrow fast paths want the full pool).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pyarrow as pa
+
+_capped = False
+
+
+def stabilize_fsspec_http() -> None:
+    """Make `from fsspec.implementations.http import HTTPFileSystem` safe
+    under concurrent pipelines.
+
+    aiohttp is absent in this environment, so that import always fails; Ray
+    catches the ModuleNotFoundError per call — but when two Ray Data
+    pipelines start concurrently (docs ∥ segments threads), one thread can
+    observe the partially-initialized module and get a plain ImportError,
+    which Ray does NOT catch. Pre-seeding a stub module (with a sentinel
+    HTTPFileSystem class that nothing is an instance of) removes the import
+    machinery from the hot path entirely."""
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)
+    except ImportError:
+        stub = types.ModuleType(name)
+
+        class HTTPFileSystem:  # sentinel: no local fs is an instance
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules[name] = stub
+
+
+def cap_worker_threads(n: int = 2) -> None:
+    global _capped
+    if _capped:
+        return
+    if pa.cpu_count() > n:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(n)
+    _capped = True

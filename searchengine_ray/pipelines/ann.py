@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.runtime import cap_worker_threads
 from ..functions.scoring import round6, topk_by_score
 from ..sources.tables import read_embeddings
 
@@ -36,6 +37,7 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    cap_worker_threads()
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
     emb = t.column("embedding").combine_chunks()
     m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(

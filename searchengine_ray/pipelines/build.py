@@ -36,7 +36,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from ..functions.runtime import stabilize_fsspec_http
+
+stabilize_fsspec_http()
+
 from ..functions.hashing import doc_partition, hash64, hash64_array
+from ..functions.runtime import cap_worker_threads
 from ..functions.tokenize import count_postings
 from ..schemas import FIELD_BODY, FIELD_TITLE, POSTINGS
 from ..stages.extract import extract_text
@@ -113,6 +118,7 @@ def make_pages_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = frozen
     skip = np.sort(np.fromiter(skip_parts, dtype=np.uint32, count=len(skip_parts)))
 
     def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
         if cfg.lang_filter is not None:
             t = t.filter(pc.equal(t.column("lang"), cfg.lang_filter))
         if t.num_rows == 0:
@@ -137,6 +143,7 @@ def make_documents_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = fr
     skip = np.sort(np.fromiter(skip_parts, dtype=np.uint32, count=len(skip_parts)))
 
     def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
         if cfg.lang_filter is not None:
             t = t.filter(pc.equal(t.column("lang"), cfg.lang_filter))
         if t.num_rows == 0:
@@ -159,9 +166,11 @@ def make_segment_writer(index_dir: str, fingerprint: str, block_size: int):
     plane goes straight to Parquet (resumable layout)."""
 
     def fn(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
         t0 = time.perf_counter()
         part = int(group.column("part")[0].as_py())
         docmeta, postings = build_segment(group, block_size=block_size)
+        t_enc = time.perf_counter() - t0
         part_dir = os.path.join(index_dir, "segments", mf.part_name(part))
         tmp_dir = part_dir + ".tmp"
         os.makedirs(tmp_dir, exist_ok=True)
@@ -185,6 +194,8 @@ def make_segment_writer(index_dir: str, fingerprint: str, block_size: int):
                 "ords_bytes": postings.column("ords").nbytes,
                 "tfs_bytes": postings.column("tfs").nbytes,
                 "wall_s": round(wall, 4),
+                "encode_s": round(t_enc, 4),
+                "write_s": round(wall - t_enc, 4),
             },
         )
         return pa.table(
@@ -218,40 +229,45 @@ def build_index(
     t_stage = time.perf_counter()
 
     # --- stage: docs (N + id->url map; no tokenization, column-pruned) ---
+    # Independent of the segments stage -> executed CONCURRENTLY from a
+    # driver thread (two separate Ray Data pipelines; the url/lang read is
+    # ~1% of the input bytes thanks to column pruning).
     docs_path = os.path.join(index_dir, "docs")
-    if source == "pages":
-        ds = rd.read_parquet(input_path, columns=["url", "lang"])
-        if cfg.lang_filter is not None:
-            ds = ds.map_batches(
-                lambda t: t.filter(pc.equal(t.column("lang"), cfg.lang_filter)),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+
+    def run_docs_stage() -> int:
+        if source == "pages":
+            ds = rd.read_parquet(input_path, columns=["url", "lang"])
+            if cfg.lang_filter is not None:
+                ds = ds.map_batches(
+                    lambda t: t.filter(pc.equal(t.column("lang"), cfg.lang_filter)),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+
+            def to_docs(t: pa.Table) -> pa.Table:
+                cap_worker_threads()
+                return pa.table(
+                    {
+                        "doc_id": pa.array(hash64_array(t.column("url")), pa.int64()),
+                        "url": t.column("url").combine_chunks(),
+                    }
+                )
+
+            # stream to a partitioned directory — never materialized on the
+            # driver. write_parquet APPENDS into an existing dir: clear it
+            # first or a rebuild double-counts every doc.
+            if os.path.isdir(docs_path):
+                import shutil
+
+                shutil.rmtree(docs_path)
+            ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+                docs_path
             )
-
-        def to_docs(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "doc_id": pa.array(hash64_array(t.column("url")), pa.int64()),
-                    "url": t.column("url").combine_chunks(),
-                }
+            return sum(
+                pq.ParquetFile(os.path.join(docs_path, f)).metadata.num_rows
+                for f in os.listdir(docs_path)
+                if f.endswith(".parquet")
             )
-
-        # stream to a partitioned directory — never materialized on the driver.
-        # write_parquet APPENDS into an existing dir: clear it first or a
-        # rebuild double-counts every doc.
-        if os.path.isdir(docs_path):
-            import shutil
-
-            shutil.rmtree(docs_path)
-        ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-            docs_path
-        )
-        n_docs = sum(
-            pq.ParquetFile(os.path.join(docs_path, f)).metadata.num_rows
-            for f in os.listdir(docs_path)
-            if f.endswith(".parquet")
-        )
-    else:
         ds = rd.read_parquet(
             f"{input_path}/documents.parquet" if os.path.isdir(input_path) else input_path,
             columns=["doc_id", "lang"],
@@ -262,10 +278,12 @@ def build_index(
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-        n_docs = ds.count()
-    metrics["n_docs"] = int(n_docs)
-    stage_wall["docs"] = round(time.perf_counter() - t_stage, 3)
-    t_stage = time.perf_counter()
+        return ds.count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    docs_future = pool.submit(run_docs_stage)
 
     # --- stage: segments (tokenize -> shuffle -> encode; resumable) ---
     done = mf.completed_parts(index_dir, fingerprint)
@@ -296,6 +314,10 @@ def build_index(
             "sum_encode_wall_s": round(float(seg_metrics["wall_s"].sum()), 3),
         }
     stage_wall["segments"] = round(time.perf_counter() - t_stage, 3)
+    n_docs = docs_future.result()
+    pool.shutdown()
+    metrics["n_docs"] = int(n_docs)
+    stage_wall["docs_join"] = round(time.perf_counter() - t_stage - stage_wall["segments"], 3)
     t_stage = time.perf_counter()
 
     # --- stage: lexicon (global df/cf; segments already hold local stats) ---

@@ -24,6 +24,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import hash64_array
+from ..functions.runtime import cap_worker_threads
 from ..functions.scoring import round6
 from ..functions.tokenize import tokenize_flat
 from ..sources.tables import read_documents, read_embeddings
@@ -45,6 +46,7 @@ def _minhash_params(num_perm: int = MINHASH_PERMS, seed: int = 12345):
 def _doc_shingle_hashes(t: pa.Table, k: int = SHINGLE_K):
     """Per-row k-gram shingle hash sets (int64). Vectorized rolling hash
     over the flat token stream; shingles crossing row boundaries masked."""
+    cap_worker_threads()
     texts = t.column("text").combine_chunks()
     parents, tokens = tokenize_flat(texts)
     th = hash64_array(tokens)
@@ -66,6 +68,7 @@ def exact_duplicates(sf_dir: str) -> rd.Dataset:
     analog: A1 first-seen distinct, /root/reference/Indexer/Program.cs:110-116)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
         fps = [
             hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.column("text").to_pylist()
         ]
@@ -194,6 +197,7 @@ def simhash(sf_dir: str) -> rd.Dataset:
     (here: every occurrence contributes, which equals tf-weighting)."""
 
     def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
         texts = t.column("text").combine_chunks()
         parents, tokens = tokenize_flat(texts)
         th = hash64_array(tokens)

@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.runtime import cap_worker_threads
+
 # 16-byte deterministic fake media header: magic, kind, width, height, n_frames
 _MAGIC = b"SRAY"
 _HEADER = struct.Struct("<4sHHHHxx")
@@ -38,6 +40,7 @@ class MediaDecodeStage:
     """
 
     def __init__(self, strict: bool = False):
+        cap_worker_threads()
         self.strict = strict
         try:  # pragma: no cover - not installed in this container
             from PIL import Image  # noqa: F401
@@ -89,6 +92,7 @@ class FrameSampleStage:
     kernel would be pyav decode (stubbed, see MediaDecodeStage)."""
 
     def __init__(self, stride: int = 10, frame_bytes: int = 64):
+        cap_worker_threads()
         self.stride = stride
         self.frame_bytes = frame_bytes
 

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.runtime import cap_worker_threads
 from ..schemas import FIELD_BODY, FIELD_TITLE
 from ..state.shards import Lexicon, LocalIndex, make_term_specs
 
@@ -32,6 +33,7 @@ class QueryEvalActor:
         fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
         default_k: int = 10,
     ):
+        cap_worker_threads()
         self.index = LocalIndex(index_dir)
         self.lexicon = Lexicon(index_dir)
         self.mode = mode

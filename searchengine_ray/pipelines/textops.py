@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..functions.runtime import cap_worker_threads
 from ..functions.scoring import round6
 from ..functions.tokenize import tokenize_flat
 from ..sources.tables import read_documents
@@ -38,6 +39,7 @@ STOPWORDS_FLAT = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
 
 def _tokens_per_row(t: pa.Table) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     """(row_indices, tokens, tokens_per_row) for a documents batch."""
+    cap_worker_threads()
     texts = t.column("text").combine_chunks()
     parents, tokens = tokenize_flat(texts)
     counts = np.bincount(parents, minlength=t.num_rows)
@@ -143,6 +145,7 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     — length/punctuation/stopword quality heuristics, all rounded to 6."""
 
     def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
         texts = t.column("text").combine_chunks()
         parents, tokens = tokenize_flat(texts)
         n = t.num_rows

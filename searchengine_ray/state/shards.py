@@ -191,6 +191,9 @@ class IndexShardActor:
     """Stateful stage: segments loaded once per actor (SURVEY.md §2.3 T4)."""
 
     def __init__(self, index_dir: str, parts: list[int]):
+        from ..functions.runtime import cap_worker_threads
+
+        cap_worker_threads()
         self.index = LocalIndex(index_dir, parts)
 
     def topk(self, terms: list[TermSpec], k: int, mode: str) -> tuple[np.ndarray, np.ndarray]:
