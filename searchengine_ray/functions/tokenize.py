@@ -12,6 +12,16 @@ lower, /root/reference/Engine/Engine/Engine.cs:127): see `parse_query`.
 
 Everything here runs as pyarrow C++ kernels (RE2) — no Python loop over
 rows or tokens.
+
+Unicode-version note: "letter" is decided by RE2's \pL table (pyarrow AND
+the DuckDB oracle SQL use RE2, so engine and oracle agree by
+construction). `tokenize_py` uses Python's `str.isalpha`, whose Unicode
+table can lag RE2's by a version — codepoints added recently (e.g. CJK
+Ext-H, U+31350) are letters to RE2 but not to CPython 3.11. The divergence
+only changes the fate of ASCII letters ADJACENT to such a codepoint
+(kept tokens themselves are ASCII-only); the reference has yet another
+behavior there (.NET char.IsLetter over UTF-16 units treats astral chars
+as two non-letter surrogates). RE2 is authoritative for this rebuild.
 """
 
 from __future__ import annotations

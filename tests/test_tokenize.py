@@ -43,7 +43,17 @@ def test_golden_vectorized_and_py():
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(max_size=200))
+@given(
+    st.text(
+        # BMP only: RE2's and CPython's Unicode tables can disagree about
+        # letters added in very recent Unicode versions (found by hypothesis:
+        # U+31350 is \pL to RE2 but not isalpha() to CPython 3.11). RE2 is
+        # authoritative (see functions/tokenize.py docstring); the pure-Python
+        # oracle is only exercised where the tables agree.
+        alphabet=st.characters(max_codepoint=0xFFFF, blacklist_categories=("Cs",)),
+        max_size=200,
+    )
+)
 def test_vectorized_matches_py(text):
     parents, toks = tokenize_flat(pa.array([text], pa.string()))
     assert toks.to_pylist() == tokenize_py(text)
