@@ -293,6 +293,29 @@ class SearchEngine:
         d, s = topk_by_score(docs, scores, k)
         return [(int(di), float(si)) for di, si in zip(d, s)]
 
+    def hydrate(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id -> url display resolution (reference M8: docCRC -> title via
+        the sorted title index, Engine.cs:201-207). The docs map loads once
+        per coordinator; at 10^12 docs this becomes a column-pruned point
+        read against the docs parquet (doc-bucketed, same partitioning)."""
+        if not hasattr(self, "_docs_map"):
+            self._docs_map: dict[int, str] = {}
+            docs_dir = os.path.join(self.index_dir, "docs")
+            if os.path.isdir(docs_dir):
+                for f in sorted(os.listdir(docs_dir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    t = pq.read_table(os.path.join(docs_dir, f), columns=["doc_id", "url"])
+                    self._docs_map.update(
+                        zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist())
+                    )
+        return {d: self._docs_map.get(d, str(d)) for d in doc_ids}
+
+    def search_hydrated(self, query: str, k: int = 10) -> list[tuple[str, float]]:
+        res = self.search(query, k)
+        urls = self.hydrate([d for d, _ in res])
+        return [(urls[d], s) for d, s in res]
+
     def search_batch(self, queries: list[str], k: int = 10) -> list[list[tuple[int, float]]]:
         """Batched scatter-gather: one round trip per shard for ALL queries."""
         spec_lists = [
