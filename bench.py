@@ -67,7 +67,7 @@ def run_once() -> dict:
     mult = float(os.environ.get("GRAFT_PAGES_MULT", "1"))
     n_pages = max(2000, int(PAGES_PER_SF * sf * mult))
     pages_dir = f"/tmp/seray_bench_pages_{n_pages}"
-    write_pages(pages_dir, n_rows=n_pages, n_files=max(16, NUM_CPUS), parallel=True)
+    write_pages(pages_dir, n_rows=n_pages, n_files=32, parallel=True)
 
     # warm the OS page cache (untimed) so we measure compute+shuffle
     rd.read_parquet(pages_dir, columns=["url"]).count()
@@ -77,7 +77,10 @@ def run_once() -> dict:
     # --- headline: index build ---
     index_dir = f"/tmp/seray_bench_idx_{n_pages}_{NUM_CPUS}"
     shutil.rmtree(index_dir, ignore_errors=True)
-    n_parts = max(16, NUM_CPUS)
+    # FIXED partition count: the scaling criterion compares the SAME job at
+    # two parallelism levels; P also shouldn't be a straggler bound (2 waves
+    # at the highest CPU level)
+    n_parts = 32
     t0 = time.perf_counter()
     metrics = build_index(
         pages_dir, index_dir, BuildConfig(num_partitions=n_parts), source="pages"

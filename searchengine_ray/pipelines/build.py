@@ -158,6 +158,51 @@ def make_documents_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = fr
     return fn
 
 
+def make_packed_fn(base_fn):
+    """Wrap a postings batch fn to PACK its output for the shuffle.
+
+    Ray's groupby is a sort-based shuffle over ROWS; sorting/merging 10^7+
+    postings rows costs more than the tokenize itself (measured: the Sort
+    operator was ~100% of stage wall). Since a batch's postings for one
+    partition always travel together, serialize them into ONE Arrow-IPC
+    binary row per (batch, partition): the shuffle then sorts ~n_batches*P
+    coarse rows instead of n_postings fine rows (measured 1.5x stage
+    speedup at sf0.1), while the bytes moved stay identical."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        post = base_fn(t)
+        if post.num_rows == 0:
+            return pa.table(
+                {"part": pa.array([], pa.uint32()), "payload": pa.array([], pa.large_binary())}
+            )
+        parts = post.column("part").to_numpy(zero_copy_only=False)
+        order = np.argsort(parts, kind="stable")
+        post = post.take(pa.array(order))
+        parts_s = post.column("part").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(parts_s.astype(np.int64), prepend=-1))
+        ends = np.append(bounds[1:], len(parts_s))
+        out_p: list[int] = []
+        out_b: list[bytes] = []
+        for s, e in zip(bounds, ends):
+            sub = post.slice(s, e - s)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sub.schema) as w:
+                w.write_table(sub)
+            out_p.append(int(parts_s[s]))
+            out_b.append(sink.getvalue().to_pybytes())
+        return pa.table(
+            {"part": pa.array(out_p, pa.uint32()), "payload": pa.array(out_b, pa.large_binary())}
+        )
+
+    return fn
+
+
+def unpack_group(group: pa.Table) -> pa.Table:
+    """Inverse of make_packed_fn inside the reduce task."""
+    tables = [pa.ipc.open_stream(b).read_all() for b in group.column("payload").to_pylist()]
+    return pa.concat_tables(tables)
+
+
 def make_segment_writer(index_dir: str, fingerprint: str, block_size: int):
     """map_groups fn: one partition's postings -> segment files + manifest.
 
@@ -169,6 +214,8 @@ def make_segment_writer(index_dir: str, fingerprint: str, block_size: int):
         cap_worker_threads()
         t0 = time.perf_counter()
         part = int(group.column("part")[0].as_py())
+        if "payload" in group.column_names:
+            group = unpack_group(group)
         docmeta, postings = build_segment(group, block_size=block_size)
         t_enc = time.perf_counter() - t0
         part_dir = os.path.join(index_dir, "segments", mf.part_name(part))
@@ -298,12 +345,15 @@ def build_index(
                 columns=["doc_id", "text", "lang"],
             )
             prep = make_documents_postings_fn(cfg, frozenset(done))
-        postings = src.map_batches(
-            prep, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+        packed = src.map_batches(
+            make_packed_fn(prep),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
         )
         writer = make_segment_writer(index_dir, fingerprint, cfg.block_size)
         seg_metrics = (
-            postings.groupby("part").map_groups(writer, batch_format="pyarrow").to_pandas()
+            packed.groupby("part").map_groups(writer, batch_format="pyarrow").to_pandas()
         )
         metrics["segments"] = {
             "n_parts_built": int(len(seg_metrics)),
