@@ -97,6 +97,18 @@ def run_once() -> dict:
     engine.search_batch(q, k=10)
     queries["bm25_200_queries"] = round(time.perf_counter() - t0, 3)
 
+    # same queries through block-max WAND (single-field engine)
+    from searchengine_ray.schemas import FIELD_BODY
+
+    engine_bmw = SearchEngine(
+        index_dir, n_shards=max(2, NUM_CPUS // 8), mode="bm25",
+        fields=(FIELD_BODY,), algo="bmw",
+    )
+    engine_bmw.search_batch(q[:8], k=10)
+    t0 = time.perf_counter()
+    engine_bmw.search_batch(q, k=10)
+    queries["bm25_200_queries_bmw"] = round(time.perf_counter() - t0, 3)
+
     # --- data ops over the sf testdata tables ---
     t0 = time.perf_counter()
     textops.lexicon(SF_DIR).to_pandas()

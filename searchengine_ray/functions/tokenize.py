@@ -1,4 +1,4 @@
-"""Tokenizer — exact reference semantics, fully vectorized.
+r"""Tokenizer — exact reference semantics, fully vectorized.
 
 Reference (duplicated at /root/reference/Indexer/Program.cs:97-121 and
 :263-298): scan chars; a Unicode letter extends the current word

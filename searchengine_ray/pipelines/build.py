@@ -310,6 +310,8 @@ def build_index(
             ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
                 docs_path
             )
+            if not os.path.isdir(docs_path):  # zero rows written
+                return 0
             return sum(
                 pq.ParquetFile(os.path.join(docs_path, f)).metadata.num_rows
                 for f in os.listdir(docs_path)
@@ -355,14 +357,21 @@ def build_index(
         seg_metrics = (
             packed.groupby("part").map_groups(writer, batch_format="pyarrow").to_pandas()
         )
-        metrics["segments"] = {
-            "n_parts_built": int(len(seg_metrics)),
-            "n_postings": int(seg_metrics["n_postings"].sum()),
-            "n_terms": int(seg_metrics["n_terms"].sum()),
-            "max_part_postings": int(seg_metrics["n_postings"].max()) if len(seg_metrics) else 0,
-            "min_part_postings": int(seg_metrics["n_postings"].min()) if len(seg_metrics) else 0,
-            "sum_encode_wall_s": round(float(seg_metrics["wall_s"].sum()), 3),
-        }
+        if len(seg_metrics) == 0:  # every row filtered -> zero groups
+            metrics["segments"] = {
+                "n_parts_built": 0, "n_postings": 0, "n_terms": 0,
+                "max_part_postings": 0, "min_part_postings": 0,
+                "sum_encode_wall_s": 0.0,
+            }
+        else:
+            metrics["segments"] = {
+                "n_parts_built": int(len(seg_metrics)),
+                "n_postings": int(seg_metrics["n_postings"].sum()),
+                "n_terms": int(seg_metrics["n_terms"].sum()),
+                "max_part_postings": int(seg_metrics["n_postings"].max()),
+                "min_part_postings": int(seg_metrics["n_postings"].min()),
+                "sum_encode_wall_s": round(float(seg_metrics["wall_s"].sum()), 3),
+            }
     stage_wall["segments"] = round(time.perf_counter() - t_stage, 3)
     n_docs = docs_future.result()
     pool.shutdown()
@@ -372,11 +381,15 @@ def build_index(
 
     # --- stage: lexicon (global df/cf; segments already hold local stats) ---
     seg_glob = os.path.join(index_dir, "segments")
-    part_files = [
-        os.path.join(seg_glob, d, "postings.parquet")
-        for d in sorted(os.listdir(seg_glob))
-        if d.startswith("part-") and not d.endswith(".tmp")
-    ]
+    part_files = (
+        [
+            os.path.join(seg_glob, d, "postings.parquet")
+            for d in sorted(os.listdir(seg_glob))
+            if d.startswith("part-") and not d.endswith(".tmp")
+        ]
+        if os.path.isdir(seg_glob)
+        else []
+    )
     from ray.data.aggregate import Sum
 
     lex_dir = os.path.join(index_dir, "lexicon")
@@ -385,7 +398,12 @@ def build_index(
 
         shutil.rmtree(lex_dir)
     seg_stat_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in part_files)
-    if seg_stat_rows <= 5_000_000:
+    if not part_files:
+        from ..schemas import LEXICON
+
+        os.makedirs(lex_dir, exist_ok=True)
+        pq.write_table(LEXICON.empty_table(), os.path.join(lex_dir, "lexicon-0.parquet"))
+    elif seg_stat_rows <= 5_000_000:
         # small input: one driver-side Arrow group_by beats a Ray shuffle's
         # fixed cost by seconds (input is per-part term stats, NOT postings)
         os.makedirs(lex_dir, exist_ok=True)

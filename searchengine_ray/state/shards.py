@@ -103,10 +103,14 @@ class LocalIndex:
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         seg_dir = os.path.join(index_dir, "segments")
-        all_parts = sorted(
-            int(d.split("-")[1])
-            for d in os.listdir(seg_dir)
-            if d.startswith("part-") and not d.endswith(".tmp")
+        all_parts = (
+            sorted(
+                int(d.split("-")[1])
+                for d in os.listdir(seg_dir)
+                if d.startswith("part-") and not d.endswith(".tmp")
+            )
+            if os.path.isdir(seg_dir)
+            else []
         )
         self.part_ids = all_parts if parts is None else [p for p in all_parts if p in set(parts)]
         bs = int(self.stats["block_size"])
@@ -196,13 +200,15 @@ class IndexShardActor:
         cap_worker_threads()
         self.index = LocalIndex(index_dir, parts)
 
-    def topk(self, terms: list[TermSpec], k: int, mode: str) -> tuple[np.ndarray, np.ndarray]:
-        return self.index.topk(terms, k, mode)
+    def topk(
+        self, terms: list[TermSpec], k: int, mode: str, algo: str = "taat"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.index.topk(terms, k, mode, algo)
 
     def topk_batch(
-        self, term_lists: list[list[TermSpec]], k: int, mode: str
+        self, term_lists: list[list[TermSpec]], k: int, mode: str, algo: str = "taat"
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        return [self.index.topk(t, k, mode) for t in term_lists]
+        return [self.index.topk(t, k, mode, algo) for t in term_lists]
 
 
 class Lexicon:
@@ -215,9 +221,11 @@ class Lexicon:
 
     def __init__(self, index_dir: str):
         lex_dir = os.path.join(index_dir, "lexicon")
-        files = [
-            os.path.join(lex_dir, f) for f in sorted(os.listdir(lex_dir)) if f.endswith(".parquet")
-        ]
+        files = (
+            [os.path.join(lex_dir, f) for f in sorted(os.listdir(lex_dir)) if f.endswith(".parquet")]
+            if os.path.isdir(lex_dir)
+            else []
+        )
         self.stats: dict[tuple[int, int], tuple[int, int]] = {}
         for f in files:
             t = pq.read_table(f)
@@ -264,21 +272,27 @@ class SearchEngine:
         n_shards: int = 4,
         mode: str = "bm25",
         fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
+        algo: str = "taat",  # "bmw" = block-max WAND (bm25, single field)
     ):
         self.index_dir = index_dir
         self.mode = mode
+        self.algo = algo
         self.fields = fields
         self.lexicon = Lexicon(index_dir)
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         self.n_docs = float(self.stats["n_docs"])
         seg_dir = os.path.join(index_dir, "segments")
-        all_parts = sorted(
-            int(d.split("-")[1])
-            for d in os.listdir(seg_dir)
-            if d.startswith("part-") and not d.endswith(".tmp")
+        all_parts = (
+            sorted(
+                int(d.split("-")[1])
+                for d in os.listdir(seg_dir)
+                if d.startswith("part-") and not d.endswith(".tmp")
+            )
+            if os.path.isdir(seg_dir)
+            else []
         )
-        n_shards = max(1, min(n_shards, len(all_parts)))
+        n_shards = max(1, min(n_shards, max(1, len(all_parts))))
         self.shards = [
             IndexShardActor.remote(index_dir, all_parts[i::n_shards]) for i in range(n_shards)
         ]
@@ -287,7 +301,7 @@ class SearchEngine:
         specs = make_term_specs(query, self.lexicon, self.n_docs, self.fields, self.mode)
         if not specs:
             return []
-        parts = ray.get([s.topk.remote(specs, k, self.mode) for s in self.shards])
+        parts = ray.get([s.topk.remote(specs, k, self.mode, self.algo) for s in self.shards])
         docs = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)
         d, s = topk_by_score(docs, scores, k)
@@ -322,7 +336,7 @@ class SearchEngine:
             make_term_specs(q, self.lexicon, self.n_docs, self.fields, self.mode)
             for q in queries
         ]
-        futures = [s.topk_batch.remote(spec_lists, k, self.mode) for s in self.shards]
+        futures = [s.topk_batch.remote(spec_lists, k, self.mode, self.algo) for s in self.shards]
         per_shard = ray.get(futures)
         out = []
         for qi in range(len(queries)):

@@ -1,0 +1,76 @@
+"""Build-pipeline edge cases: empty inputs, token-free docs, tiny corpora."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.pipelines.build import BuildConfig, build_index
+from searchengine_ray.schemas import PAGES
+from searchengine_ray.state.shards import Lexicon, LocalIndex, SearchEngine, make_term_specs
+from searchengine_ray.schemas import FIELD_BODY
+
+
+def _write_pages(tmp_path, rows):
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.large_string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+        },
+        schema=PAGES,
+    )
+    pq.write_table(t, str(tmp_path / "pages.parquet"))
+    return str(tmp_path)
+
+
+def test_tokenless_and_tiny_docs(tmp_path, ray_session):
+    rows = [
+        ("u://1", b"<html><head><title>alpha beta</title></head><body><p>gamma delta gamma</p></body></html>",
+         "alpha beta\ngamma delta gamma\n", "en"),
+        # no kept tokens at all (digits/punctuation only)
+        ("u://2", b"<html><head><title>123</title></head><body><p>456 ... 789</p></body></html>",
+         "123\n456 ... 789\n", "en"),
+        # filtered out by lang
+        ("u://3", b"<html><head><title>x</title></head><body><p>y</p></body></html>", "x\ny\n", "de"),
+    ]
+    d = _write_pages(tmp_path, rows)
+    idx = str(tmp_path / "idx")
+    m = build_index(d, idx, BuildConfig(num_partitions=4), source="pages")
+    # N counts the token-free doc (it passed the lang filter) — BM25 semantics
+    assert m["n_docs"] == 2
+    engine = SearchEngine(idx, n_shards=1)
+    res = engine.search_hydrated("gamma", k=5)
+    assert len(res) == 1 and res[0][0] == "u://1"
+    assert engine.search("y", k=5) == []  # lang-filtered doc is not indexed
+
+
+def test_single_doc_corpus(tmp_path, ray_session):
+    rows = [("u://only", b"<html><head><title>solo</title></head><body><p>one two one</p></body></html>",
+             "solo\none two one\n", "en")]
+    d = _write_pages(tmp_path, rows)
+    idx = str(tmp_path / "idx1")
+    m = build_index(d, idx, BuildConfig(num_partitions=4), source="pages")
+    assert m["n_docs"] == 1
+    index = LocalIndex(idx)
+    lex = Lexicon(idx)
+    specs = make_term_specs("one", lex, index.n_docs, (FIELD_BODY,), "bm25")
+    docs, scores = index.topk(specs, 3)
+    assert len(docs) == 1 and scores[0] > 0
+    # bmw agrees on the degenerate corpus
+    d2, s2 = index.topk(specs, 3, algo="bmw")
+    assert docs.tolist() == d2.tolist() and scores.tolist() == s2.tolist()
+
+
+def test_all_filtered_corpus(tmp_path, ray_session):
+    rows = [("u://a", b"<html><head><title>t</title></head><body><p>b</p></body></html>", "t\nb\n", "fr")]
+    d = _write_pages(tmp_path, rows)
+    idx = str(tmp_path / "idx2")
+    m = build_index(d, idx, BuildConfig(num_partitions=2), source="pages")
+    assert m["n_docs"] == 0
+    assert m["n_terms_global"] == 0
+    engine = SearchEngine(idx, n_shards=1)
+    assert engine.search("t", k=5) == []
