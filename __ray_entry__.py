@@ -15,12 +15,45 @@ Layout:
 
 from __future__ import annotations
 
+import importlib
 import os
+import pkgutil
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pandas as pd
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+
+def _make_tasks_self_contained() -> None:
+    """The driver calls ray.init() BEFORE importing this module, so worker
+    processes may lack PYTHONPATH for this repo — closures referencing
+    searchengine_ray would then fail to deserialize (observed: the pipeline
+    hangs on endless retries). Registering every package module for
+    pickle-BY-VALUE with Ray's own cloudpickle makes task payloads
+    self-contained; no worker-side import needed."""
+    import searchengine_ray
+    from ray import cloudpickle
+
+    for m in pkgutil.walk_packages(searchengine_ray.__path__, "searchengine_ray."):
+        try:
+            importlib.import_module(m.name)
+        except ImportError:  # pragma: no cover
+            pass
+    for name, mod in list(sys.modules.items()):
+        if name == "searchengine_ray" or name.startswith("searchengine_ray."):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:  # pragma: no cover - best effort per module
+                pass
+
+
+_make_tasks_self_contained()
 
 from searchengine_ray.functions.scoring import round6
 from searchengine_ray.functions.tokenize import parse_query
@@ -161,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
         # text analysis
         "quality_scores": lambda sf: textops.quality_scores(sf),
+        "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
         "fingerprints": lambda sf: textops.fingerprints(sf),
         # multimodal plumbing (deterministic fake payloads; decode stubbed)
@@ -310,6 +344,17 @@ SELECT doc_id,
 FROM base
 """,
         "lang_id": lang_sql,
+        # BPE-ish pattern: the leading apostrophe is doubled for the SQL
+        # literal; \pL/\pN are RE2 classes (same engine as the Ray side)
+        "token_counts": (
+            "SELECT doc_id,\n"
+            "  len(regexp_extract_all(text, '[^\\s]+'))::BIGINT AS n_ws,\n"
+            "  len(regexp_extract_all(text,"
+            " '''(?:[sdmt]|ll|ve|re)| ?\\pL+| ?\\pN+| ?[^\\s\\pL\\pN]+'))::BIGINT AS n_bpe,\n"
+            "  len(list_filter(regexp_extract_all(text, '\\pL+'),\n"
+            "      x -> regexp_matches(x, '^[A-Za-z]{1,20}$')))::BIGINT AS n_ref\n"
+            "FROM documents"
+        ),
         "fingerprints": f"""
 WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
 SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM base

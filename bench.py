@@ -40,6 +40,9 @@ def run_once() -> dict:
     # 6x CPU inflation in the encode stage). Must be set before ray.init so
     # worker processes inherit it.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    # workers import the package via PYTHONPATH only — export before ray.init
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     import ray
 
     ray.init(

@@ -19,6 +19,11 @@ import sys
 
 
 def _ray_init(num_cpus: int | None):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     import ray
 
     kwargs = dict(

@@ -20,14 +20,18 @@ import ray.data as rd
 from ..functions.runtime import cap_worker_threads
 
 # 16-byte deterministic fake media header: magic, kind, width, height, n_frames
+# NB: a module-level struct.Struct would break pickle-by-value task
+# serialization (__ray_entry__ registers this module; Struct objects are
+# unpicklable) — use the format-string API instead.
 _MAGIC = b"SRAY"
-_HEADER = struct.Struct("<4sHHHHxx")
+_HEADER_FMT = "<4sHHHHxx"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 KIND_IMAGE, KIND_AUDIO, KIND_VIDEO = 0, 1, 2
 
 
 def make_media_payload(kind: int, width: int, height: int, n_frames: int, body: bytes) -> bytes:
     """Synthesize a deterministic fake media blob (fixtures + tests)."""
-    return _HEADER.pack(_MAGIC, kind, width, height, n_frames) + body
+    return struct.pack(_HEADER_FMT, _MAGIC, kind, width, height, n_frames) + body
 
 
 class MediaDecodeStage:
@@ -59,8 +63,8 @@ class MediaDecodeStage:
         kinds, widths, heights, frames, nbytes, ok = [], [], [], [], [], []
         for p in payloads:
             nbytes.append(len(p))
-            if p[:4] == _MAGIC and len(p) >= _HEADER.size:
-                _, kind, w, h, nf = _HEADER.unpack(p[: _HEADER.size])
+            if p[:4] == _MAGIC and len(p) >= _HEADER_SIZE:
+                _, kind, w, h, nf = struct.unpack(_HEADER_FMT, p[:_HEADER_SIZE])
                 kinds.append(kind)
                 widths.append(w)
                 heights.append(h)
@@ -101,8 +105,8 @@ class FrameSampleStage:
         for mid, p in zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()):
             if p[:4] != _MAGIC:
                 continue
-            _, kind, w, h, nf = _HEADER.unpack(p[: _HEADER.size])
-            body = p[_HEADER.size :]
+            _, kind, w, h, nf = struct.unpack(_HEADER_FMT, p[:_HEADER_SIZE])
+            body = p[_HEADER_SIZE:]
             for j in range(0, nf, self.stride):
                 start = (j * self.frame_bytes) % max(1, len(body) or 1)
                 ids_out.append(mid)

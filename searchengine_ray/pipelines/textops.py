@@ -205,6 +205,38 @@ def lang_id(sf_dir: str) -> rd.Dataset:
     )
 
 
+# GPT2-style pre-tokenizer shape (RE2-compatible: no lookahead); counts
+# "BPE-ish" word pieces: contractions, letter runs, digit runs, symbol runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\pL+| ?\pN+| ?[^\s\pL\pN]+"
+WS_PATTERN = r"[^\s]+"
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_ws, n_bpe, n_ref) — token counts under three tokenizers:
+    whitespace, a BPE-ish regex (GPT2-shaped, RE2-compatible), and the
+    reference letters-only tokenizer. One vectorized count kernel each."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        texts = t.column("text").combine_chunks()
+        n_ws = pc.count_substring_regex(texts, WS_PATTERN)
+        n_bpe = pc.count_substring_regex(texts, BPE_PATTERN)
+        parents, _ = tokenize_flat(texts)
+        n_ref = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_ws": pc.cast(n_ws, pa.int64()),
+                "n_bpe": pc.cast(n_bpe, pa.int64()),
+                "n_ref": pa.array(n_ref, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def fingerprints(sf_dir: str) -> rd.Dataset:
     """(doc_id, fp) — md5 hex of the normalized token stream (' '-joined).
     The per-row digest is inherently scalar; the join is vectorized and the
