@@ -354,9 +354,16 @@ def build_index(
             zero_copy_batch=True,
         )
         writer = make_segment_writer(index_dir, fingerprint, cfg.block_size)
-        seg_metrics = (
-            packed.groupby("part").map_groups(writer, batch_format="pyarrow").to_pandas()
-        )
+        seg_ds = packed.groupby("part").map_groups(writer, batch_format="pyarrow")
+        seg_metrics = seg_ds.to_pandas()
+        # persist Ray's per-operator execution stats with the run lineage
+        # (T5 analog of the reference's throughput sampler, SURVEY.md §2.3)
+        try:
+            os.makedirs(mf.manifest_dir(index_dir), exist_ok=True)
+            with open(os.path.join(mf.manifest_dir(index_dir), "ray_stats.txt"), "w") as fh:
+                fh.write(seg_ds.stats())
+        except Exception:  # stats are observability, never fail the build
+            pass
         if len(seg_metrics) == 0:  # every row filtered -> zero groups
             metrics["segments"] = {
                 "n_parts_built": 0, "n_postings": 0, "n_terms": 0,

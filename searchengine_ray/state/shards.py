@@ -58,8 +58,31 @@ class TermSpec:
     cf: float  # reference mode (global collection frequency)
 
 
+def _binary_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """(data, offsets) numpy views over a large_binary column — per-row
+    access becomes a zero-copy slice instead of an as_py() bytes copy."""
+    arr = col.combine_chunks()
+    _, off_buf, data_buf = arr.buffers()
+    off = np.frombuffer(off_buf, dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    return data, off
+
+
+def _list_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """(values, offsets) for a list<uint32> column (one materialization at load)."""
+    arr = col.combine_chunks()
+    return (
+        arr.values.to_numpy(zero_copy_only=False),
+        arr.offsets.to_numpy(zero_copy_only=False),
+    )
+
+
 class _Part:
-    """One partition's segments, decoded lazily per query."""
+    """One partition's segments, loaded once; per-query decode works on
+    zero-copy numpy views over the Arrow buffers (the reference similarly
+    keeps the whole index in static arrays, Engine.cs:97-124)."""
+
+    _LIST_COLS = ("blk_first", "blk_last", "blk_max_tf", "blk_min_dl", "blk_off_ords", "blk_off_tfs")
 
     def __init__(self, part_dir: str, block_size: int):
         docs = pq.read_table(os.path.join(part_dir, "docs.parquet"))
@@ -74,26 +97,44 @@ class _Part:
         self.lookup: dict[tuple[int, int], int] = {
             (int(f[i]), int(th[i])): i for i in range(len(f))
         }
-        self.post = post
+        self.df = post.column("df").to_numpy(zero_copy_only=False)
+        self.ords_data, self.ords_off = _binary_views(post.column("ords"))
+        self.tfs_data, self.tfs_off = _binary_views(post.column("tfs"))
+        self.lists = {name: _list_views(post.column(name)) for name in self._LIST_COLS}
         self.block_size = block_size
+
+    def _bin(self, data: np.ndarray, off: np.ndarray, row: int) -> np.ndarray:
+        return data[off[row] : off[row + 1]]
+
+    def _list(self, name: str, row: int) -> np.ndarray:
+        values, off = self.lists[name]
+        return values[off[row] : off[row + 1]]
 
     def postings_for(self, field: int, term_hash: int) -> tuple[np.ndarray, np.ndarray] | None:
         row = self.lookup.get((field, term_hash))
         if row is None:
             return None
-        ords_b = self.post.column("ords")[row].as_py()
-        tfs_b = self.post.column("tfs")[row].as_py()
-        blk_first = np.asarray(self.post.column("blk_first")[row].as_py(), dtype=np.uint32)
-        ords = decode_ords(ords_b, blk_first, self.block_size)
-        tfs = decode_tfs(tfs_b)
+        ords = decode_ords(
+            self._bin(self.ords_data, self.ords_off, row),
+            self._list("blk_first", row),
+            self.block_size,
+        )
+        tfs = decode_tfs(self._bin(self.tfs_data, self.tfs_off, row))
         return ords, tfs
 
     def row_dict(self, field: int, term_hash: int) -> dict | None:
-        """Raw segment row (for the BMW cursor's selective block decode)."""
+        """Raw segment row views (for the BMW cursor's selective block decode)."""
         row = self.lookup.get((field, term_hash))
         if row is None:
             return None
-        return {name: self.post.column(name)[row].as_py() for name in self.post.column_names}
+        out = {
+            "df": int(self.df[row]),
+            "ords": self._bin(self.ords_data, self.ords_off, row),
+            "tfs": self._bin(self.tfs_data, self.tfs_off, row),
+        }
+        for name in self._LIST_COLS:
+            out[name] = self._list(name, row)
+        return out
 
 
 class LocalIndex:
@@ -130,7 +171,12 @@ class LocalIndex:
         algo='bmw' (bm25 only): block-max WAND with selective block decode —
         same results bit-for-bit, decodes only blocks that can matter."""
         if algo == "bmw" and mode == "bm25":
-            return self._topk_bmw(terms, k)
+            if len({t.field for t in terms}) <= 1:
+                return self._topk_bmw(terms, k)
+            # multi-field scoring sums per-field BM25 with per-field dl/avgdl;
+            # WAND's doc-at-a-time bound bookkeeping is single-field here, so
+            # fall back to the exact exhaustive path (same results)
+            algo = "taat"
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
         for part in self.parts:
@@ -176,11 +222,6 @@ class LocalIndex:
                 dl_ref = part.dl[t.field]
             if not cursors:
                 continue
-            if len({t.field for t in terms if part.lookup.get((t.field, t.term_hash)) is not None}) > 1:
-                raise NotImplementedError(
-                    "BMW path is single-field (dl differs per field); "
-                    "use algo='taat' for multi-field queries"
-                )
             ords, scores = bmw_topk(cursors, dl_ref, k)
             if len(ords):
                 out_docs.append(part.doc_ids[ords])
