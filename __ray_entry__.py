@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
         "dedup_ngram_jaccard": lambda sf: dedup_ops.ngram_jaccard_pairs(sf, threshold=0.5),
         "dedup_simhash": lambda sf: dedup_ops.simhash(sf),
+        "dedup_components": lambda sf: dedup_ops.dedup_components(sf),
         "dedup_embedding": lambda sf: dedup_ops.embedding_dup_pairs(sf, threshold=0.4),
         # similarity search
         "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),

@@ -259,6 +259,51 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     )
 
 
+def dedup_components(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """(doc_id, component_id) — near-duplicate clusters: LSH candidate pairs
+    -> connected components; component_id = min doc_id of the cluster.
+    Docs with no near-dup pair form singleton components (their own id).
+
+    Components here run as union-find over the COLLECTED pair list — pairs
+    are few by construction (LSH threshold + bucket caps bound them). At
+    10^12-doc scale this becomes a few rounds of min-label propagation:
+    explode pairs to (node, neighbor_label) rows, groupby(node).min, join
+    back, repeat until no label changes — same result, all shuffles."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        parent.setdefault(int(a), int(a))
+        parent.setdefault(int(b), int(b))
+        union(int(a), int(b))
+    labels = {x: find(x) for x in parent}
+    ref = ray.put(labels)
+
+    def fn(t: pa.Table) -> pa.Table:
+        lab = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        comp = np.array([lab.get(int(d), int(d)) for d in ids], dtype=np.int64)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "component_id": pa.array(comp, pa.int64())}
+        )
+
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
     """(id_a, id_b, sim) — embedding-cosine near-duplicates. The (small)
     normalized matrix is broadcast once via ray.put; each batch does one

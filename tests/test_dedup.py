@@ -79,6 +79,18 @@ def test_ngram_jaccard_verifies(dup_dir, ray_session):
         assert 0.5 <= jac <= 1.0
 
 
+def test_components(dup_dir, ray_session):
+    comp = dd.dedup_components(dup_dir, threshold=0.5).to_pandas().set_index("doc_id")[
+        "component_id"
+    ]
+    for j in range(len(BASE_DOCS)):
+        # exact dup joins its canonical's component (id = min of cluster)
+        assert comp[3 * j + 1] == comp[3 * j] == 3 * j
+    # filler docs are singletons
+    fillers = [i for i in comp.index if i >= 3 * len(BASE_DOCS)]
+    assert all(comp[i] == i for i in fillers)
+
+
 def test_simhash_near_dup_hamming(dup_dir, ray_session):
     df = dd.simhash(dup_dir).to_pandas().set_index("doc_id")["simhash"]
 
