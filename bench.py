@@ -100,6 +100,16 @@ def run_once() -> dict:
     engine.search_batch(q, k=10)
     queries["bm25_200_queries"] = round(time.perf_counter() - t0, 3)
 
+    # single-query latency percentiles (online path, one query per call)
+    lat = []
+    for query in q[:100]:
+        t1 = time.perf_counter()
+        engine.search(query, k=10)
+        lat.append((time.perf_counter() - t1) * 1000)
+    lat.sort()
+    queries["query_ms_p50"] = round(lat[len(lat) // 2], 2)
+    queries["query_ms_p95"] = round(lat[int(len(lat) * 0.95)], 2)
+
     # same queries through block-max WAND (single-field engine)
     from searchengine_ray.schemas import FIELD_BODY
 
@@ -135,6 +145,7 @@ def run_once() -> dict:
         "n_docs": metrics["n_docs"],
         "docs_per_sec": round(docs_per_s, 1),
         "n_postings": metrics.get("segments", {}).get("n_postings"),
+        "bytes_per_posting": metrics.get("segments", {}).get("bytes_per_posting"),
         "stage_wall_s": metrics.get("stage_wall_s"),
     }
     ray.shutdown()

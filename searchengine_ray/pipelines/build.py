@@ -379,6 +379,12 @@ def build_index(
                 "min_part_postings": int(seg_metrics["n_postings"].min()),
                 "sum_encode_wall_s": round(float(seg_metrics["wall_s"].sum()), 3),
             }
+            manifests = mf.read_part_manifests(index_dir)
+            comp_bytes = sum(m["ords_bytes"] + m["tfs_bytes"] for m in manifests.values())
+            if metrics["segments"]["n_postings"]:
+                metrics["segments"]["bytes_per_posting"] = round(
+                    comp_bytes / metrics["segments"]["n_postings"], 3
+                )
     stage_wall["segments"] = round(time.perf_counter() - t_stage, 3)
     n_docs = docs_future.result()
     pool.shutdown()
