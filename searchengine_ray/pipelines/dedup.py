@@ -159,6 +159,13 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         m = min(group.num_rows, MAX_BUCKET)
+        if group.num_rows > MAX_BUCKET:
+            # no silent caps: a degenerate bucket got truncated — surface it
+            print(
+                f"[minhash_lsh] bucket truncated: {group.num_rows} docs > "
+                f"MAX_BUCKET={MAX_BUCKET}; pairs beyond the first {MAX_BUCKET} "
+                "docs (doc_id order) are not emitted"
+            )
         doc = group.column("doc_id").to_numpy(zero_copy_only=False)[:m]
         sig = (
             group.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
