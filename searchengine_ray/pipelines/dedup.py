@@ -166,12 +166,12 @@ def minhash_lsh_pairs(
                 f"MAX_BUCKET={MAX_BUCKET}; pairs beyond the first {MAX_BUCKET} "
                 "docs (doc_id order) are not emitted"
             )
-        doc = group.column("doc_id").to_numpy(zero_copy_only=False)[:m]
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
         sig = (
             group.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        ).reshape(group.num_rows, num_perm)[:m]
-        order = np.argsort(doc, kind="stable")
-        doc, sig = doc[order], sig[order]
+        ).reshape(group.num_rows, num_perm)
+        order = np.argsort(doc, kind="stable")  # sort BEFORE capping: the
+        doc, sig = doc[order][:m], sig[order][:m]  # truncation is then deterministic
         ai, bi = np.triu_indices(m, k=1)
         if len(ai) == 0:
             return pa.table(
