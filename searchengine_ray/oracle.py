@@ -60,7 +60,17 @@ def brute_topk(
     k: int = 10,
     mode: str = "bm25",
     fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
+    ref_truncate: int | None = None,
 ) -> list[tuple[int, float]]:
+    """Exhaustive scorer. `ref_truncate=1000` reproduces the reference
+    Engine's literal behavior of reading only the top-N postings by tf
+    (stored tf-ascending, read from the tail — Engine.cs:185-199). The
+    reference's order among equal-tf postings at the cut boundary is
+    thread-timing-dependent (SURVEY.md §1.3.6); this oracle fixes the tie
+    deterministically as (tf asc, doc_id asc) -> keep the tail, i.e. among
+    boundary ties the larger doc_ids survive. df/cf stay GLOBAL (the
+    reference reads them from the full frequency tables, Engine.cs:146-153).
+    Fixtures keep every df < 1000 so truncation is a no-op there."""
     counts = parse_query(query)
     scores: dict[int, float] = {}
     n = float(idx.n_docs)
@@ -74,6 +84,9 @@ def brute_topk(
             cf = float(sum(plist.values()))
             docs = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))
             tfs = np.fromiter(plist.values(), dtype=np.uint32, count=len(plist))
+            if ref_truncate is not None and len(docs) > ref_truncate:
+                keep = np.lexsort((docs, tfs))[-ref_truncate:]
+                docs, tfs = docs[keep], tfs[keep]
             if mode == "bm25":
                 dl = np.array([idx.dl[(field, int(d))] for d in docs], dtype=np.uint32)
                 contrib = bm25_term_scores(tfs, dl, bm25_idf(df, n), float(qtf), avgdl)
