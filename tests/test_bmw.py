@@ -19,7 +19,10 @@ def index_dir(pages_dir, tmp_path_factory):
     return d
 
 
-def test_bmw_matches_taat(index_dir, ray_session):
+def test_bmw_matches_taat(index_dir, ray_session, monkeypatch):
+    import searchengine_ray.state.bmw as bmw_mod
+
+    monkeypatch.setattr(bmw_mod, "SHORT_LIST_POSTINGS", 0)  # force true WAND
     index = LocalIndex(index_dir)
     lex = Lexicon(index_dir)
     queries = make_queries_table(80).column("query").to_pylist()
@@ -36,6 +39,24 @@ def test_bmw_matches_taat(index_dir, ray_session):
     assert n_hits > 40
 
 
+def test_bmw_short_list_fallback_matches(index_dir, ray_session):
+    """Below SHORT_LIST_POSTINGS the WAND path takes the vectorized exact
+    fallback — results must be identical either way."""
+    import searchengine_ray.state.bmw as bmw_mod
+
+    assert bmw_mod.SHORT_LIST_POSTINGS > 0
+    index = LocalIndex(index_dir)
+    lex = Lexicon(index_dir)
+    for q in ("taaa", "taaa tabc tzzz", "tbcd taab taac"):
+        specs = make_term_specs(q, lex, index.n_docs, (FIELD_BODY,), "bm25")
+        if not specs:
+            continue
+        d1, s1 = index.topk(specs, 10, "bm25", algo="taat")
+        d2, s2 = index.topk(specs, 10, "bm25", algo="bmw")  # fallback path
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(s1, s2)
+
+
 def test_bmw_k1(index_dir, ray_session):
     index = LocalIndex(index_dir)
     lex = Lexicon(index_dir)
@@ -50,6 +71,8 @@ def test_bmw_skips_blocks(index_dir, ray_session, monkeypatch):
     """For a selective query (rare term + head term), BMW must decode fewer
     blocks than the total — the whole point of the block-max metadata."""
     import searchengine_ray.state.bmw as bmw_mod
+
+    monkeypatch.setattr(bmw_mod, "SHORT_LIST_POSTINGS", 0)  # force true WAND
 
     decoded = {"n": 0}
     orig = bmw_mod._Cursor._load_block
