@@ -148,7 +148,7 @@ def _rerank(df: pd.DataFrame, score_col: str, id_col: str, k: int) -> pd.DataFra
     return pd.concat(out)[cols].reset_index(drop=True)
 
 
-def _topk_pipeline(sf_dir: str, mode: str) -> pd.DataFrame:
+def _topk_pipeline(sf_dir: str, mode: str, conjunctive: bool = False) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data as rd
 
@@ -161,7 +161,12 @@ def _topk_pipeline(sf_dir: str, mode: str) -> pd.DataFrame:
         }
     )
     res = evaluate_queries(
-        rd.from_arrow(q_tbl), index_dir, mode=mode, fields=(FIELD_BODY,), concurrency=2
+        rd.from_arrow(q_tbl),
+        index_dir,
+        mode=mode,
+        fields=(FIELD_BODY,),
+        concurrency=2,
+        conjunctive=conjunctive,
     ).to_pandas()
     return _rerank(res, "score", "doc_id", TOPK)
 
@@ -183,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": lambda sf: textops.top_terms(sf, k=20),
         "bm25_topk": lambda sf: _topk_pipeline(sf, mode="bm25"),
         "reference_topk": lambda sf: _topk_pipeline(sf, mode="reference"),
+        "bm25_conjunctive_topk": lambda sf: _topk_pipeline(sf, mode="bm25", conjunctive=True),
         # dedup suite
         "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
         "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
@@ -233,6 +239,35 @@ ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
            FROM scores)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    bm25_and = f"""
+WITH tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) *
+         (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl)))) AS c
+  FROM q JOIN tf ON q.term = tf.term
+       JOIN df ON df.term = q.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, sum(c) AS score, count(*) AS nt
+           FROM contrib GROUP BY 1, 2),
+need AS (SELECT q.query_id, count(*) AS n FROM q JOIN df ON df.term = q.term GROUP BY 1),
+ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                  row_number() OVER (PARTITION BY s.query_id
+                    ORDER BY floor(s.score*1000000000 + 0.5) DESC, s.doc_id ASC) AS rank
+           FROM scores s JOIN need ON need.query_id = s.query_id
+           WHERE s.nt = need.n)
 SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
 FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
@@ -324,6 +359,7 @@ SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
 """,
         "bm25_topk": bm25,
         "reference_topk": ref,
+        "bm25_conjunctive_topk": bm25_and,
         "dedup_exact": """
 SELECT doc_id,
        (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical

@@ -32,6 +32,7 @@ class QueryEvalActor:
         mode: str = "bm25",
         fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
         default_k: int = 10,
+        conjunctive: bool = False,
     ):
         cap_worker_threads()
         self.index = LocalIndex(index_dir)
@@ -39,6 +40,7 @@ class QueryEvalActor:
         self.mode = mode
         self.fields = fields
         self.default_k = default_k
+        self.conjunctive = conjunctive
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_numpy(zero_copy_only=False)
@@ -58,7 +60,9 @@ class QueryEvalActor:
             )
             if not specs:
                 continue
-            docs, scores = self.index.topk(specs, int(k), self.mode)
+            docs, scores = self.index.topk(
+                specs, int(k), self.mode, conjunctive=self.conjunctive
+            )
             for r, (d, s) in enumerate(zip(docs, scores), start=1):
                 out_qid.append(int(qid))
                 out_rank.append(r)
@@ -81,10 +85,16 @@ def evaluate_queries(
     fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
     concurrency: int = 2,
     batch_size: int = 256,
+    conjunctive: bool = False,
 ) -> rd.Dataset:
     return queries_ds.map_batches(
         QueryEvalActor,
-        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode, "fields": fields},
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "mode": mode,
+            "fields": fields,
+            "conjunctive": conjunctive,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

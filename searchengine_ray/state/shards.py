@@ -165,12 +165,20 @@ class LocalIndex:
         self.n_docs = float(self.stats["n_docs"])
 
     def topk(
-        self, terms: list[TermSpec], k: int, mode: str = "bm25", algo: str = "taat"
+        self,
+        terms: list[TermSpec],
+        k: int,
+        mode: str = "bm25",
+        algo: str = "taat",
+        conjunctive: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k. algo='taat': exhaustive vectorized term-at-a-time.
         algo='bmw' (bm25 only): block-max WAND with selective block decode —
-        same results bit-for-bit, decodes only blocks that can matter."""
-        if algo == "bmw" and mode == "bm25":
+        same results bit-for-bit, decodes only blocks that can matter.
+        conjunctive=True: AND semantics — only docs containing EVERY
+        globally-known query term are ranked (posting-list intersection;
+        valid per partition because a doc's postings are co-located)."""
+        if algo == "bmw" and mode == "bm25" and not conjunctive:
             if len({t.field for t in terms}) <= 1:
                 return self._topk_bmw(terms, k)
             # multi-field scoring sums per-field BM25 with per-field dl/avgdl;
@@ -181,7 +189,7 @@ class LocalIndex:
         out_scores: list[np.ndarray] = []
         for part in self.parts:
             scores = np.zeros(len(part.doc_ids), dtype=np.float64)
-            touched = np.zeros(len(part.doc_ids), dtype=bool)
+            touched = np.zeros(len(part.doc_ids), dtype=np.int32)
             for t in terms:
                 got = part.postings_for(t.field, t.term_hash)
                 if got is None:
@@ -195,8 +203,11 @@ class LocalIndex:
                 else:
                     contrib = ref_body_term_scores(tfs, t.qtf, self.n_docs, t.cf)
                 scores[ords] += contrib
-                touched[ords] = True
-            cand = np.flatnonzero(touched)
+                touched[ords] += 1
+            if conjunctive:
+                cand = np.flatnonzero(touched == len(terms))
+            else:
+                cand = np.flatnonzero(touched)
             if len(cand):
                 d, s = topk_by_score(part.doc_ids[cand], scores[cand], k)
                 out_docs.append(d)
