@@ -84,6 +84,41 @@ def count_postings(
     )
 
 
+def count_postings_hashed(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Build-pipeline fast path: per-(row, term) tf with terms already
+    HASHED (the index never needs the strings). Replaces the per-batch
+    Arrow group_by (measured ~74% of count_postings) with a numpy unique
+    over packed (row, dictionary-code) keys; hashing touches only the
+    batch-local dictionary.
+
+    Returns (term_hashes int64, row_indices int64, tf int64, dl_per_row).
+    """
+    from .hashing import hash64
+
+    parents, tokens = tokenize_flat(texts)
+    n_rows = len(texts)
+    dl = np.bincount(parents, minlength=n_rows).astype(np.uint32)
+    if len(parents) == 0:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            dl,
+        )
+    dic = pc.dictionary_encode(tokens)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = dic.dictionary.to_pylist()
+    v = len(vocab)
+    key = parents.astype(np.int64) * v + codes
+    uk, counts = np.unique(key, return_counts=True)
+    rows = uk // v
+    ucodes = uk % v
+    hash_table = np.fromiter((hash64(w) for w in vocab), dtype=np.int64, count=v)
+    return hash_table[ucodes], rows, counts.astype(np.int64), dl
+
+
 def tokenize_py(text: str) -> list[str]:
     """Pure-Python reference tokenizer (oracle; mirrors Indexer/Program.cs:97-121)."""
     out: list[str] = []

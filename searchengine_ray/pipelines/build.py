@@ -42,7 +42,7 @@ stabilize_fsspec_http()
 
 from ..functions.hashing import doc_partition, hash64, hash64_array
 from ..functions.runtime import cap_worker_threads
-from ..functions.tokenize import count_postings
+from ..functions.tokenize import count_postings_hashed
 from ..schemas import FIELD_BODY, FIELD_TITLE, POSTINGS
 from ..stages.extract import extract_text
 from ..state import manifest as mf
@@ -83,10 +83,9 @@ def _postings_table(
     """Tokenize one batch's docs (per field) into flat POSTINGS rows."""
     parts_out: list[pa.Table] = []
     for field_code, texts in texts_by_field:
-        terms, rows, tf, dl = count_postings(texts)
+        th, rows, tf, dl = count_postings_hashed(texts)
         if len(rows) == 0:
             continue
-        th = hash64_array(terms)
         did = doc_ids[rows]
         parts_out.append(
             pa.table(
