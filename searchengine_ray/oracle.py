@@ -61,6 +61,7 @@ def brute_topk(
     mode: str = "bm25",
     fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
     ref_truncate: int | None = None,
+    conjunctive: bool = False,
 ) -> list[tuple[int, float]]:
     """Exhaustive scorer. `ref_truncate=1000` reproduces the reference
     Engine's literal behavior of reading only the top-N postings by tf
@@ -96,6 +97,20 @@ def brute_topk(
                 contrib = ref_body_term_scores(tfs, float(qtf), n, cf)
             for d, c in zip(docs.tolist(), contrib.tolist()):
                 scores[d] = scores.get(d, 0.0) + c
+    if conjunctive:
+        # AND semantics: keep docs matched by EVERY (field, word) pair that
+        # exists in the index (mirrors LocalIndex.topk(conjunctive=True))
+        known = [
+            (f, w) for w in counts for f in fields if idx.postings.get((f, w))
+        ]
+        if known:
+            scores = {
+                d: s
+                for d, s in scores.items()
+                if all(d in idx.postings[(f, w)] for f, w in known)
+            }
+        else:
+            scores = {}
     if not scores:
         return []
     d = np.fromiter(scores.keys(), dtype=np.int64, count=len(scores))

@@ -178,6 +178,10 @@ class LocalIndex:
         conjunctive=True: AND semantics — only docs containing EVERY
         globally-known query term are ranked (posting-list intersection;
         valid per partition because a doc's postings are co-located)."""
+        if not terms:
+            # no known terms: nothing can match (without this, the
+            # conjunctive filter `touched == 0` would match every doc)
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         if algo == "bmw" and mode == "bm25" and not conjunctive:
             if len({t.field for t in terms}) <= 1:
                 return self._topk_bmw(terms, k)
