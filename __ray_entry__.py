@@ -89,6 +89,16 @@ DOC_QUERIES: list[str] = [
 TOPK = 10
 ANN_QUERIES = 8
 
+# Phrase query set (consecutive kept tokens; ranked by the bm25 spec sum)
+DOC_PHRASES: list[str] = [
+    "join hash",
+    "batch batch",
+    "the fast",
+    "dup batch",
+    "merge sort",
+    "customer order line",
+]
+
 _TOKENIZE_SQL = (
     "SELECT doc_id, unnest(list_transform(list_filter("
     "regexp_extract_all(text, '\\pL+'), "
@@ -125,7 +135,9 @@ def _ensure_index(sf_dir: str) -> str:
     """Build (or resume) the inverted index for a testdata documents table.
     lang_filter=None: every row is indexed (the oracle SQL scans all rows)."""
     index_dir = _index_dir_for(sf_dir)
-    cfg = BuildConfig(num_partitions=8, block_size=128, lang_filter=None)
+    cfg = BuildConfig(
+        num_partitions=8, block_size=128, lang_filter=None, store_positions=True
+    )
     build_index(sf_dir, index_dir, cfg, source="documents")
     return index_dir
 
@@ -174,6 +186,19 @@ def _topk_pipeline(sf_dir: str, mode: str, conjunctive: bool = False) -> pd.Data
 # ---------------------------------------------------------------------------
 
 
+def _phrase_pipeline(sf_dir: str) -> pd.DataFrame:
+    from searchengine_ray.state.shards import SearchEngine
+
+    index_dir = _ensure_index(sf_dir)
+    engine = SearchEngine(index_dir, n_shards=2, mode="bm25", fields=(FIELD_BODY,))
+    rows = []
+    for qid, phrase in enumerate(DOC_PHRASES):
+        for d, sc in engine.phrase_search(phrase, k=TOPK + 32):
+            rows.append((qid, d, sc))
+    df = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    return _rerank(df, "score", "doc_id", TOPK)
+
+
 def entry() -> Any:
     """Flagship: full index build + BM25 batch evaluation on sf0.001."""
     return _topk_pipeline("/root/testdata/sf0.001", mode="bm25")
@@ -189,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: _topk_pipeline(sf, mode="bm25"),
         "reference_topk": lambda sf: _topk_pipeline(sf, mode="reference"),
         "bm25_conjunctive_topk": lambda sf: _topk_pipeline(sf, mode="bm25", conjunctive=True),
+        "phrase_topk": lambda sf: _phrase_pipeline(sf),
         # dedup suite
         "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
         "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
@@ -268,6 +294,47 @@ ranked AS (SELECT s.query_id, s.doc_id, s.score,
                     ORDER BY floor(s.score*1000000000 + 0.5) DESC, s.doc_id ASC) AS rank
            FROM scores s JOIN need ON need.query_id = s.query_id
            WHERE s.nt = need.n)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    # phrase VALUES: (query_id, padded phrase string) + (query_id, term, qtf)
+    ph_rows = []
+    pq_rows = []
+    for qid, phrase in enumerate(DOC_PHRASES):
+        words = [w.lower() for w in phrase.split(" ") if w]
+        padded = " " + " ".join(words) + " "
+        ph_rows.append(f"({qid}, '{padded}')")
+        for term, qtf in parse_query(phrase).items():
+            pq_rows.append(f"({qid}, '{term}', {qtf}.0)")
+    phrase = f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+joined AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM base),
+ph(query_id, needle) AS (VALUES {', '.join(ph_rows)}),
+matchd AS (SELECT ph.query_id, j.doc_id FROM ph JOIN joined j
+           ON position(ph.needle IN j.s) > 0),
+tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {', '.join(pq_rows)}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) *
+         (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl)))) AS c
+  FROM q JOIN tf ON q.term = tf.term
+       JOIN df ON df.term = q.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       JOIN matchd m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
+           FROM scores)
 SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
 FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
@@ -360,6 +427,7 @@ SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_topk": bm25,
         "reference_topk": ref,
         "bm25_conjunctive_topk": bm25_and,
+        "phrase_topk": phrase,
         "dedup_exact": """
 SELECT doc_id,
        (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical

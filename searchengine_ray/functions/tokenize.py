@@ -84,16 +84,48 @@ def count_postings(
     )
 
 
+def encode_group_positions(
+    group_ids_sorted: np.ndarray,
+    positions_sorted: np.ndarray,
+) -> tuple[bytes, np.ndarray]:
+    """Varbyte-encode per-group token positions (delta within group, first
+    absolute). Returns (buffer, byte_offsets[n_groups+1]) for zero-copy
+    per-group slicing. Everything vectorized."""
+    from .codec import varbyte_encode
+
+    n = len(positions_sorted)
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = group_ids_sorted[1:] != group_ids_sorted[:-1]
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = positions_sorted[0]
+    deltas[1:] = positions_sorted[1:] - positions_sorted[:-1]
+    starts = np.flatnonzero(new_group)
+    deltas[starts] = positions_sorted[starts]
+    buf, sizes = varbyte_encode(deltas.astype(np.uint64))
+    byte_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=byte_off[1:])
+    return buf, byte_off[np.append(starts, n)]
+
+
 def count_postings_hashed(
     texts: pa.Array | pa.ChunkedArray,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    with_positions: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | tuple[
+    np.ndarray, np.ndarray, np.ndarray, np.ndarray, pa.LargeBinaryArray
+]:
     """Build-pipeline fast path: per-(row, term) tf with terms already
     HASHED (the index never needs the strings). Replaces the per-batch
     Arrow group_by (measured ~74% of count_postings) with a numpy unique
     over packed (row, dictionary-code) keys; hashing touches only the
     batch-local dictionary.
 
-    Returns (term_hashes int64, row_indices int64, tf int64, dl_per_row).
+    Returns (term_hashes int64, row_indices int64, tf int64, dl_per_row)
+    and, with_positions=True, additionally a large_binary array of
+    per-posting varbyte-encoded token positions (delta-coded, first value
+    absolute; position = token index within the row's kept-token stream).
     """
     from .hashing import hash64
 
@@ -101,12 +133,15 @@ def count_postings_hashed(
     n_rows = len(texts)
     dl = np.bincount(parents, minlength=n_rows).astype(np.uint32)
     if len(parents) == 0:
-        return (
+        empty = (
             np.zeros(0, np.int64),
             np.zeros(0, np.int64),
             np.zeros(0, np.int64),
             dl,
         )
+        if with_positions:
+            return (*empty, pa.array([], pa.large_binary()))
+        return empty
     dic = pc.dictionary_encode(tokens)
     codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = dic.dictionary.to_pylist()
@@ -116,7 +151,18 @@ def count_postings_hashed(
     rows = uk // v
     ucodes = uk % v
     hash_table = np.fromiter((hash64(w) for w in vocab), dtype=np.int64, count=v)
-    return hash_table[ucodes], rows, counts.astype(np.int64), dl
+    if not with_positions:
+        return hash_table[ucodes], rows, counts.astype(np.int64), dl
+    # token position within the row's kept-token stream
+    row_starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(dl, out=row_starts[1:])
+    pos = np.arange(len(parents), dtype=np.int64) - row_starts[parents]
+    order = np.argsort(key, kind="stable")  # stable -> positions ascending per group
+    buf, group_off = encode_group_positions(key[order], pos[order])
+    positions = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(uk), [None, pa.py_buffer(group_off.tobytes()), pa.py_buffer(buf)]
+    )
+    return hash_table[ucodes], rows, counts.astype(np.int64), dl, positions
 
 
 def tokenize_py(text: str) -> list[str]:

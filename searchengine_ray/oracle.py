@@ -35,6 +35,7 @@ class BruteIndex:
     postings: dict[tuple[int, str], dict[int, int]] = dc_field(default_factory=dict)
     dl: dict[tuple[int, int], int] = dc_field(default_factory=dict)  # (field, doc_id) -> dl
     total_len: dict[int, int] = dc_field(default_factory=dict)
+    tokens: dict[tuple[int, int], list[str]] = dc_field(default_factory=dict)  # (field, doc_id) -> stream
 
 
 def build_brute_index(docs: list[tuple[int, str, str | None]]) -> BruteIndex:
@@ -47,11 +48,39 @@ def build_brute_index(docs: list[tuple[int, str, str | None]]) -> BruteIndex:
             if text is None:
                 continue
             toks = tokenize_py(text)
+            idx.tokens[(field, doc_id)] = toks
             idx.dl[(field, doc_id)] = len(toks)
             idx.total_len[field] = idx.total_len.get(field, 0) + len(toks)
             for w, tf in Counter(toks).items():
                 idx.postings.setdefault((field, w), {})[doc_id] = tf
     return idx
+
+
+def brute_phrase_topk(
+    idx: BruteIndex, query: str, k: int = 10, field: int = FIELD_BODY
+) -> list[tuple[int, float]]:
+    """Phrase oracle: docs whose kept-token stream contains `query`'s words
+    consecutively, BM25-ranked with the same spec accumulation as brute_topk."""
+    words = [w.lower() for w in query.split(" ") if w]
+    if not words:
+        return []
+    matched = []
+    L = len(words)
+    for doc_id in idx.doc_ids:
+        toks = idx.tokens.get((field, doc_id), [])
+        if any(toks[i : i + L] == words for i in range(len(toks) - L + 1)):
+            matched.append(doc_id)
+    if not matched:
+        return []
+    matched_set = set(matched)
+    full = brute_topk(idx, query, k=idx.n_docs, mode="bm25", fields=(field,))
+    kept = [(d, s) for d, s in full if d in matched_set]
+    # docs that matched the phrase but scored 0 cannot exist (every phrase
+    # word is a posting), so `kept` covers all matches
+    d = np.fromiter((x for x, _ in kept), dtype=np.int64, count=len(kept))
+    s = np.fromiter((x for _, x in kept), dtype=np.float64, count=len(kept))
+    dd, ss = topk_by_score(d, s, k)
+    return [(int(a), float(b)) for a, b in zip(dd, ss)]
 
 
 def brute_topk(

@@ -43,7 +43,7 @@ stabilize_fsspec_http()
 from ..functions.hashing import doc_partition, hash64, hash64_array
 from ..functions.runtime import cap_worker_threads
 from ..functions.tokenize import count_postings_hashed
-from ..schemas import FIELD_BODY, FIELD_TITLE, POSTINGS
+from ..schemas import FIELD_BODY, FIELD_TITLE, POSTINGS, POSTINGS_POS
 from ..stages.extract import extract_text
 from ..state import manifest as mf
 from ..state.segments import build_segment
@@ -55,6 +55,7 @@ class BuildConfig:
     block_size: int = 128
     lang_filter: str | None = "en"
     batch_size: int = 2048
+    store_positions: bool = False  # per-posting token positions (phrase queries)
     index_title: bool = True  # pages source: also build the title field
     # (the reference builds two complete indexes, titles_* and repos_*,
     #  Engine/Engine/Engine.cs:100-122; here it is a field code)
@@ -79,31 +80,32 @@ def _postings_table(
     doc_ids: np.ndarray,
     texts_by_field: list[tuple[int, pa.Array]],
     num_partitions: int,
+    store_positions: bool = False,
 ) -> pa.Table:
     """Tokenize one batch's docs (per field) into flat POSTINGS rows."""
+    schema = POSTINGS_POS if store_positions else POSTINGS
     parts_out: list[pa.Table] = []
     for field_code, texts in texts_by_field:
-        th, rows, tf, dl = count_postings_hashed(texts)
+        if store_positions:
+            th, rows, tf, dl, positions = count_postings_hashed(texts, with_positions=True)
+        else:
+            th, rows, tf, dl = count_postings_hashed(texts)
         if len(rows) == 0:
             continue
         did = doc_ids[rows]
-        parts_out.append(
-            pa.table(
-                {
-                    "part": pa.array(doc_partition(did, num_partitions), pa.uint32()),
-                    "field": pa.array(
-                        np.full(len(rows), field_code, dtype=np.uint8), pa.uint8()
-                    ),
-                    "term_hash": pa.array(th, pa.int64()),
-                    "doc_id": pa.array(did, pa.int64()),
-                    "tf": pa.array(tf, pa.uint32()),
-                    "dl": pa.array(dl[rows], pa.uint32()),
-                },
-                schema=POSTINGS,
-            )
-        )
+        cols = {
+            "part": pa.array(doc_partition(did, num_partitions), pa.uint32()),
+            "field": pa.array(np.full(len(rows), field_code, dtype=np.uint8), pa.uint8()),
+            "term_hash": pa.array(th, pa.int64()),
+            "doc_id": pa.array(did, pa.int64()),
+            "tf": pa.array(tf, pa.uint32()),
+            "dl": pa.array(dl[rows], pa.uint32()),
+        }
+        if store_positions:
+            cols["positions"] = positions
+        parts_out.append(pa.table(cols, schema=schema))
     if not parts_out:
-        return POSTINGS.empty_table()
+        return schema.empty_table()
     return pa.concat_tables(parts_out)
 
 
@@ -127,7 +129,7 @@ def make_pages_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = frozen
         fields = [(FIELD_BODY, text)]
         if cfg.index_title:
             fields.append((FIELD_TITLE, titles))
-        out = _postings_table(doc_ids, fields, cfg.num_partitions)
+        out = _postings_table(doc_ids, fields, cfg.num_partitions, cfg.store_positions)
         if len(skip):
             mask = np.isin(out.column("part").to_numpy(zero_copy_only=False), skip, invert=True)
             out = out.filter(pa.array(mask))
@@ -148,7 +150,12 @@ def make_documents_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = fr
         if t.num_rows == 0:
             return POSTINGS.empty_table()
         doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        out = _postings_table(doc_ids, [(FIELD_BODY, t.column("text").combine_chunks())], cfg.num_partitions)
+        out = _postings_table(
+            doc_ids,
+            [(FIELD_BODY, t.column("text").combine_chunks())],
+            cfg.num_partitions,
+            cfg.store_positions,
+        )
         if len(skip):
             mask = np.isin(out.column("part").to_numpy(zero_copy_only=False), skip, invert=True)
             out = out.filter(pa.array(mask))

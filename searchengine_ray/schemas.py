@@ -54,6 +54,10 @@ POSTINGS = pa.schema(
     ]
 )
 
+# With BuildConfig.store_positions: per-posting varbyte-encoded token
+# positions (delta-coded; enables phrase queries).
+POSTINGS_POS = POSTINGS.append(pa.field("positions", pa.large_binary()))
+
 # Global lexicon (merges the reference's lexicon.txt / frequency.bin /
 # wordscount.bin families — /root/reference/Indexer/Program.cs:131-138,458-467).
 LEXICON = pa.schema(

@@ -56,6 +56,7 @@ def build_segment(group: pa.Table, block_size: int = BLOCK_SIZE) -> tuple[pa.Tab
     `group` columns: field:uint8, term_hash:int64, doc_id:int64,
     tf:uint32, dl:uint32 (one row per (doc, field, term)).
     """
+    has_pos = "positions" in group.column_names
     field = group.column("field").to_numpy(zero_copy_only=False).astype(np.uint8)
     th = group.column("term_hash").to_numpy(zero_copy_only=False).astype(np.int64)
     doc = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -117,6 +118,20 @@ def build_segment(group: pa.Table, block_size: int = BLOCK_SIZE) -> tuple[pa.Tab
     ords_col = _large_binary_from_slices(ords_buf, ords_off[term_bounds])
     tfs_col = _large_binary_from_slices(tfs_buf, tfs_off[term_bounds])
 
+    pos_col = None
+    if has_pos:
+        # re-pack per-posting position blobs into global sort order, then
+        # slice per term (postings of a term are contiguous after the sort;
+        # per-posting boundaries are recoverable from tf at decode time)
+        taken = group.column("positions").combine_chunks().take(pa.array(order))
+        _, off_buf, data_buf = taken.buffers()
+        p_off = np.frombuffer(off_buf, dtype=np.int64, count=n + 1, offset=taken.offset * 8)
+        p_data = np.frombuffer(data_buf, dtype=np.uint8)
+        base = p_off[0]
+        pos_col = _large_binary_from_slices(
+            p_data[base : p_off[-1]].tobytes(), p_off[term_bounds] - base
+        )
+
     postings = pa.table(
         {
             "field": pa.array(f_s[term_starts], pa.uint8()),
@@ -146,6 +161,10 @@ def build_segment(group: pa.Table, block_size: int = BLOCK_SIZE) -> tuple[pa.Tab
         },
         schema=SEGMENT_POSTINGS,
     )
+    if pos_col is not None:
+        postings = postings.append_column(
+            pa.field("positions", pa.large_binary()), pos_col
+        )
     return docmeta, postings
 
 
@@ -165,6 +184,20 @@ def decode_ords(ords_bytes: bytes, blk_first: np.ndarray, block_size: int = BLOC
 def decode_tfs(tfs_bytes: bytes) -> np.ndarray:
     """Decode a term's tf list (stored as tf-1)."""
     return (varbyte_decode(tfs_bytes) + np.uint64(1)).astype(np.uint32)
+
+
+def decode_positions(pos_bytes: bytes | np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Decode a term's concatenated per-posting position streams into a
+    flat absolute-position array (len == sum(tfs)); posting j's positions
+    are the slice [cumsum(tfs)[j-1] : cumsum(tfs)[j]]."""
+    vals = varbyte_decode(pos_bytes).astype(np.int64)
+    if len(vals) == 0:
+        return vals
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    c = np.cumsum(vals)
+    adjust = np.repeat(c[starts] - vals[starts], np.asarray(tfs, dtype=np.int64))
+    return c - adjust
 
 
 def decode_block(

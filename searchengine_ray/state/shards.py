@@ -101,6 +101,9 @@ class _Part:
         self.ords_data, self.ords_off = _binary_views(post.column("ords"))
         self.tfs_data, self.tfs_off = _binary_views(post.column("tfs"))
         self.lists = {name: _list_views(post.column(name)) for name in self._LIST_COLS}
+        self.has_positions = "positions" in post.column_names
+        if self.has_positions:
+            self.pos_data, self.pos_off = _binary_views(post.column("positions"))
         self.block_size = block_size
 
     def _bin(self, data: np.ndarray, off: np.ndarray, row: int) -> np.ndarray:
@@ -121,6 +124,25 @@ class _Part:
         )
         tfs = decode_tfs(self._bin(self.tfs_data, self.tfs_off, row))
         return ords, tfs
+
+    def postings_with_positions(
+        self, field: int, term_hash: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """(ords, tfs, flat_positions) — requires an index built with
+        store_positions=True (phrase queries)."""
+        if not self.has_positions:
+            return None
+        row = self.lookup.get((field, term_hash))
+        if row is None:
+            return None
+        got = self.postings_for(field, term_hash)
+        if got is None:
+            return None
+        ords, tfs = got
+        from .segments import decode_positions
+
+        pos = decode_positions(self._bin(self.pos_data, self.pos_off, row), tfs)
+        return ords, tfs, pos
 
     def row_dict(self, field: int, term_hash: int) -> dict | None:
         """Raw segment row views (for the BMW cursor's selective block decode)."""
@@ -220,6 +242,85 @@ class LocalIndex:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         return topk_by_score(np.concatenate(out_docs), np.concatenate(out_scores), k)
 
+    def phrase_topk(
+        self,
+        words: list[str],
+        specs: list[TermSpec],
+        k: int,
+        field: int = FIELD_BODY,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact phrase retrieval: docs where `words` occur at CONSECUTIVE
+        kept-token positions (equivalent to substring match on the
+        space-joined token stream), ranked by the same BM25 sum as topk()
+        over `specs`. Requires an index built with store_positions=True."""
+        from .segments import decode_positions  # noqa: F401 (via _Part)
+
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        word_hashes = [hash64(w) for w in words]
+        for part in self.parts:
+            plists = {}
+            ok = True
+            for h in set(word_hashes):
+                got = part.postings_with_positions(field, h)
+                if got is None:
+                    ok = False
+                    break
+                ords, tfs, flat_pos = got
+                bounds = np.zeros(len(tfs) + 1, dtype=np.int64)
+                np.cumsum(tfs, out=bounds[1:])
+                plists[h] = (ords, tfs, flat_pos, bounds)
+            if not ok or not plists:
+                continue
+            # candidate docs: intersection of all words' ordinal lists
+            cand = None
+            for h in set(word_hashes):
+                o = plists[h][0]
+                cand = o if cand is None else np.intersect1d(cand, o, assume_unique=True)
+            if cand is None or len(cand) == 0:
+                continue
+            matched = []
+            for ordv in cand.tolist():
+                h0 = word_hashes[0]
+                o0, _, fp0, b0 = plists[h0]
+                j = int(np.searchsorted(o0, ordv))
+                positions = fp0[b0[j] : b0[j + 1]]
+                for wi in range(1, len(word_hashes)):
+                    h = word_hashes[wi]
+                    o, _, fp, b = plists[h]
+                    jj = int(np.searchsorted(o, ordv))
+                    nxt = fp[b[jj] : b[jj + 1]]
+                    positions = np.intersect1d(positions + 1, nxt, assume_unique=True)
+                    if len(positions) == 0:
+                        break
+                if len(positions):
+                    matched.append(ordv)
+            if not matched:
+                continue
+            # BM25-score the matching docs with the standard spec accumulation
+            m = np.asarray(matched, dtype=np.int64)
+            scores = np.zeros(len(m), dtype=np.float64)
+            for t in specs:
+                got = part.postings_for(t.field, t.term_hash)
+                if got is None:
+                    continue
+                ords, tfs = got
+                idxs = np.searchsorted(ords, m)
+                idxs = np.clip(idxs, 0, len(ords) - 1)
+                hit = ords[idxs] == m
+                if not hit.any():
+                    continue
+                dl = part.dl[t.field][m[hit]]
+                scores[hit] += bm25_term_scores(
+                    tfs[idxs[hit]], dl, t.idf, t.qtf, self.avgdl[t.field]
+                )
+            d, s = topk_by_score(part.doc_ids[m], scores, k)
+            out_docs.append(d)
+            out_scores.append(s)
+        if not out_docs:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        return topk_by_score(np.concatenate(out_docs), np.concatenate(out_scores), k)
+
     def _topk_bmw(self, terms: list[TermSpec], k: int) -> tuple[np.ndarray, np.ndarray]:
         from .bmw import _Cursor, bmw_topk
 
@@ -265,6 +366,11 @@ class IndexShardActor:
         self, term_lists: list[list[TermSpec]], k: int, mode: str, algo: str = "taat"
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         return [self.index.topk(t, k, mode, algo) for t in term_lists]
+
+    def phrase_topk(
+        self, words: list[str], specs: list[TermSpec], k: int, field: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.index.phrase_topk(words, specs, k, field)
 
 
 class Lexicon:
@@ -358,6 +464,23 @@ class SearchEngine:
         if not specs:
             return []
         parts = ray.get([s.topk.remote(specs, k, self.mode, self.algo) for s in self.shards])
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)
+        d, s = topk_by_score(docs, scores, k)
+        return [(int(di), float(si)) for di, si in zip(d, s)]
+
+    def phrase_search(self, query: str, k: int = 10, field: int = FIELD_BODY) -> list[tuple[int, float]]:
+        """Exact phrase query (consecutive kept tokens), BM25-ranked.
+        Requires an index built with store_positions=True."""
+        words = [w.lower() for w in query.split(" ") if w]
+        if not words:
+            return []
+        specs = make_term_specs(query, self.lexicon, self.n_docs, (field,), "bm25")
+        if len({hash64(w) for w in words} - {t.term_hash for t in specs}):
+            return []  # a phrase word is not a known token -> cannot match
+        parts = ray.get(
+            [sh.phrase_topk.remote(words, specs, k, field) for sh in self.shards]
+        )
         docs = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)
         d, s = topk_by_score(docs, scores, k)

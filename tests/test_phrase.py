@@ -1,0 +1,92 @@
+"""Positional index + phrase queries (store_positions=True)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.functions.hashing import hash64
+from searchengine_ray.oracle import brute_phrase_topk, build_brute_index
+from searchengine_ray.pipelines.build import BuildConfig, build_index
+from searchengine_ray.schemas import FIELD_BODY, PAGES
+from searchengine_ray.state.shards import SearchEngine
+
+
+DOCS = [
+    ("u://0", "alpha beta gamma delta", "t zero"),
+    ("u://1", "beta alpha beta gamma", "t one"),
+    ("u://2", "gamma beta alpha", "t two"),
+    ("u://3", "alpha beta alpha beta gamma", "t three"),
+    ("u://4", "delta delta alpha 123 beta", "t four"),  # digits break adjacency? no: digits are dropped, so alpha/beta ARE adjacent kept tokens
+]
+
+
+def _write(tmp_path):
+    rows = []
+    for url, body, title in DOCS:
+        html = (
+            "<html><head><title>" + title + "</title></head><body><p>" + body + "</p></body></html>"
+        ).encode()
+        rows.append((url, html, title + "\n" + body + "\n"))
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.large_string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        },
+        schema=PAGES,
+    )
+    pq.write_table(t, str(tmp_path / "pages.parquet"))
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("phrase")
+    src = _write(d)
+    idx = str(d / "idx")
+    build_index(src, idx, BuildConfig(num_partitions=3, store_positions=True), source="pages")
+    return SearchEngine(idx, n_shards=2)
+
+
+def _urls(engine, results):
+    u = engine.hydrate([d for d, _ in results])
+    return sorted(u[d] for d, _ in results)
+
+
+def test_phrase_basic(engine):
+    got = _urls(engine, engine.phrase_search("alpha beta"))
+    # doc0: "alpha beta gamma..." yes; doc1: "beta alpha beta gamma" has alpha beta at pos 1-2;
+    # doc3: yes; doc4: "...alpha 123 beta" -> 123 dropped, kept stream "delta delta alpha beta" -> adjacent!
+    assert got == ["u://0", "u://1", "u://3", "u://4"]
+    got3 = _urls(engine, engine.phrase_search("alpha beta gamma"))
+    # doc1 "beta alpha beta gamma" contains it at positions 1-3 too
+    assert got3 == ["u://0", "u://1", "u://3"]
+    assert engine.phrase_search("gamma alpha") == []
+    assert engine.phrase_search("alpha zzz") == []
+    assert engine.phrase_search("") == []
+    # single-word phrase == docs containing the word
+    assert len(engine.phrase_search("delta")) == 2
+
+
+def test_phrase_matches_oracle(engine):
+    brute = build_brute_index(
+        [(hash64(u), t + "\n" + b + "\n", t + "\n") for u, b, t in DOCS]
+    )
+    for q in ("alpha beta", "beta gamma", "delta delta", "beta alpha beta", "alpha", "gamma delta"):
+        got = engine.phrase_search(q, k=10)
+        want = brute_phrase_topk(brute, q, k=10, field=FIELD_BODY)
+        assert got == want, q
+
+
+def test_phrase_requires_positions(tmp_path, ray_session):
+    src = _write(tmp_path)
+    idx = str(tmp_path / "idx_nopos")
+    build_index(src, idx, BuildConfig(num_partitions=2, store_positions=False), source="pages")
+    eng = SearchEngine(idx, n_shards=1)
+    # without positions the index cannot match phrases -> empty, not wrong
+    assert eng.phrase_search("alpha beta") == []
