@@ -11,7 +11,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from searchengine_ray.functions.hashing import hash64
-from searchengine_ray.oracle import brute_topk, build_brute_index
+from searchengine_ray.oracle import brute_phrase_topk, brute_topk, build_brute_index
 from searchengine_ray.pipelines.build import BuildConfig, build_index
 from searchengine_ray.schemas import FIELD_BODY, FIELD_TITLE, PAGES
 from searchengine_ray.state.shards import Lexicon, LocalIndex, make_term_specs
@@ -73,7 +73,7 @@ def test_fuzz_rank_identity(seed, tmp_path, ray_session):
     )
     pq.write_table(t, str(tmp_path / "pages.parquet"))
     idx_dir = str(tmp_path / "idx")
-    build_index(str(tmp_path), idx_dir, BuildConfig(num_partitions=3, block_size=16), source="pages")
+    build_index(str(tmp_path), idx_dir, BuildConfig(num_partitions=3, block_size=16, store_positions=True), source="pages")
 
     brute = build_brute_index(
         [(hash64(r[0]), r[2], r[2].split("\n", 1)[0] + "\n") for r in rows]
@@ -97,3 +97,16 @@ def test_fuzz_rank_identity(seed, tmp_path, ray_session):
         want_c = brute_topk(brute, q, k=10, mode="bm25", fields=(FIELD_BODY,), conjunctive=True)
         assert dc.tolist() == [d for d, _ in want_c], (q, "conjunctive")
         assert sc.tolist() == [s for _, s in want_c], (q, "conjunctive scores")
+
+    # phrase queries: random 2-3 word phrases vs the phrase oracle
+    g = np.random.default_rng(seed + 7)
+    for _ in range(15):
+        words = list(g.choice(VOCAB, int(g.integers(2, 4))))
+        phrase = " ".join(words)
+        specs = make_term_specs(phrase, lex, index.n_docs, (FIELD_BODY,), "bm25")
+        if len(specs) < len(set(words)):
+            continue  # engine API requires all words known (coordinator filters)
+        got_d, got_s = index.phrase_topk(words, specs, 10, FIELD_BODY)
+        want = brute_phrase_topk(brute, phrase, k=10, field=FIELD_BODY)
+        assert got_d.tolist() == [d for d, _ in want], (phrase, "phrase")
+        assert got_s.tolist() == [s for _, s in want], (phrase, "phrase scores")
