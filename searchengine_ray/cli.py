@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("-q", "--query", required=True)
     qp.add_argument("-k", type=int, default=10)
     qp.add_argument("--mode", choices=["bm25", "reference"], default="bm25")
+    qp.add_argument("--phrase", action="store_true", help="consecutive-token phrase match (index must be built with positions)")
 
     svp = sub.add_parser("serve", help="HTTP search server")
     svp.add_argument("--index", required=True)
@@ -101,8 +102,14 @@ def main(argv: list[str] | None = None) -> int:
             from .state.shards import SearchEngine
 
             engine = SearchEngine(args.index, n_shards=2, mode=args.mode)
-            for url, score in engine.search_hydrated(args.query, k=args.k):
-                print(f"{score:12.6f}  {url}")
+            if args.phrase:
+                results = engine.phrase_search(args.query, k=args.k)
+                urls = engine.hydrate([d for d, _ in results])
+                for d, score in results:
+                    print(f"{score:12.6f}  {urls[d]}")
+            else:
+                for url, score in engine.search_hydrated(args.query, k=args.k):
+                    print(f"{score:12.6f}  {url}")
             return 0
         if args.cmd == "serve":
             from .serve import serve
