@@ -1,0 +1,36 @@
+"""bench.py drives the per-round BENCH recording: its LAST stdout line must
+be one parseable JSON object with the agreed keys, regardless of worker
+prints earlier in the stream."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_json_contract():
+    env = dict(
+        os.environ,
+        GRAFT_SF_DIR="/root/testdata/sf0.001",
+        RAY_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=420,
+    ).stdout
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["metric"] == "index_build_sec"
+    assert d["unit"] == "sec"
+    assert d["value"] > 0
+    assert d["num_cpus"] == 4
+    assert d["sf"] == 0.001
+    assert d["n_docs"] > 0 and d["docs_per_sec"] > 0
+    for k in ("index_build", "bm25_200_queries", "lexicon_documents", "dedup_minhash", "ann_brute"):
+        assert k in d["queries"], k
