@@ -264,6 +264,80 @@ def make_segment_writer(index_dir: str, fingerprint: str, block_size: int):
     return fn
 
 
+
+def compute_lexicon_and_stats(
+    index_dir: str,
+    part_files: list[str],
+    n_docs: int,
+    num_partitions: int,
+    block_size: int,
+    fingerprint: str,
+    source: str,
+) -> dict:
+    """Global lexicon (df/cf per term) + stats.json over the given segment
+    stat files — called by build_index for a single generation and by
+    pipelines/update.py over ALL generations after an incremental update."""
+    from ray.data.aggregate import Sum
+
+    lex_dir = os.path.join(index_dir, "lexicon")
+    if os.path.isdir(lex_dir):  # write_parquet appends; stale files double cf
+        import shutil
+
+        shutil.rmtree(lex_dir)
+    seg_stat_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in part_files)
+    if not part_files:
+        from ..schemas import LEXICON
+
+        os.makedirs(lex_dir, exist_ok=True)
+        pq.write_table(LEXICON.empty_table(), os.path.join(lex_dir, "lexicon-0.parquet"))
+    elif seg_stat_rows <= 5_000_000:
+        # small input: one driver-side Arrow group_by beats a Ray shuffle's
+        # fixed cost by seconds (input is per-part term stats, NOT postings)
+        os.makedirs(lex_dir, exist_ok=True)
+        lex_tbl = (
+            pq.read_table(part_files, columns=["field", "term_hash", "df", "cf"])
+            .group_by(["field", "term_hash"])
+            .aggregate([("df", "sum"), ("cf", "sum")])
+            .select(["field", "term_hash", "df_sum", "cf_sum"])
+            .rename_columns(["field", "term_hash", "df", "cf"])
+        )
+        pq.write_table(lex_tbl, os.path.join(lex_dir, "lexicon-0.parquet"))
+    else:
+        (
+            rd.read_parquet(part_files, columns=["field", "term_hash", "df", "cf"])
+            .groupby(["field", "term_hash"])
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .write_parquet(lex_dir)  # streamed; a web-scale lexicon is itself big
+        )
+    lex_files = [os.path.join(lex_dir, f) for f in os.listdir(lex_dir) if f.endswith(".parquet")]
+    n_terms = sum(pq.ParquetFile(f).metadata.num_rows for f in lex_files)
+
+    # global stats (avgdl per field = sum cf / N; SURVEY.md §1.3.3): two
+    # scalars per field, streamed file-by-file on the driver (exact int sums)
+    totals: dict[int, int] = {}
+    for f in lex_files:
+        t = pq.read_table(f, columns=["field", "cf"])
+        fld = t.column("field").to_numpy(zero_copy_only=False)
+        cfv = t.column("cf").to_numpy(zero_copy_only=False)
+        for code in np.unique(fld):
+            totals[int(code)] = totals.get(int(code), 0) + int(cfv[fld == code].sum())
+    total_body = float(totals.get(FIELD_BODY, 0))
+    total_title = float(totals.get(FIELD_TITLE, 0))
+    stats = {
+        "n_docs": int(n_docs),
+        "total_len_body": total_body,
+        "total_len_title": total_title,
+        "avgdl_body": total_body / n_docs if n_docs else 0.0,
+        "avgdl_title": total_title / n_docs if n_docs else 0.0,
+        "num_partitions": num_partitions,
+        "block_size": block_size,
+        "fingerprint": fingerprint,
+        "source": source,
+    }
+    mf.write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
+    return {"n_terms_global": n_terms, "stats": stats}
+
+
 def build_index(
     input_path: str,
     index_dir: str,
@@ -398,7 +472,8 @@ def build_index(
     stage_wall["docs_join"] = round(time.perf_counter() - t_stage - stage_wall["segments"], 3)
     t_stage = time.perf_counter()
 
-    # --- stage: lexicon (global df/cf; segments already hold local stats) ---
+    # --- stage: lexicon + global stats ---
+    mf.write_json_atomic(os.path.join(index_dir, "gen.json"), {"n_docs": int(n_docs)})
     seg_glob = os.path.join(index_dir, "segments")
     part_files = (
         [
@@ -409,68 +484,14 @@ def build_index(
         if os.path.isdir(seg_glob)
         else []
     )
-    from ray.data.aggregate import Sum
-
-    lex_dir = os.path.join(index_dir, "lexicon")
-    if os.path.isdir(lex_dir):  # write_parquet appends; stale files double cf
-        import shutil
-
-        shutil.rmtree(lex_dir)
-    seg_stat_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in part_files)
-    if not part_files:
-        from ..schemas import LEXICON
-
-        os.makedirs(lex_dir, exist_ok=True)
-        pq.write_table(LEXICON.empty_table(), os.path.join(lex_dir, "lexicon-0.parquet"))
-    elif seg_stat_rows <= 5_000_000:
-        # small input: one driver-side Arrow group_by beats a Ray shuffle's
-        # fixed cost by seconds (input is per-part term stats, NOT postings)
-        os.makedirs(lex_dir, exist_ok=True)
-        lex_tbl = (
-            pq.read_table(part_files, columns=["field", "term_hash", "df", "cf"])
-            .group_by(["field", "term_hash"])
-            .aggregate([("df", "sum"), ("cf", "sum")])
-            .select(["field", "term_hash", "df_sum", "cf_sum"])
-            .rename_columns(["field", "term_hash", "df", "cf"])
-        )
-        pq.write_table(lex_tbl, os.path.join(lex_dir, "lexicon-0.parquet"))
-    else:
-        (
-            rd.read_parquet(part_files, columns=["field", "term_hash", "df", "cf"])
-            .groupby(["field", "term_hash"])
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-            .write_parquet(lex_dir)  # streamed; a web-scale lexicon is itself big
-        )
-    lex_files = [os.path.join(lex_dir, f) for f in os.listdir(lex_dir) if f.endswith(".parquet")]
-    metrics["n_terms_global"] = sum(pq.ParquetFile(f).metadata.num_rows for f in lex_files)
+    fin = compute_lexicon_and_stats(
+        index_dir, part_files, int(n_docs), cfg.num_partitions, cfg.block_size,
+        fingerprint, source,
+    )
+    metrics["n_terms_global"] = fin["n_terms_global"]
+    stats = fin["stats"]
     stage_wall["lexicon"] = round(time.perf_counter() - t_stage, 3)
     t_stage = time.perf_counter()
-
-    # --- global stats (avgdl per field = sum cf / N; SURVEY.md §1.3.3) ---
-    # Two scalars per field: stream file-by-file on the driver (exact int
-    # sums in int64; one file's two columns resident at a time). A Ray
-    # aggregate here would pay a whole-pipeline fixed cost to add numbers.
-    totals: dict[int, int] = {}
-    for f in lex_files:
-        t = pq.read_table(f, columns=["field", "cf"])
-        fld = t.column("field").to_numpy(zero_copy_only=False)
-        cfv = t.column("cf").to_numpy(zero_copy_only=False)
-        for code in np.unique(fld):
-            totals[int(code)] = totals.get(int(code), 0) + int(cfv[fld == code].sum())
-    total_body = float(totals.get(FIELD_BODY, 0))
-    total_title = float(totals.get(FIELD_TITLE, 0))
-    stats = {
-        "n_docs": int(n_docs),
-        "total_len_body": total_body,
-        "total_len_title": total_title,
-        "avgdl_body": total_body / n_docs if n_docs else 0.0,
-        "avgdl_title": total_title / n_docs if n_docs else 0.0,
-        "num_partitions": cfg.num_partitions,
-        "block_size": cfg.block_size,
-        "fingerprint": fingerprint,
-        "source": source,
-    }
-    mf.write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
     stage_wall["stats"] = round(time.perf_counter() - t_stage, 3)
     metrics["wall_s"] = round(time.perf_counter() - t_start, 3)
     metrics["stats"] = stats

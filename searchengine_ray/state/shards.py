@@ -159,27 +159,52 @@ class _Part:
         return out
 
 
+def segment_part_dirs(index_dir: str) -> list[str]:
+    """All partition segment dirs across generations: the base build's
+    `segments/part-*` plus every incremental `gen-*/segments/part-*`
+    (pipelines/update.py). Order is deterministic (generation, part)."""
+    roots = [index_dir] + sorted(
+        os.path.join(index_dir, d)
+        for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+        if d.startswith("gen-") and os.path.isdir(os.path.join(index_dir, d))
+    )
+    out: list[str] = []
+    for r in roots:
+        seg = os.path.join(r, "segments")
+        if os.path.isdir(seg):
+            out.extend(
+                os.path.join(seg, d)
+                for d in sorted(os.listdir(seg))
+                if d.startswith("part-") and not d.endswith(".tmp")
+            )
+    return out
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Deleted doc_ids (sorted int64); pipelines/update.py delete_docs."""
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(path):
+        return np.zeros(0, dtype=np.int64)
+    return np.sort(
+        pq.read_table(path, columns=["doc_id"]).column("doc_id").to_numpy(zero_copy_only=False)
+    )
+
+
 class LocalIndex:
     """Exact scorer over a set of partitions (no Ray dependency)."""
 
     def __init__(self, index_dir: str, parts: list[int] | None = None):
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
-        seg_dir = os.path.join(index_dir, "segments")
-        all_parts = (
-            sorted(
-                int(d.split("-")[1])
-                for d in os.listdir(seg_dir)
-                if d.startswith("part-") and not d.endswith(".tmp")
-            )
-            if os.path.isdir(seg_dir)
-            else []
+        part_dirs = segment_part_dirs(index_dir)
+        # `parts` selects positions in the flattened (generation, part) list
+        # (for a single-generation index these coincide with part ids)
+        self.part_ids = (
+            list(range(len(part_dirs))) if parts is None else [p for p in parts if p < len(part_dirs)]
         )
-        self.part_ids = all_parts if parts is None else [p for p in all_parts if p in set(parts)]
         bs = int(self.stats["block_size"])
-        self.parts = [
-            _Part(os.path.join(seg_dir, part_name(p)), bs) for p in self.part_ids
-        ]
+        self.parts = [_Part(part_dirs[p], bs) for p in self.part_ids]
+        self.tombstones = load_tombstones(index_dir)
         self.avgdl = {
             FIELD_BODY: float(self.stats["avgdl_body"]),
             FIELD_TITLE: float(self.stats["avgdl_title"]),
@@ -205,7 +230,7 @@ class LocalIndex:
             # conjunctive filter `touched == 0` would match every doc)
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         if algo == "bmw" and mode == "bm25" and not conjunctive:
-            if len({t.field for t in terms}) <= 1:
+            if len({t.field for t in terms}) <= 1 and not len(self.tombstones):
                 return self._topk_bmw(terms, k)
             # multi-field scoring sums per-field BM25 with per-field dl/avgdl;
             # WAND's doc-at-a-time bound bookkeeping is single-field here, so
@@ -234,6 +259,9 @@ class LocalIndex:
                 cand = np.flatnonzero(touched == len(terms))
             else:
                 cand = np.flatnonzero(touched)
+            if len(self.tombstones) and len(cand):
+                alive = ~np.isin(part.doc_ids[cand], self.tombstones)
+                cand = cand[alive]
             if len(cand):
                 d, s = topk_by_score(part.doc_ids[cand], scores[cand], k)
                 out_docs.append(d)
@@ -299,6 +327,10 @@ class LocalIndex:
                 continue
             # BM25-score the matching docs with the standard spec accumulation
             m = np.asarray(matched, dtype=np.int64)
+            if len(self.tombstones):
+                m = m[~np.isin(part.doc_ids[m], self.tombstones)]
+                if not len(m):
+                    continue
             scores = np.zeros(len(m), dtype=np.float64)
             for t in specs:
                 got = part.postings_for(t.field, t.term_hash)
@@ -444,16 +476,7 @@ class SearchEngine:
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         self.n_docs = float(self.stats["n_docs"])
-        seg_dir = os.path.join(index_dir, "segments")
-        all_parts = (
-            sorted(
-                int(d.split("-")[1])
-                for d in os.listdir(seg_dir)
-                if d.startswith("part-") and not d.endswith(".tmp")
-            )
-            if os.path.isdir(seg_dir)
-            else []
-        )
+        all_parts = list(range(len(segment_part_dirs(index_dir))))
         n_shards = max(1, min(n_shards, max(1, len(all_parts))))
         self.shards = [
             IndexShardActor.remote(index_dir, all_parts[i::n_shards]) for i in range(n_shards)
@@ -493,8 +516,15 @@ class SearchEngine:
         read against the docs parquet (doc-bucketed, same partitioning)."""
         if not hasattr(self, "_docs_map"):
             self._docs_map: dict[int, str] = {}
-            docs_dir = os.path.join(self.index_dir, "docs")
-            if os.path.isdir(docs_dir):
+            roots = [self.index_dir] + sorted(
+                os.path.join(self.index_dir, d)
+                for d in os.listdir(self.index_dir)
+                if d.startswith("gen-")
+            )
+            for root in roots:
+                docs_dir = os.path.join(root, "docs")
+                if not os.path.isdir(docs_dir):
+                    continue
                 for f in sorted(os.listdir(docs_dir)):
                     if not f.endswith(".parquet"):
                         continue
