@@ -66,6 +66,17 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--mode", choices=["bm25", "reference"], default="bm25")
     qp.add_argument("--phrase", action="store_true", help="consecutive-token phrase match (index must be built with positions)")
 
+    up = sub.add_parser("update", help="add documents as a new generation")
+    up.add_argument("--input", required=True)
+    up.add_argument("--index", required=True)
+    up.add_argument("-p", "--partitions", type=int, default=16)
+    up.add_argument("--source", choices=["pages", "documents"], default="pages")
+    up.add_argument("--lang", default="en")
+
+    dp = sub.add_parser("delete", help="tombstone documents by doc_id")
+    dp.add_argument("--index", required=True)
+    dp.add_argument("--ids", required=True, help="comma-separated doc ids")
+
     svp = sub.add_parser("serve", help="HTTP search server")
     svp.add_argument("--index", required=True)
     svp.add_argument("--port", type=int, default=8080)
@@ -110,6 +121,23 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for url, score in engine.search_hydrated(args.query, k=args.k):
                     print(f"{score:12.6f}  {url}")
+            return 0
+        if args.cmd == "update":
+            from .pipelines.build import BuildConfig
+            from .pipelines.update import update_index
+
+            cfg = BuildConfig(
+                num_partitions=args.partitions,
+                lang_filter=None if args.lang == "none" else args.lang,
+            )
+            metrics = update_index(args.input, args.index, cfg, source=args.source)
+            print(json.dumps(metrics, default=str))
+            return 0
+        if args.cmd == "delete":
+            from .pipelines.update import delete_docs
+
+            n = delete_docs(args.index, [int(x) for x in args.ids.split(",") if x])
+            print(json.dumps({"n_tombstones": n}))
             return 0
         if args.cmd == "serve":
             from .serve import serve
