@@ -63,6 +63,36 @@ def hash64_array(values: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
     return table[idx]
 
 
+def md5h64(data: bytes | str) -> int:
+    """SQL-checkable 64-bit hash: first 8 bytes of md5, big-endian, signed.
+
+    Used by the dedup contract ops (simhash/minhash/shingles) INSTEAD of
+    hash64 so the DuckDB oracle can recompute it exactly:
+    ('0x' || substr(md5(x), 1, 16))::UBIGINT reinterpreted as int64."""
+    import hashlib
+
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    h = int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def md5h64_array(values: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
+    """md5h64 over a string column, amortized over distinct values (same
+    dictionary-encode trick as hash64_array; token columns are Zipf)."""
+    if isinstance(values, list):
+        values = pa.array(values, type=pa.string())
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    dic = pc.dictionary_encode(values)
+    uniq = dic.dictionary.to_pylist()
+    table = np.fromiter((md5h64(u) for u in uniq), dtype=np.int64, count=len(uniq))
+    idx = dic.indices.to_numpy(zero_copy_only=False)
+    if len(table) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return table[idx]
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """Cheap invertible mixer for integer ids (splitmix-style multiply-xor).
     Accepts signed or unsigned input; operates on the raw 64-bit pattern."""

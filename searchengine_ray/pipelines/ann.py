@@ -121,12 +121,12 @@ def ann_lsh_topk(
         return ((m @ hyper) > 0).astype(np.int64) @ pow2
 
     q_buckets = buckets_of(q_mat)
-    allowed: list[set[int]] = []
+    allowed: list[np.ndarray] = []
     for qb in q_buckets:
-        s = {int(qb)}
+        s = [int(qb)]
         if probe >= 1:
-            s |= {int(qb) ^ (1 << j) for j in range(planes)}
-        allowed.append(s)
+            s += [int(qb) ^ (1 << j) for j in range(planes)]
+        allowed.append(np.unique(np.asarray(s, dtype=np.int64)))
     ref = ray.put((q_ids, q_mat, allowed))
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -135,7 +135,9 @@ def ann_lsh_topk(
         b = buckets_of(m)
         out = []
         for qi in range(len(r_ids)):
-            mask = np.fromiter((int(x) in allow[qi] for x in b), dtype=bool, count=len(b))
+            # vectorized membership over the int64 bucket codes (the
+            # per-row `int(x) in set` loop was a per-query Python scan)
+            mask = np.isin(b, allow[qi])
             if not mask.any():
                 continue
             sims = m[mask] @ r_mat[qi]

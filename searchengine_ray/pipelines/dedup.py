@@ -2,16 +2,29 @@
 embedding-cosine) — first-class components for a training-data pipeline.
 
 Shuffle discipline:
-- exact dedup: content-hash per batch (vectorized md5) -> ONE groupby on
-  the hash (standard hash-partitioned exact dedup; identical texts
-  co-locate, everything else stays put).
+- exact dedup: content-hash per batch -> ONE groupby on the hash
+  (hash-partitioned exact dedup; identical texts co-locate, everything
+  else stays put).
 - MinHash-LSH: shingle->minhash per batch (no shuffle) -> explode to
   (band_id, band_hash, doc_id) -> groupby band bucket (the only shuffle;
   bucket sizes are bounded by collision rate, and a cap guards degenerate
-  buckets) -> candidate pairs -> signature-verify.
-- SimHash: pure map_batches, no shuffle (pairing via prefix groupby).
-- embedding near-dup: block-wise cosine against a broadcast normalized
-  matrix (ray.put once; never re-shipped per batch).
+  buckets) -> candidate pairs -> signature-estimated Jaccard.
+- SimHash: pure map_batches, no shuffle.
+- exact n-gram Jaccard: distributed shingle self-join — (doc, shingle)
+  rows -> groupby(shingle) emits per-shingle doc pairs -> groupby(pair)
+  counts the intersection; |A∪B| from per-doc set sizes carried on the
+  rows. NO driver-side materialization of the shingle table.
+- connected components: distributed min-label propagation to fixpoint
+  (two groupby shuffles per round); union-find retained as a documented
+  small-input fast path.
+- embedding near-dup: broadcast exact path under an explicit size guard;
+  above it, hyperplane-LSH bucketed pairing (groupby bucket -> in-bucket
+  matmul), the same scale path as pipelines/ann.py.
+
+Hash contract: every hash that reaches a driver-checked output
+(shingles, simhash, minhash) derives from md5 (functions/hashing.md5h64)
+so the DuckDB oracle in __ray_entry__.oracle_sql() can recompute it
+bit-for-bit; int64 wrap-around arithmetic is emulated there in HUGEINT.
 """
 
 from __future__ import annotations
@@ -23,7 +36,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.hashing import hash64_array
+from ..functions.hashing import md5h64_array
 from ..functions.runtime import cap_worker_threads
 from ..functions.scoring import round6
 from ..functions.tokenize import tokenize_flat
@@ -33,7 +46,9 @@ MINHASH_PERMS = 64
 LSH_BANDS = 16  # 4 rows per band
 SHINGLE_K = 3
 _MERSENNE = (1 << 61) - 1
+_FNV = np.int64(1099511628211)
 MAX_BUCKET = 64  # cap candidate generation per LSH bucket (skew guard)
+MAX_SHINGLE_DF = 256  # cap per-shingle pair fan-out in the exact join
 
 
 def _minhash_params(num_perm: int = MINHASH_PERMS, seed: int = 12345):
@@ -44,20 +59,21 @@ def _minhash_params(num_perm: int = MINHASH_PERMS, seed: int = 12345):
 
 
 def _doc_shingle_hashes(t: pa.Table, k: int = SHINGLE_K):
-    """Per-row k-gram shingle hash sets (int64). Vectorized rolling hash
-    over the flat token stream; shingles crossing row boundaries masked."""
+    """Per-row k-gram shingle hashes (int64, with multiplicity). Vectorized
+    rolling FNV combine of md5-derived token hashes over the flat token
+    stream; shingles crossing row boundaries masked. The md5 base + int64
+    wrap arithmetic is the SQL-oracle contract (module docstring)."""
     cap_worker_threads()
     texts = t.column("text").combine_chunks()
     parents, tokens = tokenize_flat(texts)
-    th = hash64_array(tokens)
+    th = md5h64_array(tokens)
     n = len(th)
-    out_rows: np.ndarray
     if n < k:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     # rolling combine of k consecutive token hashes (order-sensitive)
     acc = th[: n - k + 1].copy()
     for j in range(1, k):
-        acc = acc * np.int64(1099511628211) + th[j : n - k + 1 + j]
+        acc = acc * _FNV + th[j : n - k + 1 + j]
     valid = parents[: n - k + 1] == parents[k - 1 :]
     return parents[: n - k + 1][valid], acc[valid]
 
@@ -65,7 +81,11 @@ def _doc_shingle_hashes(t: pa.Table, k: int = SHINGLE_K):
 def exact_duplicates(sf_dir: str) -> rd.Dataset:
     """(doc_id, is_canonical) — exact text dedup via content hash; the
     canonical survivor of a duplicate group is the min doc_id (reference
-    analog: A1 first-seen distinct, /root/reference/Indexer/Program.cs:110-116)."""
+    analog: A1 first-seen distinct, /root/reference/Indexer/Program.cs:110-116).
+
+    The content hash is md5 (the SQL-oracle contract); hashlib is
+    inherently per-row, but it is C-speed over each string and the only
+    per-row work in the op — the groupby is the lone shuffle."""
 
     def add_hash(t: pa.Table) -> pa.Table:
         cap_worker_threads()
@@ -94,13 +114,17 @@ def exact_duplicates(sf_dir: str) -> rd.Dataset:
 
 
 def minhash_signatures(ds: rd.Dataset, num_perm: int = MINHASH_PERMS) -> rd.Dataset:
-    """(doc_id, sig:list<int64>[num_perm]) MinHash signatures."""
+    """(doc_id, sig:list<int64>[num_perm], n_shingles) MinHash signatures.
+    Docs with zero shingles (< SHINGLE_K tokens) keep the all-sentinel
+    signature and n_shingles == 0 — band generation drops them (two short
+    docs would otherwise collide in every bucket with est_jaccard 1.0)."""
     a, b = _minhash_params(num_perm)
 
     def fn(t: pa.Table) -> pa.Table:
         rows, sh = _doc_shingle_hashes(t)
         n = t.num_rows
         sigs = np.full((n, num_perm), _MERSENNE, dtype=np.int64)
+        n_sh = np.bincount(rows, minlength=n).astype(np.int64) if len(sh) else np.zeros(n, np.int64)
         if len(sh):
             pos = (sh.view(np.uint64) % np.uint64(_MERSENNE)).astype(np.int64)
             # (S, P) permuted values; reduce min per row via sorted segments
@@ -116,6 +140,7 @@ def minhash_signatures(ds: rd.Dataset, num_perm: int = MINHASH_PERMS) -> rd.Data
                 "sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(sigs.reshape(-1), pa.int64()), num_perm
                 ),
+                "n_shingles": pa.array(n_sh, pa.int64()),
             }
         )
 
@@ -132,11 +157,14 @@ def minhash_lsh_pairs(
 
     shingle -> minhash -> band buckets (groupby shuffle) -> pairs ->
     signature-estimated Jaccard >= threshold. Bucket size capped at
-    MAX_BUCKET (a degenerate bucket of B docs would emit B^2 pairs)."""
+    MAX_BUCKET (a degenerate bucket of B docs would emit B^2 pairs);
+    shingle-less docs emit no bands."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(read_documents(sf_dir, columns=["doc_id", "text"]), num_perm)
 
     def to_bands(t: pa.Table) -> pa.Table:
+        has = t.column("n_shingles").to_numpy(zero_copy_only=False) > 0
+        t = t.filter(pa.array(has))
         n = t.num_rows
         sig = (
             t.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
@@ -144,7 +172,7 @@ def minhash_lsh_pairs(
         band_vals = sig.reshape(n, bands, rows_per_band)
         bh = band_vals[:, :, 0].copy()
         for j in range(1, rows_per_band):
-            bh = bh * np.int64(1099511628211) + band_vals[:, :, j]
+            bh = bh * _FNV + band_vals[:, :, j]
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -200,14 +228,16 @@ def minhash_lsh_pairs(
 
 
 def simhash(sf_dir: str) -> rd.Dataset:
-    """(doc_id, simhash) — 64-bit SimHash over token hashes weighted by tf
-    (here: every occurrence contributes, which equals tf-weighting)."""
+    """(doc_id, simhash) — 64-bit SimHash over md5-derived token hashes;
+    every occurrence contributes (== tf-weighting). Bit p of the output is
+    the majority vote of bit p across token hashes (ties -> 0), which the
+    SQL oracle reproduces with shift/bit_count arithmetic."""
 
     def fn(t: pa.Table) -> pa.Table:
         cap_worker_threads()
         texts = t.column("text").combine_chunks()
         parents, tokens = tokenize_flat(texts)
-        th = hash64_array(tokens)
+        th = md5h64_array(tokens)
         n = t.num_rows
         out = np.zeros(n, dtype=np.int64)
         if len(th):
@@ -224,59 +254,274 @@ def simhash(sf_dir: str) -> rd.Dataset:
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
-    """(doc_a, doc_b, jaccard) EXACT n-gram Jaccard for LSH candidate pairs.
-
-    Verification stage after minhash_lsh_pairs: recompute true shingle-set
-    Jaccard for each candidate. The shingle sets of candidates are fetched
-    via a broadcast dict (candidates are few by construction; at larger
-    scale this becomes a hash-join of candidates against the shingle table)."""
-    cands = minhash_lsh_pairs(sf_dir, threshold=max(0.3, threshold - 0.2)).to_pandas()
-
-    def shingle_sets(t: pa.Table) -> pa.Table:
-        rows, sh = _doc_shingle_hashes(t)
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+def _shingle_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, shingle, sz) — DISTINCT shingles per doc, each row carrying
+    the doc's distinct-shingle-set size (so the pair join can compute
+    |A∪B| = sz_a + sz_b - |A∩B| without a second join)."""
+    rows, sh = _doc_shingle_hashes(t)
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+    if len(sh) == 0:
         return pa.table(
-            {"doc_id": pa.array(doc[rows], pa.int64()), "shingle": pa.array(sh, pa.int64())}
+            {"doc_id": pa.array([], pa.int64()), "shingle": pa.array([], pa.int64()),
+             "sz": pa.array([], pa.int64())}
+        )
+    # distinct (row, shingle): a doc lives entirely in one batch, so
+    # batch-local dedup IS global dedup
+    order = np.lexsort((sh, rows))
+    r_s, s_s = rows[order], sh[order]
+    first = np.empty(len(r_s), dtype=bool)
+    first[0] = True
+    first[1:] = (r_s[1:] != r_s[:-1]) | (s_s[1:] != s_s[:-1])
+    r_u, s_u = r_s[first], s_s[first]
+    sz = np.bincount(r_u, minlength=t.num_rows).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[r_u], pa.int64()),
+            "shingle": pa.array(s_u, pa.int64()),
+            "sz": pa.array(sz[r_u], pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    candidate_ids: np.ndarray | None = None,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> rd.Dataset:
+    """(doc_a, doc_b, jaccard) EXACT n-gram (shingle-set) Jaccard >= threshold.
+
+    Fully distributed — no driver-side shingle table: (doc, shingle, sz)
+    rows -> groupby(shingle) emits in-bucket doc pairs -> groupby(pair)
+    counts |A∩B|; jaccard = ix / (sz_a + sz_b - ix). Exact for any
+    threshold > 0 because a qualifying pair shares >= 1 shingle and so
+    meets in that shingle's group. Per-shingle fan-out is capped at
+    `max_shingle_df` docs (deterministic doc_id order, logged) — a
+    stopword-like shingle shared by B docs would otherwise emit B^2 rows.
+
+    `candidate_ids`: optional broadcast doc-id allowlist — the
+    LSH-verification mode (only candidates' shingles leave the map tasks).
+    """
+    cand_ref = None
+    if candidate_ids is not None:
+        cand_ref = ray.put(np.unique(np.asarray(candidate_ids, dtype=np.int64)))
+
+    def shingles(t: pa.Table) -> pa.Table:
+        out = _shingle_rows(t)
+        if cand_ref is not None and out.num_rows:
+            allow = ray.get(cand_ref)
+            keep = np.isin(out.column("doc_id").to_numpy(zero_copy_only=False), allow)
+            out = out.filter(pa.array(keep))
+        return out
+
+    def shingle_pairs(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sz = group.column("sz").to_numpy(zero_copy_only=False)
+        m = min(len(doc), max_shingle_df)
+        if len(doc) > max_shingle_df:
+            print(
+                f"[ngram_jaccard] shingle df {len(doc)} > cap {max_shingle_df}; "
+                f"pairs beyond the first {max_shingle_df} docs (doc_id order) dropped"
+            )
+        order = np.argsort(doc, kind="stable")
+        doc, sz = doc[order][:m], sz[order][:m]
+        ai, bi = np.triu_indices(m, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(doc[ai], pa.int64()),
+                "doc_b": pa.array(doc[bi], pa.int64()),
+                "sz_a": pa.array(sz[ai], pa.int64()),
+                "sz_b": pa.array(sz[bi], pa.int64()),
+            }
         )
 
-    need = set(cands.doc_a) | set(cands.doc_b)
-    sh_tbl = (
+    def pair_jaccard(group: pa.Table) -> pa.Table:
+        ix = group.num_rows
+        sz_a = int(group.column("sz_a")[0].as_py())
+        sz_b = int(group.column("sz_b")[0].as_py())
+        jac = ix / (sz_a + sz_b - ix)
+        if jac < threshold:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "doc_a": group.column("doc_a").slice(0, 1),
+                "doc_b": group.column("doc_b").slice(0, 1),
+                "jaccard": pa.array([float(round6(jac))], pa.float64()),
+            }
+        )
+
+    return (
         read_documents(sf_dir, columns=["doc_id", "text"])
-        .map_batches(shingle_sets, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+        .map_batches(shingles, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shingle")
+        .map_groups(shingle_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(pair_jaccard, batch_format="pyarrow")
     )
-    sh_tbl = sh_tbl[sh_tbl.doc_id.isin(need)]
-    sets = {d: set(g) for d, g in sh_tbl.groupby("doc_id")["shingle"]}
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cands.doc_a, cands.doc_b):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(float(round6(j)))
-    return rd.from_arrow(
-        pa.table(
-            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
-             "jaccard": pa.array(out_j, pa.float64())}
+
+
+def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """LSH-verification tier: exact Jaccard restricted to minhash-LSH
+    candidate pairs. The candidate PAIR list is small by LSH construction
+    (threshold + bucket caps bound it), so it is collected once and its
+    doc-id set broadcast into the distributed shingle join — only candidate
+    docs' shingles ever leave the map tasks."""
+    cands = minhash_lsh_pairs(sf_dir, threshold=max(0.3, threshold - 0.2)).to_pandas()
+    ids = np.union1d(cands["doc_a"].to_numpy(), cands["doc_b"].to_numpy())
+    exact = ngram_jaccard_pairs(sf_dir, threshold=threshold, candidate_ids=ids)
+    # semi-join against the candidate pair set (broadcast, vectorized)
+    pair_key = ray.put(
+        cands["doc_a"].to_numpy().astype(np.int64) * np.int64(1 << 32)
+        + cands["doc_b"].to_numpy().astype(np.int64)
+    )
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        keys = ray.get(pair_key)
+        k = (
+            t.column("doc_a").to_numpy(zero_copy_only=False) * np.int64(1 << 32)
+            + t.column("doc_b").to_numpy(zero_copy_only=False)
         )
+        return t.filter(pa.array(np.isin(k, keys)))
+
+    return exact.map_batches(keep_candidates, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _components_propagate(pairs: rd.Dataset, docs: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
+    """Distributed connected components: min-label propagation to fixpoint.
+
+    Each round: (label rows ∪ edge rows) -> groupby(node) forwards the
+    node's current label along every incident edge -> groupby(node).min
+    adopts the smallest heard label. The label sum is monotone
+    non-increasing, so `sum(label)` is a cheap fixpoint detector (one
+    scalar aggregate per round, no driver-side label table). Rounds needed
+    = component diameter (near-dup clusters are shallow).
+    """
+    from ray.data.aggregate import Min
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # nodes touched by >= 1 edge; everything else is a singleton (label = own id)
+    labels = (
+        edges.groupby("node")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "node": g.column("node").slice(0, 1),
+                    "nbr": pa.array([None], pa.int64()),
+                    "label": pa.array(
+                        [int(g.column("node")[0].as_py())], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    edge_rows = edges.map_batches(
+        lambda t: t.append_column("label", pa.nulls(t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+
+        def forward(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # exactly one label row (nbr null) per node; the rest are edges
+            lab_col = g.column("label")
+            cur = int(lab_col.filter(pc.is_valid(lab_col))[0].as_py())
+            nbr_col = g.column("nbr")
+            nb = (
+                nbr_col.filter(pc.is_valid(nbr_col))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            node = int(g.column("node")[0].as_py())
+            out_nodes = np.concatenate([nb, np.array([node], np.int64)])
+            return pa.table(
+                {
+                    "node": pa.array(out_nodes, pa.int64()),
+                    "label": pa.array(np.full(len(out_nodes), cur, dtype=np.int64), pa.int64()),
+                }
+            )
+
+        messages = (
+            labels.union(edge_rows)
+            .groupby("node")
+            .map_groups(forward, batch_format="pyarrow")
+        )
+        new_labels = (
+            messages.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        s = new_labels.sum("label")
+        # re-shape to the (node, nbr, label) row layout for the next round
+        labels = new_labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t.column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+
+    final_labels = labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "component_id": t.column("label")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    singletons = docs.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"), "component_id": t.column("doc_id")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # union + min: paired docs take the propagated label, the rest themselves
+    from ray.data.aggregate import Min as _Min
+
+    return (
+        singletons.union(final_labels)
+        .groupby("doc_id")
+        .aggregate(_Min("component_id", alias_name="component_id"))
     )
 
 
-def dedup_components(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
-    """(doc_id, component_id) — near-duplicate clusters: LSH candidate pairs
-    -> connected components; component_id = min doc_id of the cluster.
-    Docs with no near-dup pair form singleton components (their own id).
+def dedup_components(
+    sf_dir: str, threshold: float = 0.5, method: str = "propagate"
+) -> rd.Dataset:
+    """(doc_id, component_id) — near-duplicate clusters over the EXACT
+    n-gram Jaccard pair graph (ngram_jaccard_pairs); component_id = min
+    doc_id of the cluster; unpaired docs are singletons (their own id).
 
-    Components here run as union-find over the COLLECTED pair list — pairs
-    are few by construction (LSH threshold + bucket caps bound them). At
-    10^12-doc scale this becomes a few rounds of min-label propagation:
-    explode pairs to (node, neighbor_label) rows, groupby(node).min, join
-    back, repeat until no label changes — same result, all shuffles."""
-    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold).to_pandas()
+    method='propagate' (default): distributed min-label propagation — all
+    shuffles, no driver-collected pair list (the 10^12-doc path).
+    method='unionfind': small-input fast path — collects the (bounded)
+    pair list and union-finds on the driver; result-identical (tested).
+    """
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    if method == "propagate":
+        return _components_propagate(pairs, docs)
+
+    tbl = pairs.to_pandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -291,7 +536,7 @@ def dedup_components(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    for a, b in zip(pairs.doc_a, pairs.doc_b):
+    for a, b in zip(tbl["doc_a"], tbl["doc_b"]):
         parent.setdefault(int(a), int(a))
         parent.setdefault(int(b), int(b))
         union(int(a), int(b))
@@ -306,43 +551,130 @@ def dedup_components(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
             {"doc_id": t.column("doc_id"), "component_id": pa.array(comp, pa.int64())}
         )
 
-    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
-        fn, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
-    """(id_a, id_b, sim) — embedding-cosine near-duplicates. The (small)
-    normalized matrix is broadcast once via ray.put; each batch does one
-    matmul against it. At 10^12 scale the broadcast side becomes the
-    IVF/LSH-bucketed path (pipelines/ann.py)."""
-    ref_tbl = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).to_pandas()
-    ids = ref_tbl["vec_id"].to_numpy()
-    mat = np.stack(ref_tbl["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+BROADCAST_LIMIT = 200_000  # max vectors for the exact broadcast pair path
 
-    def fn(t: pa.Table) -> pa.Table:
-        r_ids, r_mat = ray.get(ref)
-        my_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = t.column("embedding").combine_chunks()
-        m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
-            len(my_ids), -1
+
+def embedding_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.95,
+    broadcast_limit: int = BROADCAST_LIMIT,
+    planes: int = 12,
+    seed: int = 777,
+) -> rd.Dataset:
+    """(id_a, id_b, sim) — embedding-cosine near-duplicates.
+
+    n <= broadcast_limit: EXACT — the normalized matrix is broadcast once
+    via ray.put (never re-shipped per batch); each batch does one matmul
+    against it. O(N^2/batches) per task, fine for the small side.
+
+    n > broadcast_limit: the scale path — hyperplane-LSH bucketed: each
+    vector is routed to its own sign-bucket plus every 1-bit probe bucket
+    (groupby shuffle), pairs are scored within buckets only, then
+    deduped. Two vectors meet iff their sign patterns differ in <= 2 of
+    `planes` bits — near-exact at high thresholds, approximate below
+    (recall measured in tests/test_dedup.py). Size `planes` to the
+    threshold: expected sign-hamming of a cos>=t pair is
+    planes * arccos(t)/pi, which must land <= 2 to meet (12 suits
+    t~0.95; use ~4 for t~0.4)."""
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    n = emb.count()
+    if n <= broadcast_limit:
+        ref_tbl = pa.concat_tables(ray.get(emb.to_arrow_refs()))
+        ids = ref_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        flat = ref_tbl.column("embedding").combine_chunks()
+        mat = np.asarray(
+            flat.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(ids), -1)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ref = ray.put((ids, mat))
+
+        def fn(t: pa.Table) -> pa.Table:
+            r_ids, r_mat = ray.get(ref)
+            my_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            e = t.column("embedding").combine_chunks()
+            m = np.asarray(e.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+                len(my_ids), -1
+            )
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ r_mat.T
+            bi, ri = np.nonzero(sims >= threshold)
+            a = my_ids[bi]
+            b = r_ids[ri]
+            keep = a < b  # dedup ordered pairs + drop self
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep], pa.int64()),
+                    "id_b": pa.array(b[keep], pa.int64()),
+                    "sim": pa.array(round6(sims[bi, ri][keep]), pa.float64()),
+                }
+            )
+
+        return emb.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return _embedding_pairs_bucketed(emb, threshold, planes, seed)
+
+
+def _embedding_pairs_bucketed(
+    emb: rd.Dataset, threshold: float, planes: int, seed: int
+) -> rd.Dataset:
+    """Scale path: hyperplane sign buckets + 1-bit multiprobe replication,
+    groupby(bucket) -> within-bucket matmul, groupby(pair) dedup."""
+    # dim probed from one row; hyperplanes are seeded constants
+    first = emb.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column("embedding")[0].as_py())
+    g = np.random.Generator(np.random.PCG64(seed))
+    hyper = g.standard_normal((dim, planes))
+    pow2 = (1 << np.arange(planes, dtype=np.int64))[::-1]
+    hyper_ref = ray.put(hyper)
+
+    def route(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        h = ray.get(hyper_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        e = t.column("embedding").combine_chunks()
+        m = np.asarray(e.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+            len(ids), -1
         )
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ r_mat.T
-        bi, ri = np.nonzero(sims >= threshold)
-        a = my_ids[bi]
-        b = r_ids[ri]
-        keep = a < b  # dedup ordered pairs + drop self
+        base = ((m @ h) > 0).astype(np.int64) @ pow2
+        # own bucket + every 1-bit flip (pairs within hamming<=2 meet)
+        buckets = [base] + [base ^ (1 << j) for j in range(planes)]
+        reps = len(buckets)
         return pa.table(
             {
-                "id_a": pa.array(a[keep], pa.int64()),
-                "id_b": pa.array(b[keep], pa.int64()),
-                "sim": pa.array(round6(sims[bi, ri][keep]), pa.float64()),
+                "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, reps), pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(m, (reps, 1)).reshape(-1), pa.float64()), m.shape[1]
+                ),
             }
         )
 
-    return read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        fn, batch_format="pyarrow", zero_copy_batch=True
+    def in_bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        m = (
+            group.column("vec").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(len(ids), -1)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        keep = ids[ai] != ids[bi]  # a vector meets its own replicas
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ids[ai], ids[bi])[keep], pa.int64()),
+                "id_b": pa.array(np.maximum(ids[ai], ids[bi])[keep], pa.int64()),
+                "sim": pa.array(round6(sims[ai, bi][keep]), pa.float64()),
+            }
+        )
+
+    pairs = (
+        emb.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(in_bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
