@@ -230,10 +230,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
         "fingerprints": lambda sf: textops.fingerprints(sf),
-        # multimodal plumbing (deterministic fake payloads; decode stubbed)
-        "media_meta": lambda sf: mm_ops.media_meta(mm_ops.synth_media_dataset(200)),
-        "media_frames": lambda sf: mm_ops.sample_frames(mm_ops.synth_media_dataset(200)),
+        # multimodal plumbing: payloads DERIVED from documents.doc_id by
+        # fixed formulas, decoded by the REAL binary actor-pool stage; the
+        # SQL oracle recomputes expected metadata from doc_id, verifying
+        # the encode->decode round-trip (real media kernels stay stubbed —
+        # no image/audio libs in this container)
+        "media_meta": lambda sf: mm_ops.media_meta(mm_ops.media_dataset_from_documents(sf)),
+        "media_frames": lambda sf: mm_ops.sample_frames(
+            mm_ops.media_dataset_from_documents(sf)
+        ).drop_columns(["frame"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Dedup/ANN/media oracle SQL. Contract (pipelines/dedup.py docstring): all
+# dedup hashes derive from md5 (first 8 bytes, big-endian) so DuckDB can
+# recompute them; numpy's int64 wrap-around arithmetic is emulated in
+# HUGEINT with explicit mod-2^64 steps (verified bit-exact in tests).
+_W = 1 << 64
+_H = 1 << 63
+_MERS = (1 << 61) - 1
+_FNV = 1099511628211
+
+
+def _u64(col: str) -> str:
+    """md5-derived unsigned 64-bit hash of a string column, as HUGEINT."""
+    return f"('0x'||substr(md5({col}),1,16))::UBIGINT::HUGEINT"
+
+
+# distinct (doc_id, shingle) rows: rolling FNV combine of 3 consecutive
+# md5 token hashes with int64 wrap (mirrors dedup._doc_shingle_hashes)
+def _shingle_ctes(toks: str) -> str:
+    return f"""
+tokd AS (SELECT doc_id, {toks} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    (((({_u64('t[s.i+1]')} * {_FNV} + {_u64('t[s.i+2]')}) % {_W}) * {_FNV}
+      + {_u64('t[s.i+3]')}) % {_W}) AS su
+  FROM tokd, LATERAL (SELECT unnest(range(len(t) - 2)) AS i) s
+  WHERE len(t) >= 3
+),
+shd AS (SELECT DISTINCT doc_id, su FROM sh0)"""
+
+
+def _ngram_body() -> str:
+    """Shared exact-Jaccard pair CTEs (after shd)."""
+    return """
+sz AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+ix AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       FROM shd a JOIN shd b ON a.su = b.su AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (SELECT da, db, i::DOUBLE / (sa.c + sb.c - i) AS j
+        FROM ix JOIN sz sa ON sa.doc_id = ix.da JOIN sz sb ON sb.doc_id = ix.db)"""
+
+
+def _minhash_perm_values() -> str:
+    from searchengine_ray.pipelines.dedup import _minhash_params
+
+    a, b = _minhash_params()
+    return ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(len(a))
+    )
+
+
+def _ann_hyperplane_values(planes: int = 12, seed: int = 777, dim: int = 64) -> str:
+    g = np.random.Generator(np.random.PCG64(seed))
+    hyper = g.standard_normal((dim, planes))
+    rows = []
+    for j in range(planes):
+        vec = ", ".join(repr(float(x)) for x in hyper[:, j])
+        rows.append(f"({j}, [{vec}]::DOUBLE[])")
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -400,6 +466,110 @@ FROM e a CROSS JOIN e b
 WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.ee, b.ee) >= 0.4
 """
 
+    sh_ctes = _shingle_ctes(toks)
+    ngram = f"""
+WITH {sh_ctes},
+{_ngram_body()}
+SELECT da AS doc_a, db AS doc_b, {_r6('j')} AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+    simhash_sql = f"""
+WITH tok AS ({tok}),
+th AS (SELECT doc_id,
+        (CASE WHEN u >= {_H} THEN (u - {_W})::BIGINT ELSE u::BIGINT END) AS h
+       FROM (SELECT doc_id, {_u64('term')} AS u FROM tok)),
+bits AS (SELECT doc_id, pp.p AS p, CASE WHEN ((h >> pp.p) & 1) = 1 THEN 1 ELSE -1 END AS c
+         FROM th, (SELECT unnest(range(64)) AS p) pp),
+sums AS (SELECT doc_id, p, sum(c) AS s FROM bits GROUP BY 1, 2),
+packed AS (SELECT doc_id,
+            sum(CASE WHEN s > 0 THEN (1::HUGEINT << p) ELSE 0::HUGEINT END) AS up
+           FROM sums GROUP BY 1)
+SELECT d.doc_id,
+  coalesce((CASE WHEN up >= {_H} THEN up - {_W} ELSE up END)::BIGINT, 0) AS simhash
+FROM documents d LEFT JOIN packed USING (doc_id)
+"""
+
+    minhash = f"""
+WITH {sh_ctes},
+perm(p, pa, pb) AS (VALUES {_minhash_perm_values()}),
+pos AS (SELECT doc_id, (su % {_MERS}) AS pos FROM shd),
+hv AS (SELECT doc_id, p,
+        (CASE WHEN x >= {_H} THEN x - {_W} ELSE x END) AS sx
+       FROM (SELECT doc_id, p, ((pos * pa) % {_W} + pb) % {_W} AS x FROM pos, perm)),
+sig AS (SELECT doc_id, p, min(((sx % {_MERS}) + {_MERS}) % {_MERS}) AS sv FROM hv GROUP BY 1, 2),
+bs AS (SELECT doc_id, p // 4 AS band, list(sv ORDER BY p) AS vs FROM sig GROUP BY 1, 2),
+bh AS (SELECT doc_id, band,
+        ((((((vs[1] * {_FNV} + vs[2]) % {_W}) * {_FNV} + vs[3]) % {_W}) * {_FNV} + vs[4]) % {_W}) AS bhv
+       FROM bs),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bh a JOIN bh b ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id),
+eq AS (SELECT c.da, c.db, count(*) FILTER (WHERE sa.sv = sb.sv) AS neq
+       FROM cand c JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.p = sa.p
+       GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b, {_r6('neq / 64.0')} AS est_jaccard
+FROM eq WHERE neq / 64.0 >= 0.5
+"""
+
+    components = f"""
+WITH RECURSIVE {sh_ctes},
+{_ngram_body()},
+pairs AS (SELECT da, db FROM jac WHERE j >= 0.5),
+edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node WHERE w.comp < e.b
+)
+SELECT node AS doc_id, min(comp) AS component_id FROM walk GROUP BY node
+"""
+
+    ann_lsh = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+hp(j, v) AS (VALUES {_ann_hyperplane_values()}),
+qb AS (SELECT query_id, sum(CASE WHEN list_dot_product(qe, hp.v) > 0
+                                 THEN (1::BIGINT << (11 - hp.j)) ELSE 0 END)::BIGINT AS b
+       FROM q, hp GROUP BY 1),
+eb AS (SELECT vec_id, sum(CASE WHEN list_dot_product(ee, hp.v) > 0
+                               THEN (1::BIGINT << (11 - hp.j)) ELSE 0 END)::BIGINT AS b
+       FROM e, hp GROUP BY 1),
+sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(e.ee, q.qe) AS sim
+         FROM q JOIN qb USING (query_id)
+              JOIN eb ON bit_count(xor(qb.b, eb.b)) <= 1
+              JOIN e ON e.vec_id = eb.vec_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(sim*1000000000 + 0.5) DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT query_id, rank::INT AS rank, neighbor_id, {_r6('sim')} AS sim
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    from searchengine_ray.pipelines.multimodal import _HEADER_SIZE
+
+    media_meta_sql = f"""
+SELECT doc_id AS media_id, (doc_id % 3)::INT AS kind,
+  (16 + doc_id % 497)::INT AS width,
+  (16 + (doc_id // 7) % 481)::INT AS height,
+  (CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 97 ELSE 1 END)::INT AS n_frames,
+  ({_HEADER_SIZE} + 64 + doc_id % 256)::BIGINT AS n_bytes,
+  TRUE AS decoded_ok
+FROM documents
+"""
+
+    media_frames_sql = """
+WITH m AS (SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 97 ELSE 1 END AS nf,
+  64 + doc_id % 256 AS blen FROM documents)
+SELECT media_id, s.j::INT AS frame_idx,
+  ((s.j * 64) % blen)::BIGINT AS frame_off,
+  least(64, blen - (s.j * 64) % blen)::BIGINT AS frame_len
+FROM m, LATERAL (SELECT unnest(range(0, nf, 10)) AS j) s
+"""
+
     return {
         "lexicon": f"""
 WITH tok AS ({tok}),
@@ -464,7 +634,11 @@ FROM base
 WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
 SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM base
 """,
-        # no SQL (approximate / stateful / media): driver does rows-only checks
-        # for dedup_minhash_pairs, dedup_ngram_jaccard, dedup_simhash,
-        # ann_lsh_topk, media_meta, media_frames.
+        "dedup_ngram_jaccard": ngram,
+        "dedup_simhash": simhash_sql,
+        "dedup_minhash_pairs": minhash,
+        "dedup_components": components,
+        "ann_lsh_topk": ann_lsh,
+        "media_meta": media_meta_sql,
+        "media_frames": media_frames_sql,
     }

@@ -101,7 +101,7 @@ class FrameSampleStage:
         self.frame_bytes = frame_bytes
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids_out, frame_idx, frames = [], [], []
+        ids_out, frame_idx, offs, lens, frames = [], [], [], [], []
         for mid, p in zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()):
             if p[:4] != _MAGIC:
                 continue
@@ -109,13 +109,18 @@ class FrameSampleStage:
             body = p[_HEADER_SIZE:]
             for j in range(0, nf, self.stride):
                 start = (j * self.frame_bytes) % max(1, len(body) or 1)
+                frame = body[start : start + self.frame_bytes]
                 ids_out.append(mid)
                 frame_idx.append(j)
-                frames.append(body[start : start + self.frame_bytes])
+                offs.append(start)
+                lens.append(len(frame))
+                frames.append(frame)
         return pa.table(
             {
                 "media_id": pa.array(ids_out, pa.int64()),
                 "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame_off": pa.array(offs, pa.int64()),
+                "frame_len": pa.array(lens, pa.int64()),
                 "frame": pa.array(frames, pa.binary()),
             }
         )
@@ -140,6 +145,45 @@ def sample_frames(media_ds: rd.Dataset, stride: int = 10, concurrency: int = 2) 
         batch_size=32,
         concurrency=concurrency,
         num_cpus=1,
+    )
+
+
+def media_dataset_from_documents(sf_dir: str) -> rd.Dataset:
+    """Deterministic media table DERIVED from the `documents` table: one
+    payload per doc_id, with header fields computed from doc_id by fixed
+    integer formulas. This makes the decode plumbing oracle-checkable —
+    the DuckDB oracle recomputes the expected metadata from doc_id with
+    the same formulas, so media_meta/media_frames verify that the binary
+    encode -> actor-pool decode round-trip inverts exactly. The payload
+    BYTES are real (built + parsed through the same struct header as any
+    media blob); only their content rule is synthetic (no media libs in
+    this container — see MediaDecodeStage)."""
+    from ..sources.tables import read_documents
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        kinds = ids % 3
+        widths = 16 + ids % 497
+        heights = 16 + (ids // 7) % 481
+        nfs = np.where(kinds == 2, 1 + ids % 97, 1)
+        blens = 64 + ids % 256
+        payloads = []
+        for i in range(len(ids)):
+            body = bytes((int(ids[i]) + 31 * j) % 256 for j in range(int(blens[i])))
+            payloads.append(
+                make_media_payload(
+                    int(kinds[i]), int(widths[i]), int(heights[i]), int(nfs[i]), body
+                )
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
