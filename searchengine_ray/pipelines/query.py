@@ -20,7 +20,7 @@ import ray.data as rd
 
 from ..functions.runtime import cap_worker_threads
 from ..schemas import FIELD_BODY, FIELD_TITLE
-from ..state.shards import Lexicon, LocalIndex, make_term_specs
+from ..state.shards import Lexicon, LocalIndex, make_term_specs, with_ref_cutoffs
 
 
 class QueryEvalActor:
@@ -41,6 +41,7 @@ class QueryEvalActor:
         self.fields = fields
         self.default_k = default_k
         self.conjunctive = conjunctive
+        self._cutoff_cache: dict = {}  # reference-mode truncation memo
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_numpy(zero_copy_only=False)
@@ -60,6 +61,12 @@ class QueryEvalActor:
             )
             if not specs:
                 continue
+            if self.mode == "reference":
+                # global top-1000-postings-by-tf truncation (this actor
+                # holds ALL partitions, so its candidates are global)
+                specs = with_ref_cutoffs(
+                    specs, self.index.tf_doc_candidates, cache=self._cutoff_cache
+                )
             docs, scores = self.index.topk(
                 specs, int(k), self.mode, conjunctive=self.conjunctive
             )

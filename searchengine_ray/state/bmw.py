@@ -33,16 +33,18 @@ class _Cursor:
     """One (term, partition) posting list with block-skipping state."""
 
     __slots__ = (
-        "spec_idx", "weight", "avgdl", "ords_bytes", "tfs_bytes",
+        "spec_idx", "weight", "avgdl", "dl", "ords_bytes", "tfs_bytes",
         "blk_first", "blk_last", "blk_max_tf", "blk_min_dl",
         "blk_off_ords", "blk_off_tfs", "n", "block_size",
         "blk_ubs", "ub", "j", "pos", "ords", "tfs", "cur",
     )
 
-    def __init__(self, spec_idx, weight, avgdl, row, block_size):
+    def __init__(self, spec_idx, weight, avgdl, row, block_size, dl=None):
         self.spec_idx = spec_idx
         self.weight = weight  # qtf * idf
         self.avgdl = avgdl
+        self.dl = dl  # this FIELD's per-ordinal doc lengths (multi-field:
+        # each cursor scores against its own field's dl/avgdl)
         self.ords_bytes = row["ords"]
         self.tfs_bytes = row["tfs"]
         self.blk_first = np.asarray(row["blk_first"], dtype=np.int64)
@@ -111,29 +113,30 @@ class _Cursor:
         else:  # target inside a gap at block end
             self._load_block(self.j + 1)
 
-    def score(self, dl: float) -> float:
+    def score_at(self, ordinal: int) -> float:
         tf = float(self.tfs[self.pos])
+        dl = float(self.dl[ordinal])
         return self.weight * (tf / (tf + K1 * (1.0 - B + B * (dl / self.avgdl))))
 
 
 SHORT_LIST_POSTINGS = 16384  # below this, vectorized exact scan beats WAND (measured)
 
 
-def _exact_short(cursors: list["_Cursor"], dl: np.ndarray, k: int):
+def _exact_short(cursors: list["_Cursor"], n_docs: int, k: int):
     """Vectorized exhaustive scoring for short lists — identical results
     (same kernel, same TermSpec accumulation order), ~10x less Python
     overhead than document-at-a-time pivoting. Standard WAND fallback."""
     from ..functions.scoring import bm25_term_scores, topk_by_score
     from .segments import decode_ords, decode_tfs
 
-    scores = np.zeros(len(dl), dtype=np.float64)
-    touched = np.zeros(len(dl), dtype=bool)
+    scores = np.zeros(n_docs, dtype=np.float64)
+    touched = np.zeros(n_docs, dtype=bool)
     for c in sorted(cursors, key=lambda c: c.spec_idx):
         ords = decode_ords(c.ords_bytes, c.blk_first, c.block_size)
         tfs = decode_tfs(c.tfs_bytes)
         # weight == qtf*idf; bm25_term_scores computes (qtf*idf)*... with
-        # qtf=1.0 -> bit-identical product
-        scores[ords] += bm25_term_scores(tfs, dl[ords], c.weight, 1.0, c.avgdl)
+        # qtf=1.0 -> bit-identical product; dl is the CURSOR's field
+        scores[ords] += bm25_term_scores(tfs, c.dl[ords], c.weight, 1.0, c.avgdl)
         touched[ords] = True
     cand = np.flatnonzero(touched)
     if not len(cand):
@@ -142,13 +145,15 @@ def _exact_short(cursors: list["_Cursor"], dl: np.ndarray, k: int):
 
 
 def bmw_topk(
-    cursors: list[_Cursor], dl: np.ndarray, k: int
+    cursors: list[_Cursor], n_docs: int, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max WAND over one partition. Returns (ords, scores) of the
-    local top-k by (score desc, ord asc) — ord order == doc_id order."""
+    """Block-max WAND over one partition (cursors may span FIELDS: each
+    carries its own dl/avgdl; ordinals are shared across fields, so the
+    doc-at-a-time pivot logic is field-agnostic). Returns (ords, scores)
+    of the local top-k by (score desc, ord asc) — ord order == doc_id order."""
     cursors = [c for c in cursors if c.cur != _INF]
     if sum(c.n for c in cursors) <= max(SHORT_LIST_POSTINGS, 8 * k):
-        return _exact_short(cursors, dl, k)
+        return _exact_short(cursors, n_docs, k)
     heap: list[tuple[float, int]] = []  # min-heap of (score, -ord)
     theta = -np.inf
 
@@ -188,9 +193,8 @@ def bmw_topk(
                 # score in TermSpec order -> bit-identical to TAAT sums
                 in_play.sort(key=lambda c: c.spec_idx)
                 s = 0.0
-                d = float(dl[pivot])
                 for c in in_play:
-                    s += c.score(d)
+                    s += c.score_at(pivot)
                 if not full():
                     heapq.heappush(heap, (s, -pivot))
                     if full():

@@ -46,16 +46,31 @@ from ..state.segments import decode_ords, decode_tfs
 from ..state.manifest import part_name
 
 
+REF_TRUNCATE = 1000  # reference Engine caps at the top-1000 postings by tf
+# (/root/reference/Engine/Engine/Engine.cs:185-199: lists are stored tf-asc
+#  and read backwards from the end)
+
+
 @dataclass
 class TermSpec:
     """Everything a shard needs to score one (field, term): global stats are
-    resolved by the coordinator (a shard only has local df/cf)."""
+    resolved by the coordinator (a shard only has local df/cf).
+
+    tf_cut/doc_cut: reference-mode global posting truncation — when
+    tf_cut >= 0, only postings with (tf > tf_cut) or (tf == tf_cut and
+    doc_id >= doc_cut) are scored, which selects EXACTLY the global
+    top-REF_TRUNCATE postings by (tf, doc_id) ascending-tail order (the
+    oracle's deterministic version of Engine.cs:193-197). Computed by the
+    coordinator from per-shard candidates (with_ref_cutoffs)."""
 
     field: int
     term_hash: int
     qtf: float
     idf: float  # bm25 mode
     cf: float  # reference mode (global collection frequency)
+    df: float = 0.0  # global document frequency (truncation trigger)
+    tf_cut: int = -1
+    doc_cut: int = 0
 
 
 def _binary_views(col) -> tuple[np.ndarray, np.ndarray]:
@@ -144,6 +159,23 @@ class _Part:
         pos = decode_positions(self._bin(self.pos_data, self.pos_off, row), tfs)
         return ords, tfs, pos
 
+    def tf_doc_candidates(
+        self, field: int, term_hash: int, limit: int
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """This partition's top-`limit` postings of (field, term) by
+        (tf, doc_id) ascending-tail order — a superset contributor to the
+        GLOBAL reference-mode truncation cutoff (the global top-limit is
+        contained in the union of per-partition top-limits)."""
+        got = self.postings_for(field, term_hash)
+        if got is None:
+            return None
+        ords, tfs = got
+        docs = self.doc_ids[ords]
+        if len(docs) > limit:
+            keep = np.lexsort((docs, tfs))[-limit:]
+            docs, tfs = docs[keep], tfs[keep]
+        return tfs, docs
+
     def row_dict(self, field: int, term_hash: int) -> dict | None:
         """Raw segment row views (for the BMW cursor's selective block decode)."""
         row = self.lookup.get((field, term_hash))
@@ -230,11 +262,11 @@ class LocalIndex:
             # conjunctive filter `touched == 0` would match every doc)
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         if algo == "bmw" and mode == "bm25" and not conjunctive:
-            if len({t.field for t in terms}) <= 1 and not len(self.tombstones):
+            if not len(self.tombstones):
+                # multi-field included: each cursor carries its own field's
+                # dl/avgdl (state/bmw.py); ordinals are shared across fields
                 return self._topk_bmw(terms, k)
-            # multi-field scoring sums per-field BM25 with per-field dl/avgdl;
-            # WAND's doc-at-a-time bound bookkeeping is single-field here, so
-            # fall back to the exact exhaustive path (same results)
+            # tombstones filter at the candidate stage -> exhaustive path
             algo = "taat"
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
@@ -246,6 +278,14 @@ class LocalIndex:
                 if got is None:
                     continue
                 ords, tfs = got
+                if mode != "bm25" and t.tf_cut >= 0:
+                    # reference truncation: keep exactly the global
+                    # top-REF_TRUNCATE postings (Engine.cs:185-199)
+                    did = part.doc_ids[ords]
+                    keep = (tfs > t.tf_cut) | ((tfs == t.tf_cut) & (did >= t.doc_cut))
+                    ords, tfs = ords[keep], tfs[keep]
+                    if not len(ords):
+                        continue
                 dl = part.dl[t.field][ords]
                 if mode == "bm25":
                     contrib = bm25_term_scores(tfs, dl, t.idf, t.qtf, self.avgdl[t.field])
@@ -269,6 +309,28 @@ class LocalIndex:
         if not out_docs:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         return topk_by_score(np.concatenate(out_docs), np.concatenate(out_scores), k)
+
+    def tf_doc_candidates(
+        self, field: int, term_hash: int, limit: int = REF_TRUNCATE
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Merged top-`limit` (tf, doc_id) candidates across THIS index's
+        partitions (global when the index holds all partitions)."""
+        tfs_all: list[np.ndarray] = []
+        docs_all: list[np.ndarray] = []
+        for part in self.parts:
+            got = part.tf_doc_candidates(field, term_hash, limit)
+            if got is None:
+                continue
+            tfs_all.append(got[0])
+            docs_all.append(got[1])
+        if not tfs_all:
+            return np.zeros(0, np.uint32), np.zeros(0, np.int64)
+        tfs = np.concatenate(tfs_all)
+        docs = np.concatenate(docs_all)
+        if len(docs) > limit:
+            keep = np.lexsort((docs, tfs))[-limit:]
+            tfs, docs = tfs[keep], docs[keep]
+        return tfs, docs
 
     def phrase_topk(
         self,
@@ -361,16 +423,19 @@ class LocalIndex:
         out_scores: list[np.ndarray] = []
         for part in self.parts:
             cursors = []
-            dl_ref: np.ndarray | None = None
             for si, t in enumerate(terms):
                 row = part.row_dict(t.field, t.term_hash)
                 if row is None:
                     continue
-                cursors.append(_Cursor(si, t.qtf * t.idf, self.avgdl[t.field], row, bs))
-                dl_ref = part.dl[t.field]
+                cursors.append(
+                    _Cursor(
+                        si, t.qtf * t.idf, self.avgdl[t.field], row, bs,
+                        dl=part.dl[t.field],
+                    )
+                )
             if not cursors:
                 continue
-            ords, scores = bmw_topk(cursors, dl_ref, k)
+            ords, scores = bmw_topk(cursors, len(part.doc_ids), k)
             if len(ords):
                 out_docs.append(part.doc_ids[ords])
                 out_scores.append(scores)
@@ -403,6 +468,11 @@ class IndexShardActor:
         self, words: list[str], specs: list[TermSpec], k: int, field: int
     ) -> tuple[np.ndarray, np.ndarray]:
         return self.index.phrase_topk(words, specs, k, field)
+
+    def tf_doc_candidates(
+        self, field: int, term_hash: int, limit: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.index.tf_doc_candidates(field, term_hash, limit)
 
 
 class Lexicon:
@@ -453,8 +523,44 @@ def make_term_specs(
                 continue
             df, cf = st
             idf = bm25_idf(float(df), n_docs) if mode == "bm25" else 0.0
-            specs.append(TermSpec(field, th, float(qtf), idf, float(cf)))
+            specs.append(TermSpec(field, th, float(qtf), idf, float(cf), df=float(df)))
     return specs
+
+
+def with_ref_cutoffs(
+    specs: list[TermSpec],
+    candidates_fn,
+    limit: int = REF_TRUNCATE,
+    cache: dict | None = None,
+) -> list[TermSpec]:
+    """Resolve reference-mode truncation cutoffs for terms with global
+    df > limit. `candidates_fn(field, term_hash, limit)` must return the
+    GLOBAL top-limit (tfs, docs) candidates (LocalIndex.tf_doc_candidates
+    when one index holds every partition; a shard scatter-gather merge in
+    SearchEngine). The boundary posting in (tf, doc_id)-ascending tail
+    order becomes (tf_cut, doc_cut)."""
+    from dataclasses import replace
+
+    out: list[TermSpec] = []
+    for t in specs:
+        if t.df <= limit:
+            out.append(t)
+            continue
+        key = (t.field, t.term_hash, limit)
+        if cache is not None and key in cache:
+            tf_cut, doc_cut = cache[key]
+        else:
+            tfs, docs = candidates_fn(t.field, t.term_hash, limit)
+            if len(docs) < limit:  # lexicon df counts generations a
+                out.append(t)  # truncated view can't see; no cutoff
+                continue
+            order = np.lexsort((docs, tfs))
+            b = order[-limit]  # the smallest KEPT posting
+            tf_cut, doc_cut = int(tfs[b]), int(docs[b])
+            if cache is not None:
+                cache[key] = (tf_cut, doc_cut)
+        out.append(replace(t, tf_cut=tf_cut, doc_cut=doc_cut))
+    return out
 
 
 class SearchEngine:
@@ -482,8 +588,33 @@ class SearchEngine:
             IndexShardActor.remote(index_dir, all_parts[i::n_shards]) for i in range(n_shards)
         ]
 
+    def _global_candidates(self, field: int, term_hash: int, limit: int):
+        """Scatter-gather per-shard top-limit (tf, doc) candidates and merge
+        — O(n_shards * limit) ints per hot term, cached per coordinator."""
+        parts = ray.get(
+            [s.tf_doc_candidates.remote(field, term_hash, limit) for s in self.shards]
+        )
+        tfs = np.concatenate([p[0] for p in parts])
+        docs = np.concatenate([p[1] for p in parts])
+        if len(docs) > limit:
+            keep = np.lexsort((docs, tfs))[-limit:]
+            tfs, docs = tfs[keep], docs[keep]
+        return tfs, docs
+
+    def _resolve_specs(self, query: str, fields=None) -> list[TermSpec]:
+        specs = make_term_specs(
+            query, self.lexicon, self.n_docs, fields or self.fields, self.mode
+        )
+        if specs and self.mode == "reference":
+            if not hasattr(self, "_cutoff_cache"):
+                self._cutoff_cache: dict = {}
+            specs = with_ref_cutoffs(
+                specs, self._global_candidates, cache=self._cutoff_cache
+            )
+        return specs
+
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        specs = make_term_specs(query, self.lexicon, self.n_docs, self.fields, self.mode)
+        specs = self._resolve_specs(query)
         if not specs:
             return []
         parts = ray.get([s.topk.remote(specs, k, self.mode, self.algo) for s in self.shards])
@@ -541,10 +672,7 @@ class SearchEngine:
 
     def search_batch(self, queries: list[str], k: int = 10) -> list[list[tuple[int, float]]]:
         """Batched scatter-gather: one round trip per shard for ALL queries."""
-        spec_lists = [
-            make_term_specs(q, self.lexicon, self.n_docs, self.fields, self.mode)
-            for q in queries
-        ]
+        spec_lists = [self._resolve_specs(q) for q in queries]
         futures = [s.topk_batch.remote(spec_lists, k, self.mode, self.algo) for s in self.shards]
         per_shard = ray.get(futures)
         out = []

@@ -97,3 +97,43 @@ def test_bmw_skips_blocks(index_dir, ray_session, monkeypatch):
             if row:
                 total_blocks += len(row["blk_first"])
     assert 0 < decoded["n"] <= total_blocks
+
+
+def test_bmw_multifield_matches_taat(index_dir, ray_session, monkeypatch):
+    """Round-2: the default two-field config (body+title) now runs true
+    BMW (per-cursor dl/avgdl) instead of falling back — bit-identical to
+    exhaustive TAAT on the fuzz query set."""
+    import searchengine_ray.state.bmw as bmw_mod
+
+    from searchengine_ray.schemas import FIELD_TITLE
+
+    monkeypatch.setattr(bmw_mod, "SHORT_LIST_POSTINGS", 0)  # force true WAND
+    index = LocalIndex(index_dir)
+    lex = Lexicon(index_dir)
+    queries = make_queries_table(60).column("query").to_pylist()
+    n_hits = 0
+    for q in queries:
+        specs = make_term_specs(q, lex, index.n_docs, (FIELD_BODY, FIELD_TITLE), "bm25")
+        if not specs:
+            continue
+        d1, s1 = index.topk(specs, 10, "bm25", algo="taat")
+        d2, s2 = index.topk(specs, 10, "bm25", algo="bmw")
+        np.testing.assert_array_equal(d1, d2, err_msg=q)
+        np.testing.assert_array_equal(s1, s2, err_msg=q)  # bit-identical
+        n_hits += len(d1) > 0
+    assert n_hits > 30
+
+
+def test_bmw_multifield_short_fallback(index_dir, ray_session):
+    from searchengine_ray.schemas import FIELD_TITLE
+
+    index = LocalIndex(index_dir)
+    lex = Lexicon(index_dir)
+    for q in ("taaa", "taaa tabc tzzz", "tbcd taab taac"):
+        specs = make_term_specs(q, lex, index.n_docs, (FIELD_BODY, FIELD_TITLE), "bm25")
+        if not specs:
+            continue
+        d1, s1 = index.topk(specs, 10, "bm25", algo="taat")
+        d2, s2 = index.topk(specs, 10, "bm25", algo="bmw")
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(s1, s2)
