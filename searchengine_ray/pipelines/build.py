@@ -473,7 +473,6 @@ def build_index(
     t_stage = time.perf_counter()
 
     # --- stage: lexicon + global stats ---
-    mf.write_json_atomic(os.path.join(index_dir, "gen.json"), {"n_docs": int(n_docs)})
     seg_glob = os.path.join(index_dir, "segments")
     part_files = (
         [
@@ -489,6 +488,11 @@ def build_index(
         fingerprint, source,
     )
     metrics["n_terms_global"] = fin["n_terms_global"]
+    # gen.json is the generation COMMIT MARKER: written only after every
+    # stage (segments + lexicon + stats) completed. Readers and
+    # refresh_global ignore gen-* dirs without it, so a killed incremental
+    # update is never served half-built (state/shards.committed_generation_roots)
+    mf.write_json_atomic(os.path.join(index_dir, "gen.json"), {"n_docs": int(n_docs)})
     stats = fin["stats"]
     stage_wall["lexicon"] = round(time.perf_counter() - t_stage, 3)
     t_stage = time.perf_counter()

@@ -168,6 +168,92 @@ def build_segment(group: pa.Table, block_size: int = BLOCK_SIZE) -> tuple[pa.Tab
     return docmeta, postings
 
 
+def segment_to_postings(part_dir: str, block_size: int) -> pa.Table:
+    """Inverse of build_segment: reconstruct the partition's FLAT postings
+    rows (field, term_hash, doc_id, tf, dl [, positions]) from its segment
+    files. Round-trips exactly: build_segment(segment_to_postings(d)) is
+    byte-identical to the original segment (compaction relies on this —
+    pipelines/update.py compact)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.tokenize import encode_group_positions
+
+    docs = pq.read_table(os.path.join(part_dir, "docs.parquet"))
+    doc_ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    dl_by_field = {
+        FIELD_BODY: docs.column("dl_body").to_numpy(zero_copy_only=False),
+        FIELD_TITLE: docs.column("dl_title").to_numpy(zero_copy_only=False),
+    }
+    post = pq.read_table(os.path.join(part_dir, "postings.parquet"))
+    has_pos = "positions" in post.column_names
+    out_f: list[np.ndarray] = []
+    out_th: list[np.ndarray] = []
+    out_doc: list[np.ndarray] = []
+    out_tf: list[np.ndarray] = []
+    out_dl: list[np.ndarray] = []
+    pos_blobs: list[bytes] = []
+    pos_bounds: list[np.ndarray] = []
+    f_col = post.column("field").to_numpy(zero_copy_only=False)
+    th_col = post.column("term_hash").to_numpy(zero_copy_only=False)
+    for row in range(post.num_rows):
+        blk_first = np.asarray(post.column("blk_first")[row].as_py(), dtype=np.int64)
+        ords = decode_ords(
+            post.column("ords")[row].as_py(), blk_first, block_size
+        )
+        tfs = decode_tfs(post.column("tfs")[row].as_py())
+        n = len(ords)
+        out_f.append(np.full(n, f_col[row], dtype=np.uint8))
+        out_th.append(np.full(n, th_col[row], dtype=np.int64))
+        out_doc.append(doc_ids[ords])
+        out_tf.append(tfs.astype(np.uint32))
+        out_dl.append(dl_by_field[int(f_col[row])][ords])
+        if has_pos:
+            flat_pos = decode_positions(post.column("positions")[row].as_py(), tfs)
+            # per-POSTING re-encode (delta within posting, first absolute):
+            # varbyte is canonical, so bytes equal the original build's
+            group = np.repeat(np.arange(n, dtype=np.int64), tfs.astype(np.int64))
+            buf, bounds = encode_group_positions(group, flat_pos)
+            pos_blobs.append(buf)
+            pos_bounds.append(bounds)
+    if not out_f:
+        base = POSTINGS_FLAT_EMPTY()
+        return base
+    tbl = pa.table(
+        {
+            "field": pa.array(np.concatenate(out_f), pa.uint8()),
+            "term_hash": pa.array(np.concatenate(out_th), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "tf": pa.array(np.concatenate(out_tf), pa.uint32()),
+            "dl": pa.array(np.concatenate(out_dl), pa.uint32()),
+        }
+    )
+    if has_pos:
+        total = b"".join(pos_blobs)
+        offs = [np.zeros(1, dtype=np.int64)]
+        base_off = 0
+        for blob, bounds in zip(pos_blobs, pos_bounds):
+            offs.append(bounds[1:] + base_off)
+            base_off += len(blob)
+        off = np.concatenate(offs)
+        pos_col = _large_binary_from_slices(total, off)
+        tbl = tbl.append_column(pa.field("positions", pa.large_binary()), pos_col)
+    return tbl
+
+
+def POSTINGS_FLAT_EMPTY() -> pa.Table:
+    return pa.table(
+        {
+            "field": pa.array([], pa.uint8()),
+            "term_hash": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.uint32()),
+            "dl": pa.array([], pa.uint32()),
+        }
+    )
+
+
 def decode_ords(ords_bytes: bytes, blk_first: np.ndarray, block_size: int = BLOCK_SIZE) -> np.ndarray:
     """Decode a term's full ordinal list (uint32, ascending)."""
     vals = varbyte_decode(ords_bytes)

@@ -99,7 +99,8 @@ class _Part:
 
     _LIST_COLS = ("blk_first", "blk_last", "blk_max_tf", "blk_min_dl", "blk_off_ords", "blk_off_tfs")
 
-    def __init__(self, part_dir: str, block_size: int):
+    def __init__(self, part_dir: str, block_size: int, gen: int = 0):
+        self.gen = gen  # generation number (tombstone watermark scoping)
         docs = pq.read_table(os.path.join(part_dir, "docs.parquet"))
         self.doc_ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
         self.dl = {
@@ -191,35 +192,61 @@ class _Part:
         return out
 
 
-def segment_part_dirs(index_dir: str) -> list[str]:
-    """All partition segment dirs across generations: the base build's
-    `segments/part-*` plus every incremental `gen-*/segments/part-*`
-    (pipelines/update.py). Order is deterministic (generation, part)."""
-    roots = [index_dir] + sorted(
-        os.path.join(index_dir, d)
-        for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
-        if d.startswith("gen-") and os.path.isdir(os.path.join(index_dir, d))
-    )
-    out: list[str] = []
-    for r in roots:
+def committed_generation_roots(index_dir: str) -> list[tuple[str, int]]:
+    """(root_dir, generation_number) for the base build (gen 0) and every
+    COMMITTED incremental generation. A generation commits by writing
+    gen.json at the END of its build (pipelines/build.py) — a killed
+    update leaves no gen.json and its partial segments stay invisible to
+    readers and to refresh_global (ADVICE: generation commit protocol)."""
+    out = [(index_dir, 0)]
+    for d in sorted(os.listdir(index_dir) if os.path.isdir(index_dir) else []):
+        full = os.path.join(index_dir, d)
+        if (
+            d.startswith("gen-")
+            and os.path.isdir(full)
+            and os.path.exists(os.path.join(full, "gen.json"))
+        ):
+            out.append((full, int(d.split("-")[1])))
+    return out
+
+
+def segment_part_dirs_with_gen(index_dir: str) -> list[tuple[str, int]]:
+    """(part_dir, generation) across committed generations, deterministic
+    (generation, part) order."""
+    out: list[tuple[str, int]] = []
+    for r, g in committed_generation_roots(index_dir):
         seg = os.path.join(r, "segments")
         if os.path.isdir(seg):
             out.extend(
-                os.path.join(seg, d)
+                (os.path.join(seg, d), g)
                 for d in sorted(os.listdir(seg))
                 if d.startswith("part-") and not d.endswith(".tmp")
             )
     return out
 
 
-def load_tombstones(index_dir: str) -> np.ndarray:
-    """Deleted doc_ids (sorted int64); pipelines/update.py delete_docs."""
+def segment_part_dirs(index_dir: str) -> list[str]:
+    """All partition segment dirs across committed generations."""
+    return [p for p, _ in segment_part_dirs_with_gen(index_dir)]
+
+
+def load_tombstones(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids sorted, gen_watermark aligned) — a tombstone hides the doc
+    in generations <= its watermark only, so a doc deleted and later
+    re-added (in a newer generation) serves the NEW copy
+    (pipelines/update.py delete_docs). Legacy files without the watermark
+    column apply to every generation."""
     path = os.path.join(index_dir, "tombstones.parquet")
     if not os.path.exists(path):
-        return np.zeros(0, dtype=np.int64)
-    return np.sort(
-        pq.read_table(path, columns=["doc_id"]).column("doc_id").to_numpy(zero_copy_only=False)
-    )
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    t = pq.read_table(path)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    if "gen_watermark" in t.column_names:
+        wm = t.column("gen_watermark").to_numpy(zero_copy_only=False)
+    else:
+        wm = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order].astype(np.int64), wm[order].astype(np.int64)
 
 
 class LocalIndex:
@@ -228,20 +255,31 @@ class LocalIndex:
     def __init__(self, index_dir: str, parts: list[int] | None = None):
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
-        part_dirs = segment_part_dirs(index_dir)
+        part_dirs = segment_part_dirs_with_gen(index_dir)
         # `parts` selects positions in the flattened (generation, part) list
         # (for a single-generation index these coincide with part ids)
         self.part_ids = (
             list(range(len(part_dirs))) if parts is None else [p for p in parts if p < len(part_dirs)]
         )
         bs = int(self.stats["block_size"])
-        self.parts = [_Part(part_dirs[p], bs) for p in self.part_ids]
-        self.tombstones = load_tombstones(index_dir)
+        self.parts = [_Part(part_dirs[p][0], bs, gen=part_dirs[p][1]) for p in self.part_ids]
+        self._tomb_ids, self._tomb_wm = load_tombstones(index_dir)
+        self.has_tombstones = len(self._tomb_ids) > 0
+        self._tomb_cache: dict[int, np.ndarray] = {}
         self.avgdl = {
             FIELD_BODY: float(self.stats["avgdl_body"]),
             FIELD_TITLE: float(self.stats["avgdl_title"]),
         }
         self.n_docs = float(self.stats["n_docs"])
+
+    def tombstones_for(self, gen: int) -> np.ndarray:
+        """Sorted doc_ids whose tombstone applies to generation `gen`
+        (watermark >= gen)."""
+        got = self._tomb_cache.get(gen)
+        if got is None:
+            got = self._tomb_ids[self._tomb_wm >= gen]
+            self._tomb_cache[gen] = got
+        return got
 
     def topk(
         self,
@@ -262,7 +300,7 @@ class LocalIndex:
             # conjunctive filter `touched == 0` would match every doc)
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         if algo == "bmw" and mode == "bm25" and not conjunctive:
-            if not len(self.tombstones):
+            if not self.has_tombstones:
                 # multi-field included: each cursor carries its own field's
                 # dl/avgdl (state/bmw.py); ordinals are shared across fields
                 return self._topk_bmw(terms, k)
@@ -299,8 +337,8 @@ class LocalIndex:
                 cand = np.flatnonzero(touched == len(terms))
             else:
                 cand = np.flatnonzero(touched)
-            if len(self.tombstones) and len(cand):
-                alive = ~np.isin(part.doc_ids[cand], self.tombstones)
+            if self.has_tombstones and len(cand):
+                alive = ~np.isin(part.doc_ids[cand], self.tombstones_for(part.gen))
                 cand = cand[alive]
             if len(cand):
                 d, s = topk_by_score(part.doc_ids[cand], scores[cand], k)
@@ -389,8 +427,8 @@ class LocalIndex:
                 continue
             # BM25-score the matching docs with the standard spec accumulation
             m = np.asarray(matched, dtype=np.int64)
-            if len(self.tombstones):
-                m = m[~np.isin(part.doc_ids[m], self.tombstones)]
+            if self.has_tombstones:
+                m = m[~np.isin(part.doc_ids[m], self.tombstones_for(part.gen))]
                 if not len(m):
                     continue
             scores = np.zeros(len(m), dtype=np.float64)

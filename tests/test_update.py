@@ -80,3 +80,158 @@ def test_delete_docs(dirs, ray_session):
 
     eng3 = SearchEngine(idx_inc, n_shards=1, fields=(FIELD_BODY,), algo="bmw")
     assert victim not in [d for d, _ in eng3.search("taaa", k=5)]
+
+
+# ---------------------------------------------------------------------------
+# Round-2: generation commit protocol, watermark tombstones, compaction
+
+
+def test_update_validates_config(dirs, ray_session, tmp_path):
+    idx_inc, _ = dirs
+    src = str(tmp_path / "more")
+    import os
+
+    os.makedirs(src)
+    pq.write_table(make_pages_table(2000, 2010), src + "/pages.parquet")
+    with pytest.raises(ValueError, match="block_size"):
+        update_index(src, idx_inc, BuildConfig(num_partitions=4, block_size=64))
+    with pytest.raises(ValueError, match="store_positions"):
+        update_index(
+            src, idx_inc, BuildConfig(num_partitions=4, block_size=32, store_positions=True)
+        )
+
+
+def test_uncommitted_generation_invisible_and_resumed(tmp_path, ray_session):
+    """A killed update (no gen.json) must not be served, must not be
+    counted by refresh_global, and a re-run of the SAME update resumes
+    into the same generation instead of double-adding."""
+    import os
+
+    from searchengine_ray.pipelines.build import _fingerprint
+    from searchengine_ray.pipelines.update import refresh_global
+    from searchengine_ray.state import manifest as mf
+    from searchengine_ray.state.shards import segment_part_dirs
+
+    a = str(tmp_path / "a"); os.makedirs(a)
+    b = str(tmp_path / "b"); os.makedirs(b)
+    pq.write_table(make_pages_table(0, 300), a + "/pages.parquet")
+    pq.write_table(make_pages_table(300, 500), b + "/pages.parquet")
+    cfg = BuildConfig(num_partitions=4, block_size=32)
+    idx = str(tmp_path / "idx")
+    build_index(a, idx, cfg, source="pages")
+    n_parts_base = len(segment_part_dirs(idx))
+    base_stats = refresh_global(idx)["stats"]
+
+    # simulate a KILLED update of input b: intent marker + partial debris,
+    # no gen.json
+    fp = _fingerprint(b, cfg, "pages")
+    gen = os.path.join(idx, "gen-001")
+    os.makedirs(os.path.join(gen, "segments", "part-00000.tmp"), exist_ok=True)
+    mf.write_json_atomic(os.path.join(gen, "update.json"), {"fingerprint": fp})
+
+    # invisible to readers and refresh_global
+    assert len(segment_part_dirs(idx)) == n_parts_base
+    assert refresh_global(idx)["stats"]["n_docs"] == base_stats["n_docs"]
+
+    # rerun of the same update RESUMES into gen-001 (no gen-002 appears)
+    m = update_index(b, idx, cfg, source="pages")
+    assert m["generation"] == 1
+    assert not os.path.isdir(os.path.join(idx, "gen-002"))
+    assert os.path.exists(os.path.join(idx, "gen-001", "gen.json"))
+
+    # a stale partial of a DIFFERENT input would have been discarded:
+    gen2 = os.path.join(idx, "gen-002")
+    os.makedirs(os.path.join(gen2, "segments"), exist_ok=True)
+    mf.write_json_atomic(os.path.join(gen2, "update.json"), {"fingerprint": "bogus"})
+    c = str(tmp_path / "c"); os.makedirs(c)
+    pq.write_table(make_pages_table(500, 600), c + "/pages.parquet")
+    m2 = update_index(c, idx, cfg, source="pages")
+    assert m2["generation"] == 2
+    assert os.path.exists(os.path.join(idx, "gen-002", "gen.json"))
+
+
+def test_readd_after_delete_serves_new_copy(tmp_path, ray_session):
+    """ADVICE fix: tombstones are watermark-scoped — deleting a doc and
+    re-adding it in a newer generation serves the re-added copy."""
+    import os
+
+    a = str(tmp_path / "a"); os.makedirs(a)
+    re_add = str(tmp_path / "readd"); os.makedirs(re_add)
+    pq.write_table(make_pages_table(0, 300), a + "/pages.parquet")
+    pq.write_table(make_pages_table(7, 8), re_add + "/pages.parquet")  # same url/doc_id
+    cfg = BuildConfig(num_partitions=4, block_size=32)
+    idx = str(tmp_path / "idx")
+    build_index(a, idx, cfg, source="pages")
+
+    url7 = make_pages_table(7, 8).column("url")[0].as_py()
+    doc7 = hash64(url7)
+    eng = SearchEngine(idx, n_shards=1)
+    hits = eng.search("taaa", k=500)
+    assert doc7 in {d for d, _ in hits}
+
+    delete_docs(idx, [doc7])
+    eng2 = SearchEngine(idx, n_shards=1)
+    assert doc7 not in {d for d, _ in eng2.search("taaa", k=500)}
+
+    update_index(re_add, idx, cfg, source="pages")
+    eng3 = SearchEngine(idx, n_shards=1)
+    assert doc7 in {d for d, _ in eng3.search("taaa", k=500)}  # new copy visible
+
+
+def test_compact_bit_identical_to_fresh_build(tmp_path, ray_session):
+    """compact() == fresh build of the surviving docs, byte for byte
+    (segments + lexicon), and clears the stats drift."""
+    import filecmp
+    import os
+
+    from searchengine_ray.pipelines.update import compact
+
+    a = str(tmp_path / "a"); os.makedirs(a)
+    b = str(tmp_path / "b"); os.makedirs(b)
+    pq.write_table(make_pages_table(0, 400), a + "/pages.parquet")
+    pq.write_table(make_pages_table(400, 700), b + "/pages.parquet")
+    cfg = BuildConfig(num_partitions=4, block_size=32)
+    idx = str(tmp_path / "idx")
+    build_index(a, idx, cfg, source="pages")
+    update_index(b, idx, cfg, source="pages")
+
+    # tombstone a handful of docs (mixed generations)
+    full = make_pages_table(0, 700)
+    urls = full.column("url").to_pylist()
+    victims_rows = [3, 11, 450, 460]
+    victims = [hash64(urls[i]) for i in victims_rows]
+    delete_docs(idx, victims)
+    compact(idx)
+
+    # fresh build over the surviving rows
+    keep = [i for i in range(700) if i not in victims_rows]
+    surv = str(tmp_path / "surv"); os.makedirs(surv)
+    pq.write_table(full.take(keep), surv + "/pages.parquet")
+    fresh = str(tmp_path / "fresh")
+    build_index(surv, fresh, cfg, source="pages")
+
+    seg_a = sorted(os.listdir(os.path.join(idx, "segments")))
+    seg_b = sorted(os.listdir(os.path.join(fresh, "segments")))
+    assert seg_a == seg_b
+    for part in seg_a:
+        for f in ("docs.parquet", "postings.parquet"):
+            pa_f = os.path.join(idx, "segments", part, f)
+            pb_f = os.path.join(fresh, "segments", part, f)
+            assert filecmp.cmp(pa_f, pb_f, shallow=False), (part, f)
+    assert filecmp.cmp(
+        os.path.join(idx, "lexicon", "lexicon-0.parquet"),
+        os.path.join(fresh, "lexicon", "lexicon-0.parquet"),
+        shallow=False,
+    )
+    import json as _json
+
+    sa = _json.load(open(os.path.join(idx, "stats.json")))
+    sb = _json.load(open(os.path.join(fresh, "stats.json")))
+    for k in ("n_docs", "total_len_body", "total_len_title", "avgdl_body", "avgdl_title"):
+        assert sa[k] == sb[k], k
+
+    # compacted index serves identically to the fresh build
+    qs = make_queries_table(40).column("query").to_pylist()
+    ra = SearchEngine(idx, n_shards=2).search_batch(qs, k=10)
+    rb = SearchEngine(fresh, n_shards=2).search_batch(qs, k=10)
+    assert ra == rb
