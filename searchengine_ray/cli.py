@@ -77,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--index", required=True)
     dp.add_argument("--ids", required=True, help="comma-separated doc ids")
 
+    cp = sub.add_parser(
+        "compact", help="merge generations minus tombstones into a fresh index"
+    )
+    cp.add_argument("--index", required=True)
+
     svp = sub.add_parser("serve", help="HTTP search server")
     svp.add_argument("--index", required=True)
     svp.add_argument("--port", type=int, default=8080)
@@ -138,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
 
             n = delete_docs(args.index, [int(x) for x in args.ids.split(",") if x])
             print(json.dumps({"n_tombstones": n}))
+            return 0
+        if args.cmd == "compact":
+            from .pipelines.update import compact
+
+            out = compact(args.index)
+            print(json.dumps(out, default=str))
             return 0
         if args.cmd == "serve":
             from .serve import serve

@@ -53,3 +53,20 @@ def cap_worker_threads(n: int = 2) -> None:
         pa.set_cpu_count(n)
         pa.set_io_thread_count(n)
     _capped = True
+
+
+_SIZE_SUFFIXES = ("B", "KB", "MB", "GB", "TB", "PB", "EB")
+
+
+def size_suffix(n_bytes: int, decimals: int = 1) -> str:
+    """Human-readable byte count (reference F4: SizeSuffix,
+    /root/reference/DataStructures/DataStructs/Functions.cs:13-28 —
+    1024-based units, fixed decimal places)."""
+    if n_bytes < 0:
+        return "-" + size_suffix(-n_bytes, decimals)
+    value = float(n_bytes)
+    i = 0
+    while value >= 1024 and i < len(_SIZE_SUFFIXES) - 1:
+        value /= 1024.0
+        i += 1
+    return f"{value:.{decimals}f} {_SIZE_SUFFIXES[i]}"

@@ -22,6 +22,8 @@ from urllib.parse import parse_qs, urlparse
 
 from .state.shards import SearchEngine
 
+MAX_K = 1000  # reference caps results at 1000 (Engine/Engine/Engine.cs:181)
+
 _PAGE = """<!doctype html><html><head><title>searchengine_ray</title></head>
 <body><h2>searchengine_ray</h2>
 <form action="/search"><input name="q" value="{q}"/>
@@ -59,7 +61,15 @@ def make_handler(engine: SearchEngine):
                 return
             qs = parse_qs(u.query)
             query = (qs.get("q") or [""])[0]
-            k = int((qs.get("k") or ["10"])[0])
+            try:
+                k = int((qs.get("k") or ["10"])[0])
+            except ValueError:
+                self._send(400, b"invalid k", "text/plain")
+                return
+            if k < 1:
+                self._send(400, b"invalid k", "text/plain")
+                return
+            k = min(k, MAX_K)  # a huge k would force full-corpus sorts per shard
             t0 = time.perf_counter()
             results = engine.search(query, k=k)
             urls = engine.hydrate([d for d, _ in results])

@@ -2,28 +2,27 @@
 of a ns==0 page and appending "\\n", /root/reference/Indexer/Repository/Program.cs:128-143).
 
 The rebuild's per-row invariant (BASELINE.json input_hint): the extracted
-text must be BYTE-IDENTICAL to the golden `text` column per url. The fast
-path is a single RE2 kernel over the whole Arrow batch; rows that don't
-match the title/body shape fall back to a per-row tag-strip (rare by
-construction).
+text must be BYTE-IDENTICAL to the golden `text` column per url. Both
+paths are single RE2 kernels over the whole Arrow batch:
+
+- fast path: <title ...>..</title> then a <body ...> payload (attributes
+  and self-closing tags tolerated); paragraph boundaries become newlines,
+  remaining tags are dropped.
+- fallback (rows without a title/body pair — arbitrary web HTML): a
+  vectorized whole-document tag strip over JUST the missed rows
+  (filter -> kernel -> replace_with_mask); no per-row Python loop.
 """
 
 from __future__ import annotations
 
-import re
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Fast path: <title>..</title> anywhere, then the <body> payload.
-_EXTRACT_PATTERN = r"(?s)<title>(?P<title>.*?)</title>.*?<body>(?P<body>.*)</body>"
-_P_BOUNDARY = re.compile(r"</p>\s*<p>")
-_TAG = re.compile(r"(?s)<[^>]*>")
-
-
-def _strip_body(body_html: str) -> str:
-    """Paragraph boundaries -> newlines, then drop remaining tags."""
-    return _TAG.sub("", _P_BOUNDARY.sub("\n", body_html))
+# Fast path: <title ...>..</title> anywhere, then the <body ...> payload.
+_EXTRACT_PATTERN = (
+    r"(?s)<title[^>]*>(?P<title>.*?)</title>.*?<body[^>]*>(?P<body>.*)</body>"
+)
+_TAG_PATTERN = r"(?s)<[^>]*>"
 
 
 def extract_text(html: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
@@ -39,20 +38,19 @@ def extract_text(html: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
     titles = pc.struct_field(parts, "title")
     bodies = pc.struct_field(parts, "body")
     # Vectorized body strip: </p><p> -> \n, then remove tags.
-    bodies = pc.replace_substring_regex(bodies, pattern=r"</p>\s*<p>", replacement="\n")
-    bodies = pc.replace_substring_regex(bodies, pattern=r"(?s)<[^>]*>", replacement="")
+    bodies = pc.replace_substring_regex(bodies, pattern=r"</p>\s*<p[^>]*>", replacement="\n")
+    bodies = pc.replace_substring_regex(bodies, pattern=_TAG_PATTERN, replacement="")
     # join([title, body, ""], sep="\n") == title + "\n" + body + "\n"
     text = pc.binary_join_element_wise(titles, bodies, pa.scalar(""), "\n")
-    # Fallback for rows the fast path missed (no <title>/<body> pair).
+    # Fallback for rows the fast path missed (no <title>/<body> pair):
+    # whole-document tag strip + "\n", computed ONLY over the missed rows
+    # and scattered back — same RE2 kernels, no Python row loop.
     if titles.null_count > 0:
-        t_list = titles.to_pylist()
-        x_list = text.to_pylist()
-        raw = as_str.to_pylist()
-        for i, t in enumerate(t_list):
-            if t is None:
-                stripped = _TAG.sub("", raw[i])
-                t_list[i] = ""
-                x_list[i] = stripped + "\n"
-        titles = pa.array(t_list, pa.string())
-        text = pa.array(x_list, pa.string())
+        miss = pc.is_null(titles)
+        sub = as_str.filter(miss)
+        stripped = pc.replace_substring_regex(sub, pattern=_TAG_PATTERN, replacement="")
+        fb_text = pc.binary_join_element_wise(stripped, pa.scalar(""), "\n")
+        empty = pa.nulls(len(sub), pa.string()).fill_null("")
+        titles = pc.replace_with_mask(titles, miss, empty)
+        text = pc.replace_with_mask(text, miss, fb_text)
     return titles, text.cast(pa.large_string())

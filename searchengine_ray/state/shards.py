@@ -29,6 +29,7 @@ from collections import Counter
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
@@ -110,9 +111,16 @@ class _Part:
         post = pq.read_table(os.path.join(part_dir, "postings.parquet"))
         f = post.column("field").to_numpy(zero_copy_only=False)
         th = post.column("term_hash").to_numpy(zero_copy_only=False)
-        self.lookup: dict[tuple[int, int], int] = {
-            (int(f[i]), int(th[i])): i for i in range(len(f))
-        }
+        # per-field sorted term arrays + searchsorted point lookup: O(terms)
+        # numpy at load (the Python dict-building loop was O(terms)
+        # interpreter time per actor cold-start — visible at web scale)
+        self._by_field: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for code in np.unique(f):
+            m = f == code
+            ths = th[m].astype(np.int64)
+            rows = np.flatnonzero(m).astype(np.int64)
+            o = np.argsort(ths, kind="stable")
+            self._by_field[int(code)] = (ths[o], rows[o])
         self.df = post.column("df").to_numpy(zero_copy_only=False)
         self.ords_data, self.ords_off = _binary_views(post.column("ords"))
         self.tfs_data, self.tfs_off = _binary_views(post.column("tfs"))
@@ -129,8 +137,21 @@ class _Part:
         values, off = self.lists[name]
         return values[off[row] : off[row + 1]]
 
+    def find(self, field: int, term_hash: int) -> int | None:
+        """Segment row index of (field, term) — binary search over the
+        sorted per-field term array (reference analog: prefix jump-index +
+        binary search, DataStructures/DataStructs/Functions.cs:130-193)."""
+        got = self._by_field.get(int(field))
+        if got is None:
+            return None
+        ths, rows = got
+        i = int(np.searchsorted(ths, term_hash))
+        if i < len(ths) and ths[i] == term_hash:
+            return int(rows[i])
+        return None
+
     def postings_for(self, field: int, term_hash: int) -> tuple[np.ndarray, np.ndarray] | None:
-        row = self.lookup.get((field, term_hash))
+        row = self.find(field, term_hash)
         if row is None:
             return None
         ords = decode_ords(
@@ -148,7 +169,7 @@ class _Part:
         store_positions=True (phrase queries)."""
         if not self.has_positions:
             return None
-        row = self.lookup.get((field, term_hash))
+        row = self.find(field, term_hash)
         if row is None:
             return None
         got = self.postings_for(field, term_hash)
@@ -179,7 +200,7 @@ class _Part:
 
     def row_dict(self, field: int, term_hash: int) -> dict | None:
         """Raw segment row views (for the BMW cursor's selective block decode)."""
-        row = self.lookup.get((field, term_hash))
+        row = self.find(field, term_hash)
         if row is None:
             return None
         out = {
@@ -528,18 +549,30 @@ class Lexicon:
             if os.path.isdir(lex_dir)
             else []
         )
-        self.stats: dict[tuple[int, int], tuple[int, int]] = {}
-        for f in files:
-            t = pq.read_table(f)
+        # per-field sorted (term_hash, df, cf) arrays + searchsorted: no
+        # Python loop over the lexicon at load (O(terms) numpy sort only)
+        self._by_field: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        if files:
+            t = pq.read_table(files)
             fld = t.column("field").to_numpy(zero_copy_only=False)
-            th = t.column("term_hash").to_numpy(zero_copy_only=False)
-            df = t.column("df").to_numpy(zero_copy_only=False)
-            cf = t.column("cf").to_numpy(zero_copy_only=False)
-            for i in range(len(fld)):
-                self.stats[(int(fld[i]), int(th[i]))] = (int(df[i]), int(cf[i]))
+            th = t.column("term_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+            df = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            cf = t.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+            for code in np.unique(fld):
+                m = fld == code
+                o = np.argsort(th[m], kind="stable")
+                self._by_field[int(code)] = (th[m][o], df[m][o], cf[m][o])
+        self.n_terms = sum(len(v[0]) for v in self._by_field.values())
 
     def get(self, field: int, term_hash: int) -> tuple[int, int] | None:
-        return self.stats.get((field, term_hash))
+        got = self._by_field.get(int(field))
+        if got is None:
+            return None
+        ths, df, cf = got
+        i = int(np.searchsorted(ths, term_hash))
+        if i < len(ths) and ths[i] == term_hash:
+            return (int(df[i]), int(cf[i]))
+        return None
 
 
 def make_term_specs(
@@ -683,25 +716,32 @@ class SearchEngine:
         the sorted title index, Engine.cs:201-207). The docs map loads once
         per coordinator; at 10^12 docs this becomes a column-pruned point
         read against the docs parquet (doc-bucketed, same partitioning)."""
-        if not hasattr(self, "_docs_map"):
-            self._docs_map: dict[int, str] = {}
-            roots = [self.index_dir] + sorted(
-                os.path.join(self.index_dir, d)
-                for d in os.listdir(self.index_dir)
-                if d.startswith("gen-")
+        if not hasattr(self, "_docs_ids"):
+            files = [
+                os.path.join(root, "docs", f)
+                for root, _g in committed_generation_roots(self.index_dir)
+                if os.path.isdir(os.path.join(root, "docs"))
+                for f in sorted(os.listdir(os.path.join(root, "docs")))
+                if f.endswith(".parquet")
+            ]
+            if files:
+                t = pq.read_table(files, columns=["doc_id", "url"])
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                urls = t.column("url").combine_chunks()
+                o = np.argsort(ids, kind="stable")
+                self._docs_ids = ids[o]
+                self._docs_urls = urls.take(pa.array(o))
+            else:
+                self._docs_ids = np.zeros(0, dtype=np.int64)
+                self._docs_urls = pa.array([], pa.string())
+        out: dict[int, str] = {}
+        ids = self._docs_ids
+        for d in doc_ids:
+            i = int(np.searchsorted(ids, d))
+            out[d] = (
+                self._docs_urls[i].as_py() if i < len(ids) and ids[i] == d else str(d)
             )
-            for root in roots:
-                docs_dir = os.path.join(root, "docs")
-                if not os.path.isdir(docs_dir):
-                    continue
-                for f in sorted(os.listdir(docs_dir)):
-                    if not f.endswith(".parquet"):
-                        continue
-                    t = pq.read_table(os.path.join(docs_dir, f), columns=["doc_id", "url"])
-                    self._docs_map.update(
-                        zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist())
-                    )
-        return {d: self._docs_map.get(d, str(d)) for d in doc_ids}
+        return out
 
     def search_hydrated(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         res = self.search(query, k)

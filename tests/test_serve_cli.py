@@ -54,6 +54,18 @@ def test_http_server(index_dir, ray_session):
         # OOV query -> empty result, not an error
         with urllib.request.urlopen("http://127.0.0.1:18731/search?q=zzzz") as r:
             assert json.loads(r.read())["results"] == []
+        # bad k -> HTTP 400, not a handler traceback (ADVICE fix)
+        for bad in ("abc", "0", "-3"):
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:18731/search?q=taaa&k={bad}")
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        # huge k is clamped, not an error
+        with urllib.request.urlopen(
+            "http://127.0.0.1:18731/search?q=taaa&k=999999999"
+        ) as r:
+            assert json.loads(r.read())["results"]
         with urllib.request.urlopen("http://127.0.0.1:18731/nope") as r:
             pass
     except urllib.error.HTTPError as e:
@@ -87,3 +99,15 @@ def test_cli_query_and_validate(index_dir, pages_dir, ray_session, capsys):
     from searchengine_ray.pipelines.validate import check_extract_invariant
 
     assert check_extract_invariant(pages_dir)["mismatches"] == 0
+
+
+def test_size_suffix():
+    """F4 (DataStructures/DataStructs/Functions.cs:13-28)."""
+    from searchengine_ray.functions.runtime import size_suffix
+
+    assert size_suffix(0) == "0.0 B"
+    assert size_suffix(1023) == "1023.0 B"
+    assert size_suffix(1024) == "1.0 KB"
+    assert size_suffix(1536) == "1.5 KB"
+    assert size_suffix(3 * 1024**3) == "3.0 GB"
+    assert size_suffix(-2048) == "-2.0 KB"
