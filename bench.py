@@ -147,6 +147,15 @@ def run_once() -> dict:
     ann_ops.ann_brute_topk(SF_DIR).to_pandas()
     queries["ann_brute"] = round(time.perf_counter() - t0, 3)
 
+    # round-2 ops: exact distributed n-gram Jaccard + min-label components
+    t0 = time.perf_counter()
+    dedup_ops.ngram_jaccard_pairs(SF_DIR).to_pandas()
+    queries["dedup_ngram_exact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dedup_ops.dedup_components(SF_DIR).to_pandas()
+    queries["dedup_components"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "index_build_sec",
         "value": round(build_s, 3),
