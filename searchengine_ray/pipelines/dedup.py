@@ -49,6 +49,12 @@ _MERSENNE = (1 << 61) - 1
 _FNV = np.int64(1099511628211)
 MAX_BUCKET = 64  # cap candidate generation per LSH bucket (skew guard)
 MAX_SHINGLE_DF = 256  # cap per-shingle pair fan-out in the exact join
+# Coarse shuffle granularity: grouping by a raw fine-grained key (shingle,
+# LSH bucket, pair) costs one Python map_groups call per distinct key —
+# 10^5+ tiny groups of per-call overhead. All pair stages instead group by
+# key % N_COARSE_BUCKETS (equal keys still co-locate) and process each
+# group's key RUNS vectorized.
+N_COARSE_BUCKETS = 256
 
 
 def _minhash_params(num_perm: int = MINHASH_PERMS, seed: int = 12345):
@@ -92,23 +98,43 @@ def exact_duplicates(sf_dir: str) -> rd.Dataset:
         fps = [
             hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.column("text").to_pylist()
         ]
+        bucket = np.fromiter(
+            (int(f[:2], 16) for f in fps), dtype=np.int32, count=len(fps)
+        )  # coarse shuffle key (module docstring): equal hashes co-locate
         return pa.table(
-            {"doc_id": t.column("doc_id"), "text_md5": pa.array(fps, pa.string())}
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "doc_id": t.column("doc_id"),
+                "text_md5": pa.array(fps, pa.string()),
+            }
         )
 
     def mark(group: pa.Table) -> pa.Table:
+        # one coarse group = many hash groups; vectorized run-min
+        md5s = group.column("text_md5")
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        order = np.lexsort((ids, md5s.to_numpy(zero_copy_only=False)))
+        ids_s = ids[order]
+        md5_s = md5s.take(pa.array(order))
+        new = np.empty(len(ids_s), dtype=bool)
+        new[0] = True
+        neq = pc.not_equal(md5_s.slice(1), md5_s.slice(0, len(ids_s) - 1))
+        new[1:] = neq.to_numpy(zero_copy_only=False)
+        run_id = np.cumsum(new) - 1
+        run_min = ids_s[new]  # doc_id asc within run -> first is min
         return pa.table(
             {
-                "doc_id": group.column("doc_id"),
-                "is_canonical": pa.array(ids == ids.min(), pa.bool_()),
+                "doc_id": pa.array(ids_s, pa.int64()),
+                "is_canonical": pa.array(ids_s == run_min[run_id], pa.bool_()),
             }
         )
 
     return (
         read_documents(sf_dir, columns=["doc_id", "text"])
         .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_md5")
+        .groupby("bucket")
         .map_groups(mark, batch_format="pyarrow")
     )
 
@@ -174,10 +200,17 @@ def minhash_lsh_pairs(
         for j in range(1, rows_per_band):
             bh = bh * _FNV + band_vals[:, :, j]
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        bh_flat = bh.reshape(-1)
+        band_flat = np.tile(np.arange(bands, dtype=np.int32), n)
+        # coarse shuffle key (module docstring): equal (band, bh) co-locate
+        coarse = (
+            (bh_flat.view(np.uint64) * np.uint64(31)) ^ band_flat.astype(np.uint64)
+        ) % np.uint64(N_COARSE_BUCKETS)
         return pa.table(
             {
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
-                "bh": pa.array(bh.reshape(-1), pa.int64()),
+                "bucket": pa.array(coarse.astype(np.int32), pa.int32()),
+                "band": pa.array(band_flat, pa.int32()),
+                "bh": pa.array(bh_flat, pa.int64()),
                 "doc_id": pa.array(np.repeat(doc, bands), pa.int64()),
                 "sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(np.repeat(sig, bands, axis=0).reshape(-1), pa.int64()), num_perm
@@ -186,44 +219,90 @@ def minhash_lsh_pairs(
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        m = min(group.num_rows, MAX_BUCKET)
-        if group.num_rows > MAX_BUCKET:
-            # no silent caps: a degenerate bucket got truncated — surface it
-            print(
-                f"[minhash_lsh] bucket truncated: {group.num_rows} docs > "
-                f"MAX_BUCKET={MAX_BUCKET}; pairs beyond the first {MAX_BUCKET} "
-                "docs (doc_id order) are not emitted"
-            )
+        # one coarse group = many (band, bh) LSH buckets; process runs
+        # vectorized, Python loop only over multi-doc runs
+        band = group.column("band").to_numpy(zero_copy_only=False)
+        bh_v = group.column("bh").to_numpy(zero_copy_only=False)
         doc = group.column("doc_id").to_numpy(zero_copy_only=False)
         sig = (
             group.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         ).reshape(group.num_rows, num_perm)
-        order = np.argsort(doc, kind="stable")  # sort BEFORE capping: the
-        doc, sig = doc[order][:m], sig[order][:m]  # truncation is then deterministic
-        ai, bi = np.triu_indices(m, k=1)
-        if len(ai) == 0:
+        order = np.lexsort((doc, bh_v, band))  # doc asc WITHIN bucket ->
+        band, bh_v, doc, sig = band[order], bh_v[order], doc[order], sig[order]
+        new = np.empty(len(doc), dtype=bool)  # deterministic truncation
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh_v[1:] != bh_v[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(doc))
+        out = []
+        for s, e in zip(starts, ends):
+            n_run = e - s
+            if n_run < 2:
+                continue
+            if n_run > MAX_BUCKET:
+                # no silent caps: a degenerate bucket got truncated — surface it
+                print(
+                    f"[minhash_lsh] bucket truncated: {n_run} docs > "
+                    f"MAX_BUCKET={MAX_BUCKET}; pairs beyond the first {MAX_BUCKET} "
+                    "docs (doc_id order) are not emitted"
+                )
+                n_run = MAX_BUCKET
+            ai, bi = np.triu_indices(n_run, k=1)
+            d = doc[s : s + n_run]
+            sg = sig[s : s + n_run]
+            est = (sg[ai] == sg[bi]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                out.append((d[ai[keep]], d[bi[keep]], est[keep]))
+        if not out:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                  "est_jaccard": pa.array([], pa.float64())}
             )
-        est = (sig[ai] == sig[bi]).mean(axis=1)
-        keep = est >= threshold
         return pa.table(
             {
-                "doc_a": pa.array(doc[ai[keep]], pa.int64()),
-                "doc_b": pa.array(doc[bi[keep]], pa.int64()),
-                "est_jaccard": pa.array(round6(est[keep]), pa.float64()),
+                "doc_a": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+                "est_jaccard": pa.array(
+                    round6(np.concatenate([o[2] for o in out])), pa.float64()
+                ),
             }
         )
 
-    pairs = (
+    def pair_dedup(group: pa.Table) -> pa.Table:
+        # a pair can surface from several bands -> keep one row (vectorized
+        # run-dedup; est_jaccard is identical across a pair's occurrences)
+        a = group.column("doc_a").to_numpy(zero_copy_only=False)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False)
+        est = group.column("est_jaccard").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, est = a[order], b[order], est[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                "doc_a": pa.array(a[new], pa.int64()),
+                "doc_b": pa.array(b[new], pa.int64()),
+                "est_jaccard": pa.array(est[new], pa.float64()),
+            }
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
+            N_COARSE_BUCKETS
+        )
+        return t.append_column("pbucket", pa.array(code.astype(np.int32), pa.int32()))
+
+    return (
         sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bh"])
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    # a pair can surface from several bands -> dedup
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+        .map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(pair_dedup, batch_format="pyarrow")
     )
 
 
@@ -314,52 +393,96 @@ def ngram_jaccard_pairs(
             out = out.filter(pa.array(keep))
         return out
 
-    def shingle_pairs(group: pa.Table) -> pa.Table:
+    # COARSE-bucket shuffle discipline: grouping by raw `shingle` would make
+    # one map_groups Python call per distinct shingle (10^5+ tiny groups —
+    # measured 8s of pure per-group overhead at sf0.1). Instead group by
+    # shingle % N_COARSE_BUCKETS (same co-location guarantee: equal shingles
+    # share a bucket) and process each bucket's shingle RUNS vectorized.
+    def bucket_of(t: pa.Table) -> pa.Table:
+        sh = t.column("shingle").to_numpy(zero_copy_only=False)
+        b = (sh.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def bucket_shingle_pairs(group: pa.Table) -> pa.Table:
         doc = group.column("doc_id").to_numpy(zero_copy_only=False)
         sz = group.column("sz").to_numpy(zero_copy_only=False)
-        m = min(len(doc), max_shingle_df)
-        if len(doc) > max_shingle_df:
-            print(
-                f"[ngram_jaccard] shingle df {len(doc)} > cap {max_shingle_df}; "
-                f"pairs beyond the first {max_shingle_df} docs (doc_id order) dropped"
+        sh = group.column("shingle").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        doc, sz, sh = doc[order], sz[order], sh[order]
+        starts = np.flatnonzero(np.diff(sh, prepend=sh[0] - 1)) if len(sh) else np.zeros(0, np.int64)
+        ends = np.append(starts[1:], len(sh))
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        for s, e in zip(starts, ends):  # Python loop over MULTI-doc runs only
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_shingle_df:
+                print(
+                    f"[ngram_jaccard] shingle df {n} > cap {max_shingle_df}; "
+                    f"pairs beyond the first {max_shingle_df} docs (doc_id order) dropped"
+                )
+                n = max_shingle_df
+            ai, bi = np.triu_indices(n, k=1)
+            out_a.append(doc[s : s + n][ai])
+            out_b.append(doc[s : s + n][bi])
+            out_sa.append(sz[s : s + n][ai])
+            out_sb.append(sz[s : s + n][bi])
+        if not out_a:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "sz_a": pa.array([], pa.int64()), "sz_b": pa.array([], pa.int64())}
             )
-        order = np.argsort(doc, kind="stable")
-        doc, sz = doc[order][:m], sz[order][:m]
-        ai, bi = np.triu_indices(m, k=1)
         return pa.table(
             {
-                "doc_a": pa.array(doc[ai], pa.int64()),
-                "doc_b": pa.array(doc[bi], pa.int64()),
-                "sz_a": pa.array(sz[ai], pa.int64()),
-                "sz_b": pa.array(sz[bi], pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "sz_a": pa.array(np.concatenate(out_sa), pa.int64()),
+                "sz_b": pa.array(np.concatenate(out_sb), pa.int64()),
             }
         )
 
-    def pair_jaccard(group: pa.Table) -> pa.Table:
-        ix = group.num_rows
-        sz_a = int(group.column("sz_a")[0].as_py())
-        sz_b = int(group.column("sz_b")[0].as_py())
-        jac = ix / (sz_a + sz_b - ix)
-        if jac < threshold:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
+            N_COARSE_BUCKETS
+        )
+        return t.append_column("pbucket", pa.array(code.astype(np.int32), pa.int32()))
+
+    def bucket_pair_jaccard(group: pa.Table) -> pa.Table:
+        # fully vectorized: one reduceat over the (doc_a, doc_b) runs
+        a = group.column("doc_a").to_numpy(zero_copy_only=False)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False)
+        sz_a = group.column("sz_a").to_numpy(zero_copy_only=False)
+        sz_b = group.column("sz_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, sz_a, sz_b = a[order], b[order], sz_a[order], sz_b[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(a)))
+        ua, ub = a[starts], b[starts]
+        usa, usb = sz_a[starts], sz_b[starts]
+        jac = counts / (usa + usb - counts)
+        keep = jac >= threshold
         return pa.table(
             {
-                "doc_a": group.column("doc_a").slice(0, 1),
-                "doc_b": group.column("doc_b").slice(0, 1),
-                "jaccard": pa.array([float(round6(jac))], pa.float64()),
+                "doc_a": pa.array(ua[keep], pa.int64()),
+                "doc_b": pa.array(ub[keep], pa.int64()),
+                "jaccard": pa.array(round6(jac[keep]), pa.float64()),
             }
         )
 
     return (
         read_documents(sf_dir, columns=["doc_id", "text"])
         .map_batches(shingles, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("shingle")
-        .map_groups(shingle_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(pair_jaccard, batch_format="pyarrow")
+        .map_batches(bucket_of, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_shingle_pairs, batch_format="pyarrow")
+        .map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(bucket_pair_jaccard, batch_format="pyarrow")
     )
 
 
@@ -412,20 +535,36 @@ def _components_propagate(pairs: rd.Dataset, docs: rd.Dataset, max_rounds: int =
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
-    # nodes touched by >= 1 edge; everything else is a singleton (label = own id)
+    # nodes touched by >= 1 edge; everything else is a singleton (label =
+    # own id). label_0 = min(node, neighbors) — one Min aggregate doubles
+    # as BOTH initialization and the first propagation round.
+    def with_self(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "nbr": pc_min_nbr(t),
+            }
+        )
+
+    def pc_min_nbr(t: pa.Table):
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        return pa.array(np.minimum(node, nbr), pa.int64())
+
     labels = (
-        edges.groupby("node")
-        .map_groups(
-            lambda g: pa.table(
+        edges.map_batches(with_self, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("nbr", alias_name="label"))
+        .map_batches(
+            lambda t: pa.table(
                 {
-                    "node": g.column("node").slice(0, 1),
-                    "nbr": pa.array([None], pa.int64()),
-                    "label": pa.array(
-                        [int(g.column("node")[0].as_py())], pa.int64()
-                    ),
+                    "node": t.column("node"),
+                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t.column("label"),
                 }
             ),
             batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         .materialize()
     )
