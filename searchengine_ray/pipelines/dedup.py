@@ -534,7 +534,11 @@ def _components_propagate(pairs: rd.Dataset, docs: rd.Dataset, max_rounds: int =
             }
         )
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    edges = (
+        pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)  # tiny tables: keep block counts low — a groupby
+        .materialize()  # emits ~200 near-empty blocks whose per-block
+    )  # scheduling overhead would dominate every later union/shuffle
     # nodes touched by >= 1 edge; everything else is a singleton (label =
     # own id). label_0 = min(node, neighbors) — one Min aggregate doubles
     # as BOTH initialization and the first propagation round.
@@ -566,6 +570,7 @@ def _components_propagate(pairs: rd.Dataset, docs: rd.Dataset, max_rounds: int =
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        .repartition(4)
         .materialize()
     )
     edge_rows = edges.map_batches(
@@ -573,52 +578,92 @@ def _components_propagate(pairs: rd.Dataset, docs: rd.Dataset, max_rounds: int =
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+    def node_bucket(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        b = (node.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def forward(g: pa.Table) -> pa.Table:
+        # coarse group = many nodes; each node has exactly ONE label row
+        # (nbr null) plus its edge rows. Vectorized: per node-run resolve
+        # the label, then forward it along every incident edge + to self.
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        nbr_col = g.column("nbr").combine_chunks()
+        lab_col = g.column("label").combine_chunks()
+        nbr_valid = ~np.asarray(nbr_col.is_null())
+        order = np.argsort(node, kind="stable")
+        node = node[order]
+        nbr_valid = nbr_valid[order]
+        nbr = nbr_col.take(pa.array(order)).fill_null(0).to_numpy(zero_copy_only=False)
+        lab = lab_col.take(pa.array(order)).fill_null(0).to_numpy(zero_copy_only=False)
+        new = np.empty(len(node), dtype=bool)
+        new[0] = True
+        new[1:] = node[1:] != node[:-1]
+        run_id = np.cumsum(new) - 1
+        n_runs = int(run_id[-1]) + 1
+        # default +inf: a run somehow lacking its label row must never
+        # fabricate a smaller label (min-aggregate ignores +inf)
+        label_of_run = np.full(n_runs, np.iinfo(np.int64).max, dtype=np.int64)
+        label_of_run[run_id[~nbr_valid]] = lab[~nbr_valid]
+        out_nodes = np.concatenate([nbr[nbr_valid], node[new]])
+        out_labels = np.concatenate(
+            [label_of_run[run_id[nbr_valid]], label_of_run]
+        )
+        return pa.table(
+            {
+                "node": pa.array(out_nodes, pa.int64()),
+                "label": pa.array(out_labels, pa.int64()),
+            }
+        )
+
+    def label_links(t: pa.Table) -> pa.Table:
+        # pointer-jumping edges label<->node: the label node aggregates its
+        # referers' minima and referers read the label node's current
+        # minimum — chains contract exponentially (O(log diameter) rounds
+        # instead of O(diameter))
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        keep = node != lab
+        n2 = np.concatenate([lab[keep], node[keep]])
+        b2 = np.concatenate([node[keep], lab[keep]])
+        return pa.table(
+            {
+                "node": pa.array(n2, pa.int64()),
+                "nbr": pa.array(b2, pa.int64()),
+                "label": pa.nulls(len(n2), pa.int64()),
+            }
+        )
+
     prev_sum = None
     for _ in range(max_rounds):
-
-        def forward(g: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            # exactly one label row (nbr null) per node; the rest are edges
-            lab_col = g.column("label")
-            cur = int(lab_col.filter(pc.is_valid(lab_col))[0].as_py())
-            nbr_col = g.column("nbr")
-            nb = (
-                nbr_col.filter(pc.is_valid(nbr_col))
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            node = int(g.column("node")[0].as_py())
-            out_nodes = np.concatenate([nb, np.array([node], np.int64)])
-            return pa.table(
-                {
-                    "node": pa.array(out_nodes, pa.int64()),
-                    "label": pa.array(np.full(len(out_nodes), cur, dtype=np.int64), pa.int64()),
-                }
-            )
-
-        messages = (
-            labels.union(edge_rows)
-            .groupby("node")
+        # ONE fused Ray job per round: union -> coarse groupby (forward)
+        # -> Min aggregate -> reshape -> materialize; plus a scalar sum for
+        # the fixpoint check (labels monotonically non-increasing)
+        jump_rows = labels.map_batches(
+            label_links, batch_format="pyarrow", zero_copy_batch=True
+        )
+        labels = (
+            labels.union(edge_rows, jump_rows)
+            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
             .map_groups(forward, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "nbr": pa.nulls(t.num_rows, pa.int64()),
+                        "label": t.column("label"),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .repartition(4)
+            .materialize()
         )
-        new_labels = (
-            messages.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
-        )
-        s = new_labels.sum("label")
-        # re-shape to the (node, nbr, label) row layout for the next round
-        labels = new_labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t.column("node"),
-                    "nbr": pa.nulls(t.num_rows, pa.int64()),
-                    "label": t.column("label"),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).materialize()
+        s = labels.sum("label")
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
