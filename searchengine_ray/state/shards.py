@@ -575,6 +575,96 @@ class Lexicon:
         return None
 
 
+@ray.remote
+class LexiconShardActor:
+    """One shard of the global lexicon: rows with term_hash % n_shards ==
+    shard, held as per-field sorted arrays (the 10^12-doc path — a web
+    corpus's lexicon is itself too big for one process; RUNBOOK.md plan,
+    now implemented). Point lookups batch per query round-trip."""
+
+    def __init__(self, index_dir: str, shard: int, n_shards: int):
+        from ..functions.runtime import cap_worker_threads
+
+        cap_worker_threads()
+        lex_dir = os.path.join(index_dir, "lexicon")
+        files = (
+            [
+                os.path.join(lex_dir, f)
+                for f in sorted(os.listdir(lex_dir))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(lex_dir)
+            else []
+        )
+        self._by_field: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        if files:
+            t = pq.read_table(files)
+            fld = t.column("field").to_numpy(zero_copy_only=False)
+            th = t.column("term_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+            mine = (th.view(np.uint64) % np.uint64(n_shards)) == np.uint64(shard)
+            fld, th = fld[mine], th[mine]
+            df = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)[mine]
+            cf = t.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)[mine]
+            for code in np.unique(fld):
+                m = fld == code
+                o = np.argsort(th[m], kind="stable")
+                self._by_field[int(code)] = (th[m][o], df[m][o], cf[m][o])
+
+    def get_many(
+        self, keys: list[tuple[int, int]]
+    ) -> list[tuple[int, int] | None]:
+        out: list[tuple[int, int] | None] = []
+        for field, term_hash in keys:
+            got = self._by_field.get(int(field))
+            if got is None:
+                out.append(None)
+                continue
+            ths, df, cf = got
+            i = int(np.searchsorted(ths, term_hash))
+            if i < len(ths) and ths[i] == term_hash:
+                out.append((int(df[i]), int(cf[i])))
+            else:
+                out.append(None)
+        return out
+
+
+class ShardedLexicon:
+    """Drop-in for `Lexicon` backed by a LexiconShardActor pool: keys route
+    by term_hash % n_shards; `prefetch` batches one round-trip per shard
+    for a whole query batch (the coordinator never holds the full table)."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4):
+        self.n_shards = n_shards
+        self.actors = [
+            LexiconShardActor.remote(index_dir, s, n_shards) for s in range(n_shards)
+        ]
+        self._cache: dict[tuple[int, int], tuple[int, int] | None] = {}
+
+    def _shard_of(self, term_hash: int) -> int:
+        return int(np.uint64(np.int64(term_hash)) % np.uint64(self.n_shards))
+
+    def prefetch(self, keys: list[tuple[int, int]]) -> None:
+        """One get_many round-trip per shard for every uncached key."""
+        need = [k for k in set(keys) if k not in self._cache]
+        if not need:
+            return
+        per_shard: dict[int, list[tuple[int, int]]] = {}
+        for k in need:
+            per_shard.setdefault(self._shard_of(k[1]), []).append(k)
+        futs = {
+            s: self.actors[s].get_many.remote(ks) for s, ks in per_shard.items()
+        }
+        for s, ks in per_shard.items():
+            for k, v in zip(ks, ray.get(futs[s])):
+                self._cache[k] = v
+
+    def get(self, field: int, term_hash: int) -> tuple[int, int] | None:
+        k = (int(field), int(term_hash))
+        if k not in self._cache:
+            self.prefetch([k])
+        return self._cache[k]
+
+
 def make_term_specs(
     query: str,
     lexicon: Lexicon,
@@ -643,13 +733,20 @@ class SearchEngine:
         n_shards: int = 4,
         mode: str = "bm25",
         fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
-        algo: str = "taat",  # "bmw" = block-max WAND (bm25, single field)
+        algo: str = "taat",  # "bmw" = block-max WAND
+        lexicon_shards: int | None = None,  # None: in-process sorted arrays;
+        # N: LexiconShardActor pool (the 10^12-doc path — coordinator never
+        # holds the full term table; batch queries prefetch per shard)
     ):
         self.index_dir = index_dir
         self.mode = mode
         self.algo = algo
         self.fields = fields
-        self.lexicon = Lexicon(index_dir)
+        self.lexicon = (
+            ShardedLexicon(index_dir, lexicon_shards)
+            if lexicon_shards
+            else Lexicon(index_dir)
+        )
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         self.n_docs = float(self.stats["n_docs"])
@@ -750,6 +847,16 @@ class SearchEngine:
 
     def search_batch(self, queries: list[str], k: int = 10) -> list[list[tuple[int, float]]]:
         """Batched scatter-gather: one round trip per shard for ALL queries."""
+        if isinstance(self.lexicon, ShardedLexicon):
+            # one get_many round-trip per lexicon shard for the WHOLE batch
+            self.lexicon.prefetch(
+                [
+                    (f, hash64(w))
+                    for q in queries
+                    for w in parse_query(q)
+                    for f in self.fields
+                ]
+            )
         spec_lists = [self._resolve_specs(q) for q in queries]
         futures = [s.topk_batch.remote(spec_lists, k, self.mode, self.algo) for s in self.shards]
         per_shard = ray.get(futures)

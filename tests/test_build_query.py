@@ -93,3 +93,24 @@ def test_empty_and_oov_queries(built, ray_session):
     assert engine.search("zzzznotaword", k=10) == []
     assert engine.search("naïve", k=10) == []  # dropped at index time, present in query
     assert engine.search("", k=10) == []
+
+
+def test_sharded_lexicon_identical_results(built, ray_session):
+    """Round-2: LexiconShardActor pool (term_hash-sharded) returns the same
+    stats — and the engine the same ranked results — as the in-process
+    lexicon."""
+    from searchengine_ray.state.shards import Lexicon, SearchEngine, ShardedLexicon
+    from searchengine_ray.synth import make_queries_table
+
+    index_dir, _metrics, _cfg = built
+    local = Lexicon(index_dir)
+    sharded = ShardedLexicon(index_dir, n_shards=3)
+    for field, (ths, _df, _cf) in local._by_field.items():
+        for th in ths[:: max(1, len(ths) // 50)]:
+            assert sharded.get(field, int(th)) == local.get(field, int(th))
+    assert sharded.get(0, 123456789) is None  # miss behaves like the local map
+
+    queries = make_queries_table(30).column("query").to_pylist()
+    a = SearchEngine(index_dir, n_shards=2).search_batch(queries, k=10)
+    b = SearchEngine(index_dir, n_shards=2, lexicon_shards=3).search_batch(queries, k=10)
+    assert a == b
