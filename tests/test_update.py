@@ -235,3 +235,38 @@ def test_compact_bit_identical_to_fresh_build(tmp_path, ray_session):
     ra = SearchEngine(idx, n_shards=2).search_batch(qs, k=10)
     rb = SearchEngine(fresh, n_shards=2).search_batch(qs, k=10)
     assert ra == rb
+
+
+def test_compact_bit_identical_with_positions(tmp_path, ray_session):
+    """compact() round-trips the positional index too (per-posting varbyte
+    position streams re-encode canonically)."""
+    import filecmp
+    import os
+
+    from searchengine_ray.pipelines.update import compact
+
+    a = str(tmp_path / "a"); os.makedirs(a)
+    pq.write_table(make_pages_table(0, 250), a + "/pages.parquet")
+    cfg = BuildConfig(num_partitions=4, block_size=32, store_positions=True)
+    idx = str(tmp_path / "idx")
+    build_index(a, idx, cfg, source="pages")
+
+    full = make_pages_table(0, 250)
+    urls = full.column("url").to_pylist()
+    victims_rows = [5, 17]
+    delete_docs(idx, [hash64(urls[i]) for i in victims_rows])
+    compact(idx)
+
+    keep = [i for i in range(250) if i not in victims_rows]
+    surv = str(tmp_path / "surv"); os.makedirs(surv)
+    pq.write_table(full.take(keep), surv + "/pages.parquet")
+    fresh = str(tmp_path / "fresh")
+    build_index(surv, fresh, cfg, source="pages")
+
+    for part in sorted(os.listdir(os.path.join(idx, "segments"))):
+        for f in ("docs.parquet", "postings.parquet"):
+            assert filecmp.cmp(
+                os.path.join(idx, "segments", part, f),
+                os.path.join(fresh, "segments", part, f),
+                shallow=False,
+            ), (part, f)
