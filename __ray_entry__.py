@@ -59,6 +59,7 @@ from searchengine_ray.functions.scoring import round6
 from searchengine_ray.functions.tokenize import parse_query
 from searchengine_ray.pipelines import ann as ann_ops
 from searchengine_ray.pipelines import dedup as dedup_ops
+from searchengine_ray.pipelines import events as event_ops
 from searchengine_ray.pipelines import multimodal as mm_ops
 from searchengine_ray.pipelines import textops
 from searchengine_ray.pipelines.build import BuildConfig, build_index
@@ -225,6 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
         "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        # event-stream windowed shapes (events table)
+        "events_windowed": lambda sf: event_ops.windowed_counts(sf),
+        "events_sessions": lambda sf: event_ops.sessionize(sf),
         # text analysis
         "quality_scores": lambda sf: textops.quality_scores(sf),
         "token_counts": lambda sf: textops.token_counts(sf),
@@ -633,6 +637,29 @@ FROM base
         "fingerprints": f"""
 WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
 SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM base
+""",
+        "events_windowed": """
+WITH w AS (SELECT (epoch_us(ts) // 3600000000) AS window_id, event_type, user_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT window_id, event_type, count(*)::BIGINT AS n_events,
+       (sum(cents) / 100.0) AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM w GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT user_id, us,
+        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, user_id)),
+s AS (SELECT user_id, us,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us
+FROM s GROUP BY 1, 2
 """,
         "dedup_ngram_jaccard": ngram,
         "dedup_simhash": simhash_sql,

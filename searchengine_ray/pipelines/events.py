@@ -1,0 +1,176 @@
+"""Event-stream operators over the `events` table (event_id, ts, user_id,
+event_type, value, props).
+
+The reference is a bounded-streaming system with no event-time operators
+(SURVEY.md §2.9), but a training-data pipeline wants the windowed shapes —
+expressed here Ray-Data-first:
+
+- `windowed_counts`: tumbling-window aggregate — per-batch partial
+  aggregation (combiner) BEFORE the groupby shuffle, so only one row per
+  (window, type, user) per batch crosses the wire; value sums use integer
+  cents so the result is bit-deterministic under any add order (the SQL
+  oracle does the same).
+- `sessionize`: per-user session assignment (gap > `gap_s` starts a new
+  session) — groupby(user) with a fully vectorized per-group kernel
+  (sort, diff, cumsum); the classic window-function shape without a
+  window-function engine.
+
+Both have DuckDB oracles in __ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.runtime import cap_worker_threads
+
+WINDOW_S = 3600
+SESSION_GAP_S = 1800
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    path = f"{sf_dir}/events.parquet"
+    return rd.read_parquet(path, columns=columns)
+
+
+def windowed_counts(sf_dir: str, window_s: int = WINDOW_S) -> rd.Dataset:
+    """(window_id, event_type, n_events, sum_value, n_users) per tumbling
+    window of `window_s` seconds. window_id = epoch_us(ts) // (window_s*1e6).
+    sum_value is accumulated in integer cents (deterministic under any
+    aggregation order) and divided once at the end."""
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // win_us
+        typ = t.column("event_type").combine_chunks()
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        sub = pa.table(
+            {
+                "window_id": pa.array(win, pa.int64()),
+                "event_type": typ,
+                "user_id": pa.array(user, pa.int64()),
+                "n_p": pa.array(np.ones(len(us), np.int64), pa.int64()),
+                "cents_p": pa.array(cents, pa.int64()),
+            }
+        )
+        # per-batch combine: one row per (window, type, user)
+        agg = (
+            sub.group_by(["window_id", "event_type", "user_id"])
+            .aggregate([("n_p", "sum"), ("cents_p", "sum")])
+            .select(  # name-based: Acero's key/agg column order varies
+                ["window_id", "event_type", "user_id", "n_p_sum", "cents_p_sum"]
+            )
+        )
+        return agg.rename_columns(
+            ["window_id", "event_type", "user_id", "n_p", "cents_p"]
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        # one coarse group = many (window, type) cells; vectorized runs
+        win = group.column("window_id").to_numpy(zero_copy_only=False)
+        typ = group.column("event_type").combine_chunks()
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        n_p = group.column("n_p").to_numpy(zero_copy_only=False)
+        cents = group.column("cents_p").to_numpy(zero_copy_only=False)
+        typ_codes = typ.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((user, typ_codes, win))
+        win, user, n_p, cents, typ_codes = (
+            win[order], user[order], n_p[order], cents[order], typ_codes[order]
+        )
+        typ = typ.take(pa.array(order))
+        new = np.empty(len(win), dtype=bool)
+        new[0] = True
+        new[1:] = (win[1:] != win[:-1]) | (typ_codes[1:] != typ_codes[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(win))
+        seg = np.cumsum(new) - 1
+        n_events = np.add.reduceat(n_p, starts)
+        sum_cents = np.add.reduceat(cents, starts)
+        # distinct users per cell: user changes within a cell run
+        u_new = np.empty(len(win), dtype=bool)
+        u_new[0] = True
+        u_new[1:] = new[1:] | (user[1:] != user[:-1])
+        n_users = np.bincount(seg[u_new], minlength=len(starts))
+        return pa.table(
+            {
+                "window_id": pa.array(win[starts], pa.int64()),
+                "event_type": typ.take(pa.array(starts)),
+                "n_events": pa.array(n_events, pa.int64()),
+                "sum_value": pa.array(sum_cents / 100.0, pa.float64()),
+                "n_users": pa.array(n_users.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        win = t.column("window_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((win.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        read_events(sf_dir, columns=["ts", "event_type", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
+    """(user_id, session_id, n_events, start_us, end_us) — a session is a
+    maximal run of a user's events with inter-event gap <= gap_s;
+    session_id counts from 1 in time order per user."""
+    gap_us = np.int64(gap_s) * np.int64(1_000_000)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, user))
+        user, us = user[order], us[order]
+        brk = np.empty(len(us), dtype=bool)
+        brk[0] = True
+        brk[1:] = (user[1:] != user[:-1]) | (us[1:] - us[:-1] > gap_us)
+        sid_global = np.cumsum(brk) - 1  # session index across users
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(us))
+        # per-user session numbering from 1
+        sess_user = user[starts]
+        first_of_user = np.empty(len(sess_user), dtype=bool)
+        first_of_user[0] = True
+        first_of_user[1:] = sess_user[1:] != sess_user[:-1]
+        user_first_idx = np.maximum.accumulate(
+            np.where(first_of_user, np.arange(len(sess_user)), 0)
+        )
+        session_id = np.arange(len(sess_user)) - user_first_idx + 1
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user, pa.int64()),
+                "session_id": pa.array(session_id.astype(np.int64), pa.int64()),
+                "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "start_us": pa.array(us[starts], pa.int64()),
+                "end_us": pa.array(us[ends - 1], pa.int64()),
+            }
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        read_events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
