@@ -156,6 +156,12 @@ def run_once() -> dict:
     dedup_ops.dedup_components(SF_DIR).to_pandas()
     queries["dedup_components"] = round(time.perf_counter() - t0, 3)
 
+    from searchengine_ray.pipelines import events as event_ops
+
+    t0 = time.perf_counter()
+    event_ops.windowed_counts(SF_DIR).to_pandas()
+    queries["events_windowed"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "index_build_sec",
         "value": round(build_s, 3),

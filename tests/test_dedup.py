@@ -178,3 +178,47 @@ def test_embedding_bucketed_path_matches_exact_at_high_threshold(ray_session):
     bum = {(int(a), int(b)): s for a, b, s in zip(bucketed.id_a, bucketed.id_b, bucketed.sim)}
     for k in bu & ex:
         assert abs(exm[k] - bum[k]) < 1e-9
+
+
+def test_skewed_duplicate_mass_capped(tmp_path, ray_session):
+    """A degenerate corpus (hundreds of identical docs) must not blow up:
+    per-shingle fan-out and LSH buckets are capped deterministically, the
+    pipelines finish, and the surviving pairs are correct."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_same = 300  # > MAX_BUCKET and > MAX_SHINGLE_DF
+    texts = ["the quick brown fox jumps over the lazy dog again and again"] * n_same
+    # letter-only variation: the tokenizer drops digits, so use distinct WORDS
+    texts += [
+        "filler %s %s document body with several distinct tokens %s"
+        % ("w" + chr(97 + i) * 3, "x" + chr(97 + i) * 2, "z" + chr(97 + i))
+        for i in range(20)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    pairs = dd.ngram_jaccard_pairs(sf, threshold=0.5).to_pandas()
+    capped = dd.MAX_SHINGLE_DF
+    assert len(pairs) == capped * (capped - 1) // 2  # triu of the capped prefix
+    assert (pairs.jaccard == 1.0).all()
+    assert pairs.doc_a.max() < capped and pairs.doc_b.max() < capped  # doc_id-order cap
+
+    mh = dd.minhash_lsh_pairs(sf, threshold=0.5).to_pandas()
+    mb = dd.MAX_BUCKET
+    assert len(mh) == mb * (mb - 1) // 2
+    assert (mh.est_jaccard == 1.0).all()
+
+    comp = dd.dedup_components(sf, threshold=0.5).to_pandas().set_index("doc_id")["component_id"]
+    # every doc inside the capped prefix clusters to 0; fillers are singletons
+    assert (comp.loc[range(capped)] == 0).all()
+    assert (comp.loc[range(n_same, n_same + 20)] == list(range(n_same, n_same + 20))).all()
