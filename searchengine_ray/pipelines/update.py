@@ -306,27 +306,32 @@ def compact(index_dir: str) -> dict:
     )
     n_docs = int(result["n_docs"].sum())
 
-    # docs/ map (pages source): union generations minus tombstones
+    # docs/ map (pages source): union generations minus tombstones — the
+    # filter is applied PER GENERATION with the same watermark rule the
+    # readers use, so a deleted-then-re-added doc keeps its (newer) row
     docs_out = os.path.join(out_dir, "docs")
-    docs_files = [
-        os.path.join(r, "docs", f)
-        for r, _g in roots
-        if os.path.isdir(os.path.join(r, "docs"))
-        for f in sorted(os.listdir(os.path.join(r, "docs")))
-        if f.endswith(".parquet")
-    ]
-    if docs_files:
-        ds = rd.read_parquet(docs_files)
-        if len(tomb_ids):
-            gone = tomb_ids  # conservative: any watermark (re-added copies
-            # survive via their newer generation rows being distinct files
-            # is NOT tracked per-gen in docs/; keep all non-tombstoned)
+    doc_dss = []
+    for r, g in roots:
+        ddir = os.path.join(r, "docs")
+        if not os.path.isdir(ddir):
+            continue
+        files = [
+            os.path.join(ddir, f) for f in sorted(os.listdir(ddir)) if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        ds = rd.read_parquet(files)
+        applicable = tomb_ids[tomb_wm >= g] if len(tomb_ids) else tomb_ids
+        if len(applicable):
 
-            def drop(t: pa.Table) -> pa.Table:
+            def drop(t: pa.Table, gone=applicable) -> pa.Table:
                 keep = ~np.isin(t.column("doc_id").to_numpy(zero_copy_only=False), gone)
                 return t.filter(pa.array(keep))
 
             ds = ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+        doc_dss.append(ds)
+    if doc_dss:
+        ds = doc_dss[0].union(*doc_dss[1:]) if len(doc_dss) > 1 else doc_dss[0]
         ds.write_parquet(docs_out)
 
     part_files = [

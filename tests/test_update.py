@@ -270,3 +270,29 @@ def test_compact_bit_identical_with_positions(tmp_path, ray_session):
                 os.path.join(fresh, "segments", part, f),
                 shallow=False,
             ), (part, f)
+
+
+def test_compact_preserves_readded_doc(tmp_path, ray_session):
+    """delete -> re-add -> compact: the re-added copy survives in segments
+    AND in the docs map (hydration), old copies are gone, tombstones clear."""
+    import os
+
+    from searchengine_ray.pipelines.update import compact
+
+    a = str(tmp_path / "a"); os.makedirs(a)
+    re_add = str(tmp_path / "readd"); os.makedirs(re_add)
+    pq.write_table(make_pages_table(0, 200), a + "/pages.parquet")
+    pq.write_table(make_pages_table(7, 8), re_add + "/pages.parquet")
+    cfg = BuildConfig(num_partitions=4, block_size=32)
+    idx = str(tmp_path / "idx")
+    build_index(a, idx, cfg, source="pages")
+    url7 = make_pages_table(7, 8).column("url")[0].as_py()
+    doc7 = hash64(url7)
+    delete_docs(idx, [doc7])
+    update_index(re_add, idx, cfg, source="pages")
+    compact(idx)
+    assert not os.path.exists(os.path.join(idx, "tombstones.parquet"))
+    eng = SearchEngine(idx, n_shards=1)
+    hits = {d for d, _ in eng.search("taaa", k=500)}
+    assert doc7 in hits
+    assert eng.hydrate([doc7])[doc7] == url7  # docs map kept the new row
