@@ -56,6 +56,11 @@ class BuildConfig:
     lang_filter: str | None = "en"
     batch_size: int = 2048
     store_positions: bool = False  # per-posting token positions (phrase queries)
+    shuffle_compression: str | None = "zstd"  # IPC codec for the packed
+    # shuffle payloads: the sort exchange is DRAM-bandwidth-bound at scale
+    # (measured: 10.7 GB of raw packed rows for 366 M postings put ~7,400 s
+    # of CPU into SortMap/SortReduce copies at 3 M docs); zstd roughly
+    # halves the bytes the exchange touches for ~1 GB/s/core of codec cost
     index_title: bool = True  # pages source: also build the title field
     # (the reference builds two complete indexes, titles_* and repos_*,
     #  Engine/Engine/Engine.cs:100-122; here it is a field code)
@@ -164,7 +169,7 @@ def make_documents_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = fr
     return fn
 
 
-def make_packed_fn(base_fn):
+def make_packed_fn(base_fn, compression: str | None = "zstd"):
     """Wrap a postings batch fn to PACK its output for the shuffle.
 
     Ray's groupby is a sort-based shuffle over ROWS; sorting/merging 10^7+
@@ -175,7 +180,12 @@ def make_packed_fn(base_fn):
     coarse rows instead of n_postings fine rows (measured 1.5x stage
     speedup at sf0.1), while the bytes moved stay identical."""
 
+    # NB: IpcWriteOptions holds C++ state and cannot be pickled into the
+    # task closure (same class of gotcha as struct.Struct in multimodal.py)
+    # — capture only the codec NAME and construct per call (cheap).
+
     def fn(t: pa.Table) -> pa.Table:
+        opts = pa.ipc.IpcWriteOptions(compression=compression)
         post = base_fn(t)
         if post.num_rows == 0:
             return pa.table(
@@ -192,7 +202,7 @@ def make_packed_fn(base_fn):
         for s, e in zip(bounds, ends):
             sub = post.slice(s, e - s)
             sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, sub.schema) as w:
+            with pa.ipc.new_stream(sink, sub.schema, options=opts) as w:
                 w.write_table(sub)
             out_p.append(int(parts_s[s]))
             out_b.append(sink.getvalue().to_pybytes())
@@ -428,7 +438,7 @@ def build_index(
             )
             prep = make_documents_postings_fn(cfg, frozenset(done))
         packed = src.map_batches(
-            make_packed_fn(prep),
+            make_packed_fn(prep, cfg.shuffle_compression),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             zero_copy_batch=True,
