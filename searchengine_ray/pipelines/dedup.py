@@ -371,12 +371,13 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b, jaccard) EXACT n-gram (shingle-set) Jaccard >= threshold.
 
     Fully distributed — no driver-side shingle table: (doc, shingle, sz)
-    rows -> groupby(shingle) emits in-bucket doc pairs -> groupby(pair)
-    counts |A∩B|; jaccard = ix / (sz_a + sz_b - ix). Exact for any
-    threshold > 0 because a qualifying pair shares >= 1 shingle and so
-    meets in that shingle's group. Per-shingle fan-out is capped at
-    `max_shingle_df` docs (deterministic doc_id order, logged) — a
-    stopword-like shingle shared by B docs would otherwise emit B^2 rows.
+    rows -> coarse-bucket groupby (shingle % N_COARSE_BUCKETS; equal
+    shingles co-locate) emits per-shingle-run doc pairs -> coarse-bucket
+    groupby on the pair key counts |A∩B|; jaccard = ix/(sz_a+sz_b-ix).
+    Exact for any threshold > 0 because a qualifying pair shares >= 1
+    shingle and so meets in that shingle's run. Per-shingle fan-out is
+    capped at `max_shingle_df` docs (deterministic doc_id order, logged) —
+    a stopword-like shingle shared by B docs would otherwise emit B^2 rows.
 
     `candidate_ids`: optional broadcast doc-id allowlist — the
     LSH-verification mode (only candidates' shingles leave the map tasks).

@@ -173,7 +173,13 @@ def segment_to_postings(part_dir: str, block_size: int) -> pa.Table:
     rows (field, term_hash, doc_id, tf, dl [, positions]) from its segment
     files. Round-trips exactly: build_segment(segment_to_postings(d)) is
     byte-identical to the original segment (compaction relies on this —
-    pipelines/update.py compact)."""
+    pipelines/update.py compact).
+
+    Fully vectorized: varbyte is self-delimiting and term boundaries align
+    with byte offsets, so the WHOLE partition's ords/tfs/positions streams
+    decode in one pass each (mirroring the one-pass encode in
+    build_segment); per-term work is pure numpy indexing.
+    """
     import os
 
     import pyarrow.parquet as pq
@@ -187,57 +193,78 @@ def segment_to_postings(part_dir: str, block_size: int) -> pa.Table:
         FIELD_TITLE: docs.column("dl_title").to_numpy(zero_copy_only=False),
     }
     post = pq.read_table(os.path.join(part_dir, "postings.parquet"))
+    if post.num_rows == 0:
+        return POSTINGS_FLAT_EMPTY()
     has_pos = "positions" in post.column_names
-    out_f: list[np.ndarray] = []
-    out_th: list[np.ndarray] = []
-    out_doc: list[np.ndarray] = []
-    out_tf: list[np.ndarray] = []
-    out_dl: list[np.ndarray] = []
-    pos_blobs: list[bytes] = []
-    pos_bounds: list[np.ndarray] = []
     f_col = post.column("field").to_numpy(zero_copy_only=False)
     th_col = post.column("term_hash").to_numpy(zero_copy_only=False)
-    for row in range(post.num_rows):
-        blk_first = np.asarray(post.column("blk_first")[row].as_py(), dtype=np.int64)
-        ords = decode_ords(
-            post.column("ords")[row].as_py(), blk_first, block_size
-        )
-        tfs = decode_tfs(post.column("tfs")[row].as_py())
-        n = len(ords)
-        out_f.append(np.full(n, f_col[row], dtype=np.uint8))
-        out_th.append(np.full(n, th_col[row], dtype=np.int64))
-        out_doc.append(doc_ids[ords])
-        out_tf.append(tfs.astype(np.uint32))
-        out_dl.append(dl_by_field[int(f_col[row])][ords])
-        if has_pos:
-            flat_pos = decode_positions(post.column("positions")[row].as_py(), tfs)
-            # per-POSTING re-encode (delta within posting, first absolute):
-            # varbyte is canonical, so bytes equal the original build's
-            group = np.repeat(np.arange(n, dtype=np.int64), tfs.astype(np.int64))
-            buf, bounds = encode_group_positions(group, flat_pos)
-            pos_blobs.append(buf)
-            pos_bounds.append(bounds)
-    if not out_f:
-        base = POSTINGS_FLAT_EMPTY()
-        return base
+    df = post.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(df.sum())
+
+    def _flat_binary(name: str) -> np.ndarray:
+        arr = post.column(name).combine_chunks()
+        _, off_buf, data_buf = arr.buffers()
+        off = np.frombuffer(off_buf, dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+        data = np.frombuffer(data_buf, dtype=np.uint8)
+        return data[off[0] : off[-1]]
+
+    # term/value geometry: term t covers value indices [starts[t], starts[t]+df[t])
+    term_starts = np.zeros(len(df) + 1, dtype=np.int64)
+    np.cumsum(df, out=term_starts[1:])
+    term_of_value = np.repeat(np.arange(len(df), dtype=np.int64), df)
+
+    # --- ords: one varbyte pass; deltas reset at every block start, with
+    # the block's first ordinal kept in blk_first (same layout the encoder
+    # wrote: block j of term t starts at value term_starts[t] + j*B) ---
+    deltas = varbyte_decode(_flat_binary("ords")).astype(np.int64)
+    assert len(deltas) == n
+    within = np.arange(n, dtype=np.int64) - term_starts[term_of_value]
+    block_start_mask = (within % block_size) == 0
+    blk_first_flat = (
+        post.column("blk_first").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    c = np.cumsum(deltas)
+    bs_idx = np.flatnonzero(block_start_mask)
+    assert len(bs_idx) == len(blk_first_flat)
+    # value at each block start must equal blk_first; the per-block
+    # adjustment applies to every value until the next block start
+    carry = np.repeat(blk_first_flat - c[bs_idx], np.diff(np.append(bs_idx, n)))
+    ords = (c + carry).astype(np.int64)
+
+    tfs = (varbyte_decode(_flat_binary("tfs")) + np.uint64(1)).astype(np.uint32)
+    assert len(tfs) == n
+
+    field_flat = np.repeat(f_col, df).astype(np.uint8)
+    dl = np.where(
+        field_flat == FIELD_BODY,
+        dl_by_field[FIELD_BODY][ords],
+        dl_by_field[FIELD_TITLE][ords],
+    ).astype(np.uint32)
     tbl = pa.table(
         {
-            "field": pa.array(np.concatenate(out_f), pa.uint8()),
-            "term_hash": pa.array(np.concatenate(out_th), pa.int64()),
-            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-            "tf": pa.array(np.concatenate(out_tf), pa.uint32()),
-            "dl": pa.array(np.concatenate(out_dl), pa.uint32()),
+            "field": pa.array(field_flat, pa.uint8()),
+            "term_hash": pa.array(np.repeat(th_col, df), pa.int64()),
+            "doc_id": pa.array(doc_ids[ords], pa.int64()),
+            "tf": pa.array(tfs, pa.uint32()),
+            "dl": pa.array(dl, pa.uint32()),
         }
     )
     if has_pos:
-        total = b"".join(pos_blobs)
-        offs = [np.zeros(1, dtype=np.int64)]
-        base_off = 0
-        for blob, bounds in zip(pos_blobs, pos_bounds):
-            offs.append(bounds[1:] + base_off)
-            base_off += len(blob)
-        off = np.concatenate(offs)
-        pos_col = _large_binary_from_slices(total, off)
+        # one pass over the whole positions stream: per-POSTING delta
+        # groups (first absolute); posting p covers position indices
+        # [pb[p], pb[p+1]) where pb = cumsum(tfs)
+        pos_vals = varbyte_decode(_flat_binary("positions")).astype(np.int64)
+        pb = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs.astype(np.int64), out=pb[1:])
+        flat_pos = np.zeros(len(pos_vals), dtype=np.int64)
+        if len(pos_vals):
+            cp = np.cumsum(pos_vals)
+            p_starts = pb[:-1]
+            adj = np.repeat(cp[p_starts] - pos_vals[p_starts], np.diff(pb))
+            flat_pos = cp - adj
+        group = np.repeat(np.arange(n, dtype=np.int64), tfs.astype(np.int64))
+        buf, bounds = encode_group_positions(group, flat_pos)
+        pos_col = _large_binary_from_slices(buf, bounds)
         tbl = tbl.append_column(pa.field("positions", pa.large_binary()), pos_col)
     return tbl
 
