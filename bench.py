@@ -6,7 +6,8 @@ corpus sized to $GRAFT_SF_DIR's scale factor, plus BM25 batch-query
 throughput and the flagship data ops over the sf testdata tables.
 
   python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
-  python bench.py --scaling    # fresh-process runs at 8 and 32 CPUs ->
+  python bench.py --scaling    # fresh-process runs at GRAFT_SCALE_LO and
+                               # GRAFT_SCALE_HI CPUs (default 4 and 16) ->
                                # throughput at both + scaling efficiency
 
 Ray session is owned HERE (not in the library / __ray_entry__).
