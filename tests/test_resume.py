@@ -62,3 +62,26 @@ def test_determinism_across_parallelism(pages_dir, tmp_path_factory, cfg, ray_se
     cfg_b = dataclasses.replace(cfg, batch_size=97)
     build_index(pages_dir, b, cfg_b, source="pages")
     assert _segments_equal(a, b)
+
+
+def test_shuffle_compression_is_transport_only(pages_dir, tmp_path, ray_session):
+    """zstd-compressed vs raw packed shuffle payloads must produce
+    byte-identical segments (the codec is pure transport)."""
+    import filecmp
+    import os
+
+    from searchengine_ray.pipelines.build import BuildConfig, build_index
+
+    a = str(tmp_path / "zstd")
+    b = str(tmp_path / "raw")
+    build_index(pages_dir, a, BuildConfig(num_partitions=4, block_size=32,
+                                          shuffle_compression="zstd"), source="pages")
+    build_index(pages_dir, b, BuildConfig(num_partitions=4, block_size=32,
+                                          shuffle_compression=None), source="pages")
+    for part in sorted(os.listdir(os.path.join(a, "segments"))):
+        for f in ("docs.parquet", "postings.parquet"):
+            assert filecmp.cmp(
+                os.path.join(a, "segments", part, f),
+                os.path.join(b, "segments", part, f),
+                shallow=False,
+            ), (part, f)
