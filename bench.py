@@ -189,7 +189,8 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # GRAFT_INNER stops the child from recursing into its own scaling pair
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_INNER="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -242,4 +243,26 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_once()))
+        result = run_once()
+        # The default run (what the round driver records) carries the
+        # two-level scaling evidence inline: fresh-process runs at
+        # GRAFT_SCALE_LO and GRAFT_SCALE_HI CPUs on the same input, plus
+        # the derived efficiency. GRAFT_INNER marks the scaling-pair
+        # children so they don't recurse; GRAFT_SKIP_SCALING=1 opts out
+        # for quick local iteration.
+        if os.environ.get("GRAFT_INNER") != "1" and not os.environ.get(
+            "GRAFT_SKIP_SCALING"
+        ):
+            try:
+                scaling = run_scaling()
+                result["scaling_efficiency"] = scaling["value"]
+                result["scaling"] = {
+                    k: scaling[k]
+                    for k in (
+                        "cpus_lo", "cpus_hi", "sec_lo", "sec_hi",
+                        "docs_per_sec_lo", "docs_per_sec_hi", "n_docs",
+                    )
+                }
+            except Exception as exc:  # a failed pair must not lose the run
+                result["scaling_error"] = repr(exc)
+        print(json.dumps(result))

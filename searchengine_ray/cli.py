@@ -55,7 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     bp = sub.add_parser("build", help="build the inverted index")
     bp.add_argument("--input", required=True)
     bp.add_argument("--index", required=True)
-    bp.add_argument("-p", "--partitions", type=int, default=16)
+    bp.add_argument("-p", "--partitions", type=int, default=None,
+        help="segment partition count (default: auto-sized from input bytes)")
     bp.add_argument("--source", choices=["pages", "documents"], default="pages")
     bp.add_argument("--lang", default="en", help="'none' disables the filter")
 
@@ -69,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
     up = sub.add_parser("update", help="add documents as a new generation")
     up.add_argument("--input", required=True)
     up.add_argument("--index", required=True)
-    up.add_argument("-p", "--partitions", type=int, default=16)
+    up.add_argument("-p", "--partitions", type=int, default=None,
+        help="segment partition count (default: auto-sized from input bytes)")
     up.add_argument("--source", choices=["pages", "documents"], default="pages")
     up.add_argument("--lang", default="en")
 

@@ -4,8 +4,10 @@ embedding:list<float>).
 - `ann_brute_topk`: exact cosine top-k. The query matrix is normalized
   once on the driver and broadcast with ray.put (read in every task, never
   re-shipped per batch); each batch contributes one numpy matmul and only
-  its LOCAL top-k per query leaves the task, so the driver-side merge sees
-  O(n_blocks * q * k) candidate rows regardless of corpus size.
+  its LOCAL top-k per query leaves the task. The global merge is a
+  DISTRIBUTED groupby(query_id) reduce (one group per query, each bounded
+  by n_blocks * k rows) — only the final q * k ranked rows ever reach the
+  driver, regardless of corpus size.
 - `ann_lsh_topk`: the scale path — random-hyperplane LSH buckets; only
   vectors whose bucket matches a query bucket (within `probe` bit flips)
   are scored. Recall measured against brute force in tests.
@@ -47,27 +49,34 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
-def _merge_topk(cands, k: int) -> pa.Table:
-    """(query_id, neighbor_id, sim) candidate rows -> global ranked top-k."""
-    out_q, out_r, out_n, out_s = [], [], [], []
-    qids = cands["query_id"].to_numpy()
-    nids = cands["neighbor_id"].to_numpy()
-    sims = cands["sim"].to_numpy()
-    for q in np.unique(qids):
-        m = qids == q
-        d, s = topk_by_score(nids[m].astype(np.int64), sims[m], k)
-        for r, (di, si) in enumerate(zip(d, s), start=1):
-            out_q.append(int(q))
-            out_r.append(r)
-            out_n.append(int(di))
-            out_s.append(float(round6(si)))
+def _group_topk(group: pa.Table, k: int) -> pa.Table:
+    """ONE query's (query_id, neighbor_id, sim) local-top-k candidate rows
+    -> its global ranked top-k. Runs inside groupby(query_id).map_groups:
+    group count == n_queries (small by construction), group size is bounded
+    by n_blocks * k — the merge is distributed, nothing but the final
+    q * k rows ever reaches the driver."""
+    qids = group.column("query_id").to_numpy(zero_copy_only=False)
+    nids = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+    sims = group.column("sim").to_numpy(zero_copy_only=False)
+    d, s = topk_by_score(nids.astype(np.int64), sims, k)
     return pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int32()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(np.full(len(d), qids[0]), pa.int64()),
+            "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int32), pa.int32()),
+            "neighbor_id": pa.array(d, pa.int64()),
+            "sim": pa.array(np.asarray(round6(s), dtype=np.float64), pa.float64()),
         }
+    )
+
+
+def _distributed_merge(cands: rd.Dataset, k: int) -> rd.Dataset:
+    """Candidate rows -> per-query distributed reduce -> deterministic
+    (query_id, rank) order. Replaces the former driver-side .to_pandas()
+    merge (round-2 verdict: scale-killer at ~10^6 blocks)."""
+    return (
+        cands.groupby("query_id")
+        .map_groups(lambda g: _group_topk(g, k), batch_format="pyarrow")
+        .sort(["query_id", "rank"])
     )
 
 
@@ -97,12 +106,10 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> rd.Dataset:
             )
         return pa.concat_tables(out)
 
-    cands = (
-        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+    cands = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
     )
-    return rd.from_arrow(_merge_topk(cands, k))
+    return _distributed_merge(cands, k)
 
 
 def ann_lsh_topk(
@@ -158,9 +165,7 @@ def ann_lsh_topk(
             )
         return pa.concat_tables(out)
 
-    cands = (
-        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+    cands = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
     )
-    return rd.from_arrow(_merge_topk(cands, k))
+    return _distributed_merge(cands, k)

@@ -49,9 +49,38 @@ from ..state import manifest as mf
 from ..state.segments import build_segment
 
 
+# Auto partition sizing (SURVEY.md §4: P ≈ total_postings_bytes / 512 MB so
+# one partition's raw postings fit a worker's heap during encode).
+# postings-per-input ratio measured at sf0.1 pages: ~25 MB parquet ->
+# 12.2 M postings x ~29 B raw packed ≈ 350 MB (parquet compression ~2.5x
+# + markup->token blow-up); 16x is the rounded-up, deliberately
+# conservative estimate. A factor-of-few error only moves partition size
+# within the safe 100 MB - 1 GB band.
+TARGET_PART_POSTINGS_BYTES = 512 << 20
+POSTINGS_BYTES_PER_INPUT_BYTE = 16
+
+
+def auto_num_partitions(input_path: str) -> int:
+    """Size P from input bytes when BuildConfig.num_partitions is None.
+    Floor 8 keeps encode parallelism at toy scale; no hard cap — at 100 TB
+    the estimate yields ~3M partitions of ~512 MB, which is the intended
+    shape (partition count scales with data, worker memory does not)."""
+    total = 0
+    if os.path.isdir(input_path):
+        for fn in os.listdir(input_path):
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(input_path, fn))
+    elif os.path.exists(input_path):
+        total = os.path.getsize(input_path)
+    est = total * POSTINGS_BYTES_PER_INPUT_BYTE
+    return int(max(8, -(-est // TARGET_PART_POSTINGS_BYTES)))
+
+
 @dataclass(frozen=True)
 class BuildConfig:
-    num_partitions: int = 16
+    # None -> auto-sized from input bytes at build time (auto_num_partitions);
+    # the RESOLVED value is what reaches the fingerprint and stats.json
+    num_partitions: int | None = None
     block_size: int = 128
     lang_filter: str | None = "en"
     batch_size: int = 2048
@@ -357,6 +386,10 @@ def build_index(
     """Run the full build. Returns a metrics dict (also written to
     index_dir/stats.json). Idempotent / resumable at partition granularity."""
     cfg = cfg or BuildConfig()
+    if cfg.num_partitions is None:
+        from dataclasses import replace
+
+        cfg = replace(cfg, num_partitions=auto_num_partitions(input_path))
     fingerprint = _fingerprint(input_path, cfg, source)
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.perf_counter()

@@ -57,6 +57,50 @@ MAX_SHINGLE_DF = 256  # cap per-shingle pair fan-out in the exact join
 N_COARSE_BUCKETS = 256
 
 
+def coarse_pair_dedup(pairs: rd.Dataset, ka: str, kb: str, vcol: str) -> rd.Dataset:
+    """Dedup (ka, kb, vcol) pair rows that can surface from several buckets:
+    coarse pbucket shuffle (pair-hash % N_COARSE_BUCKETS; equal pairs still
+    co-locate) + ONE vectorized run-dedup per coarse group — never a
+    per-distinct-pair map_groups (module docstring). vcol is identical
+    across a pair's occurrences, so keeping the first row is exact."""
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column(ka).to_numpy(zero_copy_only=False)
+        b = t.column(kb).to_numpy(zero_copy_only=False)
+        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
+            N_COARSE_BUCKETS
+        )
+        return t.append_column("pbucket", pa.array(code.astype(np.int32), pa.int32()))
+
+    def run_dedup(group: pa.Table) -> pa.Table:
+        a = group.column(ka).to_numpy(zero_copy_only=False)
+        b = group.column(kb).to_numpy(zero_copy_only=False)
+        v = group.column(vcol).to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table(
+                {ka: pa.array([], pa.int64()), kb: pa.array([], pa.int64()),
+                 vcol: pa.array([], pa.float64())}
+            )
+        order = np.lexsort((b, a))
+        a, b, v = a[order], b[order], v[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                ka: pa.array(a[new], pa.int64()),
+                kb: pa.array(b[new], pa.int64()),
+                vcol: pa.array(v[new], pa.float64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(run_dedup, batch_format="pyarrow")
+    )
+
+
 def _minhash_params(num_perm: int = MINHASH_PERMS, seed: int = 12345):
     g = np.random.Generator(np.random.PCG64(seed))
     a = g.integers(1, _MERSENNE, num_perm, dtype=np.int64)
@@ -269,41 +313,14 @@ def minhash_lsh_pairs(
             }
         )
 
-    def pair_dedup(group: pa.Table) -> pa.Table:
-        # a pair can surface from several bands -> keep one row (vectorized
-        # run-dedup; est_jaccard is identical across a pair's occurrences)
-        a = group.column("doc_a").to_numpy(zero_copy_only=False)
-        b = group.column("doc_b").to_numpy(zero_copy_only=False)
-        est = group.column("est_jaccard").to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b, est = a[order], b[order], est[order]
-        new = np.empty(len(a), dtype=bool)
-        new[0] = True
-        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table(
-            {
-                "doc_a": pa.array(a[new], pa.int64()),
-                "doc_b": pa.array(b[new], pa.int64()),
-                "est_jaccard": pa.array(est[new], pa.float64()),
-            }
-        )
-
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
-        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
-            N_COARSE_BUCKETS
-        )
-        return t.append_column("pbucket", pa.array(code.astype(np.int32), pa.int32()))
-
-    return (
+    pairs = (
         sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pbucket")
-        .map_groups(pair_dedup, batch_format="pyarrow")
     )
+    # a pair can surface from several bands -> coarse vectorized dedup
+    # (est_jaccard is identical across a pair's occurrences)
+    return coarse_pair_dedup(pairs, "doc_a", "doc_b", "est_jaccard")
 
 
 def simhash(sf_dir: str) -> rd.Dataset:
@@ -860,6 +877,6 @@ def _embedding_pairs_bucketed(
         .groupby("bucket")
         .map_groups(in_bucket_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # a pair meets in up to `planes + 1` probe buckets -> coarse-bucketed
+    # vectorized dedup (NOT one map_groups call per distinct pair)
+    return coarse_pair_dedup(pairs, "id_a", "id_b", "sim")

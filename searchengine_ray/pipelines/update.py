@@ -44,7 +44,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..state import manifest as mf
-from .build import BuildConfig, _fingerprint, build_index, compute_lexicon_and_stats
+from .build import (
+    BuildConfig,
+    _fingerprint,
+    auto_num_partitions,
+    build_index,
+    compute_lexicon_and_stats,
+)
 
 
 def _all_generation_dirs(index_dir: str) -> list[str]:
@@ -111,6 +117,10 @@ def update_index(
     with open(os.path.join(index_dir, "stats.json")) as fh:
         base = json.load(fh)
     cfg = cfg or BuildConfig()
+    if cfg.num_partitions is None:  # resolve BEFORE fingerprinting (build.py)
+        from dataclasses import replace
+
+        cfg = replace(cfg, num_partitions=auto_num_partitions(input_path))
     # a generation with a different block_size would be silently
     # mis-decoded (readers use the parent stats.json block_size), and a
     # store_positions mismatch silently disables phrase queries there

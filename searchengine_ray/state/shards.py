@@ -182,17 +182,27 @@ class _Part:
         return ords, tfs, pos
 
     def tf_doc_candidates(
-        self, field: int, term_hash: int, limit: int
+        self, field: int, term_hash: int, limit: int, dead: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray] | None:
         """This partition's top-`limit` postings of (field, term) by
         (tf, doc_id) ascending-tail order — a superset contributor to the
         GLOBAL reference-mode truncation cutoff (the global top-limit is
-        contained in the union of per-partition top-limits)."""
+        contained in the union of per-partition top-limits).
+
+        `dead` (sorted tombstoned doc_ids applicable to this generation) is
+        filtered out BEFORE the top-limit: otherwise deleted postings could
+        hold cutoff slots and displace live ones relative to a truncating
+        rebuild of the survivors."""
         got = self.postings_for(field, term_hash)
         if got is None:
             return None
         ords, tfs = got
         docs = self.doc_ids[ords]
+        if dead is not None and len(dead):
+            alive = ~np.isin(docs, dead)
+            docs, tfs = docs[alive], tfs[alive]
+            if not len(docs):
+                return None
         if len(docs) > limit:
             keep = np.lexsort((docs, tfs))[-limit:]
             docs, tfs = docs[keep], tfs[keep]
@@ -377,7 +387,8 @@ class LocalIndex:
         tfs_all: list[np.ndarray] = []
         docs_all: list[np.ndarray] = []
         for part in self.parts:
-            got = part.tf_doc_candidates(field, term_hash, limit)
+            dead = self.tombstones_for(part.gen) if self.has_tombstones else None
+            got = part.tf_doc_candidates(field, term_hash, limit, dead=dead)
             if got is None:
                 continue
             tfs_all.append(got[0])
@@ -428,26 +439,47 @@ class LocalIndex:
                 cand = o if cand is None else np.intersect1d(cand, o, assume_unique=True)
             if cand is None or len(cand) == 0:
                 continue
-            matched = []
-            for ordv in cand.tolist():
-                h0 = word_hashes[0]
-                o0, _, fp0, b0 = plists[h0]
-                j = int(np.searchsorted(o0, ordv))
-                positions = fp0[b0[j] : b0[j + 1]]
-                for wi in range(1, len(word_hashes)):
-                    h = word_hashes[wi]
-                    o, _, fp, b = plists[h]
-                    jj = int(np.searchsorted(o, ordv))
-                    nxt = fp[b[jj] : b[jj + 1]]
-                    positions = np.intersect1d(positions + 1, nxt, assume_unique=True)
-                    if len(positions) == 0:
-                        break
-                if len(positions):
-                    matched.append(ordv)
-            if not matched:
+
+            # vectorized adjacency over ALL candidate docs at once: encode
+            # (doc_ord, position) as one int64 key (ord << 32 | pos); the
+            # word-i check is a flat sorted-membership test of key+1 against
+            # word i's key set. No per-candidate-doc Python — a stopword-ish
+            # phrase costs O(total candidate positions) numpy, not a doc loop.
+            def gather_keys(h: int) -> np.ndarray:
+                o, _tfs, fp, b = plists[h]
+                rows = np.searchsorted(o, cand)  # exact: cand ⊆ o
+                starts, ends = b[rows], b[rows + 1]
+                lens = (ends - starts).astype(np.int64)
+                total = int(lens.sum())
+                if total == 0:
+                    return np.zeros(0, dtype=np.int64)
+                cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                idx = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(cum, lens)
+                    + np.repeat(starts.astype(np.int64), lens)
+                )
+                pos = fp[idx].astype(np.int64)
+                docs_rep = np.repeat(cand.astype(np.int64), lens)
+                # keys ascend: cand is sorted, positions ascend within a doc
+                return (docs_rep << np.int64(32)) | pos
+
+            cur = gather_keys(word_hashes[0])
+            for wi in range(1, len(word_hashes)):
+                if not len(cur):
+                    break
+                keys = gather_keys(word_hashes[wi])
+                if not len(keys):
+                    cur = keys
+                    break
+                want = cur + 1  # next consecutive position, same doc
+                j = np.searchsorted(keys, want)
+                ok = (j < len(keys)) & (keys[np.minimum(j, len(keys) - 1)] == want)
+                cur = want[ok]
+            if not len(cur):
                 continue
             # BM25-score the matching docs with the standard spec accumulation
-            m = np.asarray(matched, dtype=np.int64)
+            m = np.unique(cur >> np.int64(32))
             if self.has_tombstones:
                 m = m[~np.isin(part.doc_ids[m], self.tombstones_for(part.gen))]
                 if not len(m):
@@ -532,6 +564,40 @@ class IndexShardActor:
         self, field: int, term_hash: int, limit: int
     ) -> tuple[np.ndarray, np.ndarray]:
         return self.index.tf_doc_candidates(field, term_hash, limit)
+
+
+@ray.remote
+class DocMapShardActor:
+    """One slice of the doc_id -> url display map (reference M8: docCRC ->
+    title via the sorted title index, Engine.cs:201-207). Each actor owns a
+    SUBSET of the docs parquet files: memory per actor = total/N and every
+    file is read by exactly ONE actor (no read amplification). Lookups are
+    sorted-array searchsorted point reads; the coordinator scatters the id
+    list to every actor and merges hits — at 10^12 docs N grows with the
+    corpus and the coordinator never holds any of the table."""
+
+    def __init__(self, files: list[str]):
+        from ..functions.runtime import cap_worker_threads
+
+        cap_worker_threads()
+        if files:
+            t = pq.read_table(files, columns=["doc_id", "url"])
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            urls = t.column("url").combine_chunks()
+            o = np.argsort(ids, kind="stable")
+            self.ids = ids[o]
+            self.urls = urls.take(pa.array(o))
+        else:
+            self.ids = np.zeros(0, dtype=np.int64)
+            self.urls = pa.array([], pa.string())
+
+    def get_many(self, ids: list[int]) -> dict[int, str]:
+        out: dict[int, str] = {}
+        for d in ids:
+            i = int(np.searchsorted(self.ids, d))
+            if i < len(self.ids) and self.ids[i] == d:
+                out[d] = self.urls[i].as_py()
+        return out
 
 
 class Lexicon:
@@ -789,6 +855,9 @@ class SearchEngine:
         for a in self.shards:
             ray.kill(a)
         self.shards = []
+        for a in getattr(self, "_docmap", []):
+            ray.kill(a)
+        self._docmap = []
         lex = getattr(self, "lexicon", None)
         for a in getattr(lex, "actors", []):
             ray.kill(a)
@@ -822,12 +891,13 @@ class SearchEngine:
         d, s = topk_by_score(docs, scores, k)
         return [(int(di), float(si)) for di, si in zip(d, s)]
 
-    def hydrate(self, doc_ids: list[int]) -> dict[int, str]:
-        """doc_id -> url display resolution (reference M8: docCRC -> title via
-        the sorted title index, Engine.cs:201-207). The docs map loads once
-        per coordinator; at 10^12 docs this becomes a column-pruned point
-        read against the docs parquet (doc-bucketed, same partitioning)."""
-        if not hasattr(self, "_docs_ids"):
+    def hydrate(self, doc_ids: list[int], n_map_shards: int = 4) -> dict[int, str]:
+        """doc_id -> url display resolution via a DocMapShardActor pool
+        (lazily created on first call; killed by shutdown()). The
+        coordinator never materializes the docs table — each actor loads
+        its own file subset once and answers point lookups; misses render
+        as the raw id (docstring of DocMapShardActor)."""
+        if not hasattr(self, "_docmap"):
             files = [
                 os.path.join(root, "docs", f)
                 for root, _g in committed_generation_roots(self.index_dir)
@@ -835,23 +905,15 @@ class SearchEngine:
                 for f in sorted(os.listdir(os.path.join(root, "docs")))
                 if f.endswith(".parquet")
             ]
-            if files:
-                t = pq.read_table(files, columns=["doc_id", "url"])
-                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-                urls = t.column("url").combine_chunks()
-                o = np.argsort(ids, kind="stable")
-                self._docs_ids = ids[o]
-                self._docs_urls = urls.take(pa.array(o))
-            else:
-                self._docs_ids = np.zeros(0, dtype=np.int64)
-                self._docs_urls = pa.array([], pa.string())
-        out: dict[int, str] = {}
-        ids = self._docs_ids
-        for d in doc_ids:
-            i = int(np.searchsorted(ids, d))
-            out[d] = (
-                self._docs_urls[i].as_py() if i < len(ids) and ids[i] == d else str(d)
+            n = max(1, min(n_map_shards, len(files)))
+            self._docmap = (
+                [DocMapShardActor.remote(files[i::n]) for i in range(n)] if files else []
             )
+        out: dict[int, str] = {int(d): str(d) for d in doc_ids}
+        if self._docmap and doc_ids:
+            ids = [int(d) for d in doc_ids]
+            for hits in ray.get([a.get_many.remote(ids) for a in self._docmap]):
+                out.update(hits)
         return out
 
     def search_hydrated(self, query: str, k: int = 10) -> list[tuple[str, float]]:
