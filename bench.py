@@ -57,6 +57,11 @@ def run_once() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from searchengine_ray.functions.runtime import (
+        silence_ray_empty_block_schema_warning,
+    )
+
+    silence_ray_empty_block_schema_warning()
 
     import ray.data as rd
 

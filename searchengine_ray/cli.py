@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
         help="segment partition count (default: auto-sized from input bytes)")
     bp.add_argument("--source", choices=["pages", "documents"], default="pages")
     bp.add_argument("--lang", default="en", help="'none' disables the filter")
+    bp.add_argument("--terms", action="store_true",
+        help="also write the (term_hash -> term) explain sidecar")
 
     qp = sub.add_parser("query", help="run a query against a built index")
     qp.add_argument("--index", required=True)
@@ -112,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
             cfg = BuildConfig(
                 num_partitions=args.partitions,
                 lang_filter=None if args.lang == "none" else args.lang,
+                term_strings=args.terms,
             )
             metrics = build_index(args.input, args.index, cfg, source=args.source)
             print(json.dumps(metrics, default=str))

@@ -52,7 +52,42 @@ def cap_worker_threads(n: int = 2) -> None:
     if pa.cpu_count() > n:
         pa.set_cpu_count(n)
         pa.set_io_thread_count(n)
+    # also quiet two Ray-internal per-worker log lines that carry no signal
+    # for this repo (empty shuffle blocks / schema-set hashing fallback)
+    silence_ray_empty_block_schema_warning()
     _capped = True
+
+
+def silence_ray_empty_block_schema_warning() -> None:
+    """Drop the streaming executor's "RefBundle with a different schema"
+    warning on the DRIVER.
+
+    Measured (round 3): Ray's sort exchange emits schema-LESS empty blocks
+    for empty partitions even when every user batch fn is schema-stable (a
+    minimal range->map_batches->groupby->map_groups pipeline with fixed
+    schemas still triggers it), so the warning carries no signal about this
+    repo's operators — all of which now guard empty inputs with explicit
+    pa.schema empty_table() returns (pipelines/events.py). Real drift in
+    our fns would surface as hard errors (missing columns) instead."""
+    import logging
+
+    class _DropEmptyBlockSchemaNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    class _DropSchemaHashNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            # transform_pyarrow falls back to a full unify when the schema
+            # set is unhashable — correctness is unaffected, the warning
+            # only reports the missed dedup fast path
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptyBlockSchemaNoise())
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_DropSchemaHashNoise())
 
 
 _SIZE_SUFFIXES = ("B", "KB", "MB", "GB", "TB", "PB", "EB")

@@ -93,6 +93,8 @@ class BuildConfig:
     index_title: bool = True  # pages source: also build the title field
     # (the reference builds two complete indexes, titles_* and repos_*,
     #  Engine/Engine/Engine.cs:100-122; here it is a field code)
+    term_strings: bool = False  # also write the (term_hash -> term) sidecar
+    # (costs a second tokenize pass over the corpus; see build_term_strings)
 
 
 def _fingerprint(input_path: str, cfg: BuildConfig, source: str) -> str:
@@ -377,6 +379,97 @@ def compute_lexicon_and_stats(
     return {"n_terms_global": n_terms, "stats": stats}
 
 
+def build_term_strings(
+    input_path: str, index_dir: str, cfg: BuildConfig, source: str = "pages"
+) -> int:
+    """Optional (term_hash, term) reverse-map sidecar -> index_dir/terms/.
+
+    The reference lexicon stores first-seen term STRINGS
+    (/root/reference/Indexer/Program.cs:131-138); the rebuild's lexicon and
+    segments are hash-keyed, so hash->term for explain/debug output needs
+    this sidecar. Survivor per hash is the MIN string ("first-seen" is
+    scheduling-dependent under parallelism; min is deterministic — for the
+    64-bit hash the two differ only on a hash collision). Costs one extra
+    tokenize pass (per-batch DISTINCT pairs only — the shuffle moves the
+    vocabulary, not the token stream), which is why it is opt-in
+    (BuildConfig.term_strings). Returns the number of distinct hashes."""
+    from ..functions.hashing import hash64
+    from ..functions.tokenize import tokenize_flat
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if cfg.lang_filter is not None:
+            t = t.filter(pc.equal(t.column("lang"), cfg.lang_filter))
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int32()), "term_hash": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string())}
+            )
+        if source == "pages":
+            titles, text = extract_text(t.column("html"))
+            cols = [text, titles] if cfg.index_title else [text]
+        else:
+            cols = [t.column("text").combine_chunks()]
+        vocabs = []
+        for c in cols:
+            _, toks = tokenize_flat(c)
+            u = pc.unique(toks)
+            vocabs.append(u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u)
+        vocab = pc.unique(pa.concat_arrays(vocabs))
+        words = vocab.to_pylist()
+        th = np.fromiter((hash64(w) for w in words), dtype=np.int64, count=len(words))
+        bucket = (th.view(np.uint64) % np.uint64(256)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "term_hash": pa.array(th, pa.int64()),
+                "term": vocab,
+            }
+        )
+
+    def min_per_hash(group: pa.Table) -> pa.Table:
+        # coarse bucket -> vectorized first-per-hash after a (hash, term)
+        # sort: the kept row is the min term of each hash run
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("term_hash", "ascending"), ("term", "ascending")],
+        )
+        g = group.take(idx)
+        th = g.column("term_hash").to_numpy(zero_copy_only=False)
+        new = np.empty(len(th), dtype=bool)
+        new[0] = True
+        new[1:] = th[1:] != th[:-1]
+        return g.select(["term_hash", "term"]).take(pa.array(np.flatnonzero(new)))
+
+    terms_dir = os.path.join(index_dir, "terms")
+    if os.path.isdir(terms_dir):  # write_parquet appends
+        import shutil
+
+        shutil.rmtree(terms_dir)
+    if source == "pages":
+        src = rd.read_parquet(input_path, columns=["html", "lang"])
+    else:
+        src = rd.read_parquet(
+            f"{input_path}/documents.parquet" if os.path.isdir(input_path) else input_path,
+            columns=["text", "lang"],
+        )
+    (
+        src.map_batches(
+            pairs_fn, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(min_per_hash, batch_format="pyarrow")
+        .write_parquet(terms_dir)
+    )
+    if not os.path.isdir(terms_dir):
+        return 0
+    return sum(
+        pq.ParquetFile(os.path.join(terms_dir, f)).metadata.num_rows
+        for f in os.listdir(terms_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def build_index(
     input_path: str,
     index_dir: str,
@@ -539,6 +632,10 @@ def build_index(
     stats = fin["stats"]
     stage_wall["lexicon"] = round(time.perf_counter() - t_stage, 3)
     t_stage = time.perf_counter()
+    if cfg.term_strings:
+        metrics["n_term_strings"] = build_term_strings(input_path, index_dir, cfg, source)
+        stage_wall["terms"] = round(time.perf_counter() - t_stage, 3)
+        t_stage = time.perf_counter()
     stage_wall["stats"] = round(time.perf_counter() - t_stage, 3)
     metrics["wall_s"] = round(time.perf_counter() - t_start, 3)
     metrics["stats"] = stats

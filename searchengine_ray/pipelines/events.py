@@ -29,6 +29,38 @@ from ..functions.runtime import cap_worker_threads
 WINDOW_S = 3600
 SESSION_GAP_S = 1800
 
+# Empty-input batches MUST return these exact schemas: Acero's group_by on
+# a zero-row table silently DROPS the aggregate columns (verified against
+# pyarrow in this repo's round-3 session), so an unguarded partial() would
+# emit a schema-drifted block and the downstream .select() would fail.
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("window_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("user_id", pa.int64()),
+        ("n_p", pa.int64()),
+        ("cents_p", pa.int64()),
+    ]
+)
+_WINDOW_SCHEMA = pa.schema(
+    [
+        ("window_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("n_events", pa.int64()),
+        ("sum_value", pa.float64()),
+        ("n_users", pa.int64()),
+    ]
+)
+_SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("start_us", pa.int64()),
+        ("end_us", pa.int64()),
+    ]
+)
+
 
 def read_events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     path = f"{sf_dir}/events.parquet"
@@ -44,6 +76,8 @@ def windowed_counts(sf_dir: str, window_s: int = WINDOW_S) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         cap_worker_threads()
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
         us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = us // win_us
         typ = t.column("event_type").combine_chunks()
@@ -74,6 +108,8 @@ def windowed_counts(sf_dir: str, window_s: int = WINDOW_S) -> rd.Dataset:
 
     def finalize(group: pa.Table) -> pa.Table:
         # one coarse group = many (window, type) cells; vectorized runs
+        if group.num_rows == 0:
+            return _WINDOW_SCHEMA.empty_table()
         win = group.column("window_id").to_numpy(zero_copy_only=False)
         typ = group.column("event_type").combine_chunks()
         user = group.column("user_id").to_numpy(zero_copy_only=False)
@@ -132,6 +168,8 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
 
     def per_user(group: pa.Table) -> pa.Table:
         cap_worker_threads()
+        if group.num_rows == 0:
+            return _SESSION_SCHEMA.empty_table()
         user = group.column("user_id").to_numpy(zero_copy_only=False)
         us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         order = np.lexsort((us, user))

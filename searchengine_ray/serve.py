@@ -9,6 +9,8 @@ IndexShardActor, merge) is unchanged.
 
 GET /search?q=<query>&k=10        -> JSON {results: [{doc_id, url, score}], took_ms}
 GET /search?q=<query>&format=html -> minimal HTML results page (F6 analog)
+GET /explain?q=<query>&k=10       -> JSON per-term score breakdown (the debug
+                                     surface; contributions sum to each score)
 GET /healthz                      -> ok
 """
 
@@ -56,7 +58,7 @@ def make_handler(engine: SearchEngine):
             if u.path == "/healthz":
                 self._send(200, b"ok", "text/plain")
                 return
-            if u.path != "/search":
+            if u.path not in ("/search", "/explain"):
                 self._send(404, b"not found", "text/plain")
                 return
             qs = parse_qs(u.query)
@@ -70,6 +72,19 @@ def make_handler(engine: SearchEngine):
                 self._send(400, b"invalid k", "text/plain")
                 return
             k = min(k, MAX_K)  # a huge k would force full-corpus sorts per shard
+            if u.path == "/explain":
+                t0 = time.perf_counter()
+                entries = engine.explain(query, k=k)
+                urls = engine.hydrate([e["doc_id"] for e in entries])
+                for e in entries:
+                    e["url"] = urls[e["doc_id"]]
+                ms = round((time.perf_counter() - t0) * 1000, 2)
+                self._send(
+                    200,
+                    json.dumps({"query": query, "took_ms": ms, "results": entries}).encode(),
+                    "application/json",
+                )
+                return
             t0 = time.perf_counter()
             results = engine.search(query, k=k)
             urls = engine.hydrate([d for d, _ in results])

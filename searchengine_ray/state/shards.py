@@ -506,6 +506,66 @@ class LocalIndex:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         return topk_by_score(np.concatenate(out_docs), np.concatenate(out_scores), k)
 
+    def explain_docs(
+        self, specs: list[TermSpec], doc_ids: list[int], mode: str = "bm25"
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Per-(doc, spec) score contributions for the given docs — SAME
+        kernels (and reference-mode truncation cutoffs) as topk(), so the
+        contributions of a doc sum exactly to its search score. Returns
+        flat aligned arrays (doc_id, field, term_hash, tf, contribution)."""
+        want = np.asarray(sorted({int(d) for d in doc_ids}), dtype=np.int64)
+        o_doc, o_fld, o_th, o_tf, o_c = [], [], [], [], []
+        for part in self.parts:
+            if not len(want) or not len(part.doc_ids):
+                continue
+            pos = np.searchsorted(part.doc_ids, want)
+            posc = np.minimum(pos, len(part.doc_ids) - 1)
+            present = part.doc_ids[posc] == want
+            if not present.any():
+                continue
+            ords_want = posc[present].astype(np.int64)
+            docs_here = want[present]
+            for t in specs:
+                got = part.postings_for(t.field, t.term_hash)
+                if got is None:
+                    continue
+                ords, tfs = got
+                if mode != "bm25" and t.tf_cut >= 0:
+                    did = part.doc_ids[ords]
+                    keep = (tfs > t.tf_cut) | ((tfs == t.tf_cut) & (did >= t.doc_cut))
+                    ords, tfs = ords[keep], tfs[keep]
+                    if not len(ords):
+                        continue
+                j = np.searchsorted(ords, ords_want)
+                jc = np.minimum(j, max(len(ords) - 1, 0))
+                hit = ords[jc] == ords_want
+                if not hit.any():
+                    continue
+                dl = part.dl[t.field][ords_want[hit]]
+                tf_hit = tfs[jc[hit]]
+                if mode == "bm25":
+                    contrib = bm25_term_scores(tf_hit, dl, t.idf, t.qtf, self.avgdl[t.field])
+                elif t.field == FIELD_TITLE:
+                    contrib = ref_title_term_scores(tf_hit, t.qtf)
+                else:
+                    contrib = ref_body_term_scores(tf_hit, t.qtf, self.n_docs, t.cf)
+                n = int(hit.sum())
+                o_doc.append(docs_here[hit])
+                o_fld.append(np.full(n, t.field, dtype=np.int64))
+                o_th.append(np.full(n, t.term_hash, dtype=np.int64))
+                o_tf.append(tf_hit.astype(np.int64))
+                o_c.append(contrib.astype(np.float64))
+        if not o_doc:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z, z, np.zeros(0, dtype=np.float64)
+        return (
+            np.concatenate(o_doc),
+            np.concatenate(o_fld),
+            np.concatenate(o_th),
+            np.concatenate(o_tf),
+            np.concatenate(o_c),
+        )
+
     def _topk_bmw(self, terms: list[TermSpec], k: int) -> tuple[np.ndarray, np.ndarray]:
         from .bmw import _Cursor, bmw_topk
 
@@ -564,6 +624,49 @@ class IndexShardActor:
         self, field: int, term_hash: int, limit: int
     ) -> tuple[np.ndarray, np.ndarray]:
         return self.index.tf_doc_candidates(field, term_hash, limit)
+
+    def explain_docs(
+        self, specs: list[TermSpec], doc_ids: list[int], mode: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        return self.index.explain_docs(specs, doc_ids, mode)
+
+
+class TermStrings:
+    """hash -> term reverse map from the optional `terms/` sidecar
+    (pipelines/build.build_term_strings; reference analog: lexicon.txt
+    term strings, Indexer/Program.cs:131-138). Sorted-array point lookup;
+    loaded lazily and only by explain/debug paths — query serving never
+    touches it. At web scale the sidecar is only as big as the vocabulary
+    (~10^8 rows), which one coordinator holds comfortably; shard it like
+    LexiconShardActor if that ever stops being true."""
+
+    def __init__(self, index_dir: str):
+        files = [
+            os.path.join(root, "terms", f)
+            for root, _g in committed_generation_roots(index_dir)
+            if os.path.isdir(os.path.join(root, "terms"))
+            for f in sorted(os.listdir(os.path.join(root, "terms")))
+            if f.endswith(".parquet")
+        ]
+        if files:
+            t = pq.read_table(files, columns=["term_hash", "term"])
+            th = t.column("term_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+            terms = t.column("term").combine_chunks()
+            o = np.argsort(th, kind="stable")
+            self._hashes = th[o]
+            self._terms = terms.take(pa.array(o))
+        else:
+            self._hashes = np.zeros(0, dtype=np.int64)
+            self._terms = pa.array([], pa.string())
+
+    def __len__(self) -> int:
+        return len(self._hashes)
+
+    def get(self, term_hash: int) -> str | None:
+        i = int(np.searchsorted(self._hashes, term_hash))
+        if i < len(self._hashes) and self._hashes[i] == term_hash:
+            return self._terms[i].as_py()
+        return None
 
 
 @ray.remote
@@ -914,6 +1017,53 @@ class SearchEngine:
             ids = [int(d) for d in doc_ids]
             for hits in ray.get([a.get_many.remote(ids) for a in self._docmap]):
                 out.update(hits)
+        return out
+
+    def explain(self, query: str, k: int = 10) -> list[dict]:
+        """Per-term score breakdown for the query's top-k (reference has no
+        explain; this is the debug surface SURVEY §1.1's term strings make
+        possible). Each entry: {doc_id, score, terms: [{term, field,
+        term_hash, tf, contribution}]}; contributions sum to `score`
+        exactly (same kernels, LocalIndex.explain_docs). Term strings
+        resolve from the `terms/` sidecar when the index was built with
+        term_strings=True, falling back to the query's own words."""
+        specs = self._resolve_specs(query)
+        if not specs:
+            return []
+        res = self.search(query, k)
+        if not res:
+            return []
+        doc_ids = [d for d, _ in res]
+        parts = ray.get(
+            [s.explain_docs.remote(specs, doc_ids, self.mode) for s in self.shards]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        flds = np.concatenate([p[1] for p in parts])
+        ths = np.concatenate([p[2] for p in parts])
+        tfs = np.concatenate([p[3] for p in parts])
+        contribs = np.concatenate([p[4] for p in parts])
+        if not hasattr(self, "_term_strings"):
+            self._term_strings = TermStrings(self.index_dir)
+        by_word = {hash64(w): w for w in parse_query(query)}
+
+        def term_of(h: int) -> str:
+            return self._term_strings.get(h) or by_word.get(h) or f"0x{h & 0xFFFFFFFFFFFFFFFF:016x}"
+
+        out = []
+        for d, score in res:
+            m = docs == d
+            terms = [
+                {
+                    "term": term_of(int(h)),
+                    "field": int(f),
+                    "term_hash": int(h),
+                    "tf": int(tf),
+                    "contribution": float(c),
+                }
+                for f, h, tf, c in zip(flds[m], ths[m], tfs[m], contribs[m])
+            ]
+            terms.sort(key=lambda e: -e["contribution"])
+            out.append({"doc_id": int(d), "score": float(score), "terms": terms})
         return out
 
     def search_hydrated(self, query: str, k: int = 10) -> list[tuple[str, float]]:

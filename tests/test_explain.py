@@ -1,0 +1,147 @@
+"""Term-strings sidecar + explain surface (round-3 additions).
+
+- build_term_strings writes a deterministic (term_hash -> term) reverse
+  map (min-by-term per hash; reference lexicon strings analog,
+  /root/reference/Indexer/Program.cs:131-138).
+- SearchEngine.explain's per-term contributions sum exactly to the
+  search() score (same kernels).
+- hydrate goes through the DocMapShardActor pool — the coordinator never
+  materializes the docs table.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from searchengine_ray.functions.hashing import hash64
+from searchengine_ray.functions.tokenize import parse_query, tokenize_py
+from searchengine_ray.pipelines.build import BuildConfig, build_index
+from searchengine_ray.state.shards import SearchEngine, TermStrings
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DOC_QUERIES = [
+    "join hash",
+    "dup",
+    "spark window stream",
+    "the the fast",
+    "customer order line",
+    "query",
+    "merge sort merge",
+    "big data vector",
+    "agg group value key",
+    "dup batch",
+    "slow scan table column",
+    "part row small",
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, ray_session) -> str:
+    d = str(tmp_path_factory.mktemp("idx_explain"))
+    build_index(
+        SF_DIR,
+        d,
+        BuildConfig(num_partitions=4, lang_filter=None, term_strings=True),
+        source="documents",
+    )
+    return d
+
+
+def test_sidecar_maps_every_doc_query_term(index_dir):
+    """Every DOC_QUERIES term present in the corpus maps hash -> string."""
+    ts = TermStrings(index_dir)
+    assert len(ts) > 0
+    import pyarrow.parquet as pq
+
+    corpus_terms = set()
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).column("text")
+    for t in texts.to_pylist():
+        corpus_terms.update(tokenize_py(t))
+    for q in DOC_QUERIES:
+        for w in parse_query(q):
+            if w in corpus_terms:
+                assert ts.get(hash64(w)) == w, w
+
+
+def test_sidecar_is_deterministic_min_by_term(index_dir, tmp_path_factory):
+    d2 = str(tmp_path_factory.mktemp("idx_explain2"))
+    build_index(
+        SF_DIR,
+        d2,
+        BuildConfig(num_partitions=2, lang_filter=None, term_strings=True),
+        source="documents",
+    )
+    a, b = TermStrings(index_dir), TermStrings(d2)
+    assert len(a) == len(b)
+    assert np.array_equal(a._hashes, b._hashes)
+    assert a._terms.equals(b._terms)
+
+
+def test_explain_contributions_sum_to_score(index_dir):
+    engine = SearchEngine(index_dir, n_shards=2, mode="bm25")
+    try:
+        for q in ["join hash", "the the fast", "dup batch", "merge sort merge"]:
+            res = dict(engine.search(q, k=5))
+            entries = engine.explain(q, k=5)
+            assert [e["doc_id"] for e in entries] == list(res.keys())
+            for e in entries:
+                total = sum(t["contribution"] for t in e["terms"])
+                assert abs(total - e["score"]) < 1e-9
+                assert abs(e["score"] - res[e["doc_id"]]) < 1e-12
+                # term strings resolved (sidecar present): no hex fallback
+                for t in e["terms"]:
+                    assert not t["term"].startswith("0x")
+                    assert t["tf"] >= 1
+    finally:
+        engine.shutdown()
+
+
+def test_explain_empty_for_oov(index_dir):
+    engine = SearchEngine(index_dir, n_shards=1, mode="bm25")
+    try:
+        assert engine.explain("zzznotaword", k=5) == []
+    finally:
+        engine.shutdown()
+
+
+def test_hydrate_never_materializes_on_coordinator(index_dir):
+    engine = SearchEngine(index_dir, n_shards=1, mode="bm25")
+    try:
+        res = engine.search("join", k=3)
+        assert res
+        got = engine.hydrate([d for d, _ in res] + [123456789])
+        # docs built from the documents table have no url column -> the
+        # actor map is empty and every id falls back to its string form;
+        # what we assert here is the POOL shape: actors exist, and the
+        # coordinator process holds no docs arrays at all
+        assert got[123456789] == "123456789"
+        assert not hasattr(engine, "_docs_ids")
+        assert not hasattr(engine, "_docs_urls")
+    finally:
+        engine.shutdown()
+        assert engine._docmap == []
+
+
+def test_http_explain_endpoint(index_dir):
+    from searchengine_ray.serve import serve
+
+    server = serve(index_dir, port=18741, n_shards=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            "http://127.0.0.1:18741/explain?q=join+hash&k=3"
+        ) as r:
+            body = json.loads(r.read())
+        assert len(body["results"]) == 3
+        for e in body["results"]:
+            assert abs(sum(t["contribution"] for t in e["terms"]) - e["score"]) < 1e-9
+            assert {t["term"] for t in e["terms"]} <= {"join", "hash"}
+    finally:
+        server.shutdown()
