@@ -471,6 +471,16 @@ WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.ee, b.ee) >= 0.4
 """
 
     sh_ctes = _shingle_ctes(toks)
+    # ORACLE-CORPUS PRECONDITION: the engine caps per-shingle pair fan-out
+    # at dedup.MAX_SHINGLE_DF (=256) distinct docs — a deliberate,
+    # logged skew guard this un-capped SQL does not model. The two agree
+    # exactly while every shingle's df <= 256, which holds for the
+    # testdata documents tables (max shingle df is far below the cap; the
+    # degenerate-corpus behavior is covered by tests/test_skew.py
+    # instead). If a future fixture adds a shingle with df > 256, mirror
+    # the cap here (rank docs per shingle by doc_id, keep the first 256)
+    # rather than chasing a mystery hash mismatch. Same caveat applies to
+    # dedup_components, which consumes these pairs.
     ngram = f"""
 WITH {sh_ctes},
 {_ngram_body()}

@@ -513,17 +513,29 @@ def ngram_jaccard_verify(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     cands = minhash_lsh_pairs(sf_dir, threshold=max(0.3, threshold - 0.2)).to_pandas()
     ids = np.union1d(cands["doc_a"].to_numpy(), cands["doc_b"].to_numpy())
     exact = ngram_jaccard_pairs(sf_dir, threshold=threshold, candidate_ids=ids)
-    # semi-join against the candidate pair set (broadcast, vectorized)
+    # semi-join against the candidate pair set: structured (a, b) keys, NOT
+    # a packed a*2^32+b int64 — full-range 64-bit doc ids (hash64(url)
+    # corpora) would wrap the arithmetic key and let non-candidate pairs
+    # collide through the filter (round-2 ADVICE)
+    _PAIR_DT = [("a", "<i8"), ("b", "<i8")]
+
+    def pair_view(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (
+            np.ascontiguousarray(np.stack([a, b], axis=1)).view(_PAIR_DT).ravel()
+        )
+
     pair_key = ray.put(
-        cands["doc_a"].to_numpy().astype(np.int64) * np.int64(1 << 32)
-        + cands["doc_b"].to_numpy().astype(np.int64)
+        pair_view(
+            cands["doc_a"].to_numpy().astype(np.int64),
+            cands["doc_b"].to_numpy().astype(np.int64),
+        )
     )
 
     def keep_candidates(t: pa.Table) -> pa.Table:
         keys = ray.get(pair_key)
-        k = (
-            t.column("doc_a").to_numpy(zero_copy_only=False) * np.int64(1 << 32)
-            + t.column("doc_b").to_numpy(zero_copy_only=False)
+        k = pair_view(
+            t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64),
+            t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64),
         )
         return t.filter(pa.array(np.isin(k, keys)))
 

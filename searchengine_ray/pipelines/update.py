@@ -234,6 +234,7 @@ def compact(index_dir: str) -> dict:
     from ..state.segments import build_segment, segment_to_postings
     from ..state.shards import committed_generation_roots, load_tombstones
 
+    mf.recover_compaction(index_dir)  # heal a crashed earlier swap first
     with open(os.path.join(index_dir, "stats.json")) as fh:
         base = json.load(fh)
     block_size = int(base["block_size"])

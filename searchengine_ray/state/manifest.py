@@ -62,3 +62,35 @@ def completed_parts(index_dir: str, fingerprint: str) -> set[int]:
         for p, m in read_part_manifests(index_dir).items()
         if m.get("fingerprint") == fingerprint
     }
+
+
+def recover_compaction(index_dir: str) -> str | None:
+    """Heal a crashed compact() swap (pipelines/update.compact renames
+    index_dir -> .pre-compact, then .compacting -> index_dir; a crash
+    between the renames would otherwise strand the data with NOTHING at
+    index_dir). Called on index open and at compact start.
+
+    - index_dir present, .pre-compact left over  -> finish the cleanup
+    - index_dir missing, .compacting committed (gen.json) -> roll FORWARD
+    - index_dir missing, only .pre-compact      -> roll BACK
+    Returns the action taken, or None if nothing needed healing."""
+    import shutil
+
+    pre = index_dir + ".pre-compact"
+    comp = index_dir + ".compacting"
+    if os.path.isdir(index_dir):
+        if os.path.isdir(pre):
+            shutil.rmtree(pre)
+            return "cleaned"
+        return None
+    if os.path.isdir(comp) and os.path.exists(os.path.join(comp, "gen.json")):
+        os.rename(comp, index_dir)
+        if os.path.isdir(pre):
+            shutil.rmtree(pre)
+        return "rolled_forward"
+    if os.path.isdir(pre):
+        os.rename(pre, index_dir)
+        if os.path.isdir(comp):
+            shutil.rmtree(comp)
+        return "rolled_back"
+    return None

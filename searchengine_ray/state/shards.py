@@ -44,7 +44,7 @@ from ..functions.scoring import (
 from ..functions.tokenize import parse_query
 from ..schemas import FIELD_BODY, FIELD_TITLE
 from ..state.segments import decode_ords, decode_tfs
-from ..state.manifest import part_name
+from ..state.manifest import part_name, recover_compaction
 
 
 REF_TRUNCATE = 1000  # reference Engine caps at the top-1000 postings by tf
@@ -284,6 +284,7 @@ class LocalIndex:
     """Exact scorer over a set of partitions (no Ray dependency)."""
 
     def __init__(self, index_dir: str, parts: list[int] | None = None):
+        recover_compaction(index_dir)  # heal a crashed compact swap on open
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         part_dirs = segment_part_dirs_with_gen(index_dir)
@@ -907,6 +908,7 @@ class SearchEngine:
         # N: LexiconShardActor pool (the 10^12-doc path — coordinator never
         # holds the full term table; batch queries prefetch per shard)
     ):
+        recover_compaction(index_dir)  # heal a crashed compact swap on open
         self.index_dir = index_dir
         self.mode = mode
         self.algo = algo

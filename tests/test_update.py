@@ -296,3 +296,52 @@ def test_compact_preserves_readded_doc(tmp_path, ray_session):
     hits = {d for d, _ in eng.search("taaa", k=500)}
     assert doc7 in hits
     assert eng.hydrate([doc7])[doc7] == url7  # docs map kept the new row
+
+
+def test_compact_crash_window_recovery(tmp_path, ray_session):
+    """A crash between compact()'s two swap renames must not strand the
+    index: recover_compaction rolls FORWARD when the compacted dir is
+    committed, BACK when it is not, and finishes cleanup when only the
+    .pre-compact leftover remains (round-2 ADVICE)."""
+    import os
+    import shutil
+
+    from searchengine_ray.state import manifest as mf
+
+    src = _write_slice(tmp_path, "src", 0, 300)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(num_partitions=2, block_size=32)
+    build_index(src, idx, cfg, source="pages")
+    engine = SearchEngine(idx, n_shards=1)
+    want = engine.search("taaa", k=5)
+    engine.shutdown()
+    assert want
+
+    # state 1: crash BETWEEN the renames, compacted dir committed -> forward
+    shutil.copytree(idx, idx + ".compacting")
+    os.rename(idx, idx + ".pre-compact")
+    assert mf.recover_compaction(idx) == "rolled_forward"
+    assert os.path.isdir(idx) and not os.path.isdir(idx + ".pre-compact")
+    assert not os.path.isdir(idx + ".compacting")
+
+    # state 2: crash between renames with an UNcommitted compacting dir
+    # (no gen.json) -> roll back to the pre-compact original
+    shutil.copytree(idx, idx + ".compacting")
+    os.remove(os.path.join(idx + ".compacting", "gen.json"))
+    os.rename(idx, idx + ".pre-compact")
+    assert mf.recover_compaction(idx) == "rolled_back"
+    assert os.path.isdir(idx) and not os.path.isdir(idx + ".compacting")
+
+    # state 3: crash after the swap, before cleanup -> finish cleanup
+    shutil.copytree(idx, idx + ".pre-compact")
+    assert mf.recover_compaction(idx) == "cleaned"
+    assert not os.path.isdir(idx + ".pre-compact")
+    assert mf.recover_compaction(idx) is None
+
+    # a reader opening the index heals state 1 transparently
+    shutil.copytree(idx, idx + ".compacting")
+    os.rename(idx, idx + ".pre-compact")
+    engine = SearchEngine(idx, n_shards=1)
+    got = engine.search("taaa", k=5)
+    engine.shutdown()
+    assert got == want
