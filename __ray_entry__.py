@@ -243,6 +243,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": lambda sf: mm_ops.sample_frames(
             mm_ops.media_dataset_from_documents(sf)
         ).drop_columns(["frame"]),
+        # REAL image decode (round 3): formula-pixel PNGs per doc are
+        # encoded and fully decoded (zlib inflate + unfilter,
+        # functions/media.py) in the actor pool; the oracle recomputes the
+        # integer pixel stats from doc_id alone, so a hash match proves
+        # the pixel-level decode, not just header plumbing
+        "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
     }
 
 
@@ -584,6 +590,23 @@ SELECT media_id, s.j::INT AS frame_idx,
 FROM m, LATERAL (SELECT unnest(range(0, nf, 10)) AS j) s
 """
 
+    # pixel rule (multimodal.png_dataset_from_documents): flat RGB byte j
+    # of doc d is (d + 31*j) % 256, w = 4 + d%13, h = 4 + (d//13)%11;
+    # integer luma/byte sums over the DECODED pixels match bit-for-bit
+    media_image_stats_sql = """
+WITH m AS (SELECT doc_id AS media_id,
+  4 + doc_id % 13 AS w, 4 + (doc_id // 13) % 11 AS h FROM documents),
+px AS (SELECT media_id, w, h,
+  (media_id + 31 * (3 * s.p)) % 256 AS r,
+  (media_id + 31 * (3 * s.p + 1)) % 256 AS g,
+  (media_id + 31 * (3 * s.p + 2)) % 256 AS b
+  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS p) s)
+SELECT media_id, any_value(w)::INT AS width, any_value(h)::INT AS height,
+  sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_e3,
+  sum(r + g + b)::BIGINT AS byte_sum
+FROM px GROUP BY media_id
+"""
+
     return {
         "lexicon": f"""
 WITH tok AS ({tok}),
@@ -678,4 +701,5 @@ FROM s GROUP BY 1, 2
         "ann_lsh_topk": ann_lsh,
         "media_meta": media_meta_sql,
         "media_frames": media_frames_sql,
+        "media_image_stats": media_image_stats_sql,
     }

@@ -110,6 +110,23 @@ def run_once() -> dict:
     queries["index_build"] = round(build_s, 3)
     docs_per_s = metrics["n_docs"] / build_s
 
+    # scaling-pair children measure BUILD throughput only — rerunning the
+    # query/data-ops sections per level would quadruple bench wall for no
+    # extra signal (the scaling criterion is about the build pipeline)
+    if os.environ.get("GRAFT_BUILD_ONLY"):
+        result = {
+            "metric": "index_build_sec",
+            "value": round(build_s, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "n_docs": metrics["n_docs"],
+            "docs_per_sec": round(docs_per_s, 1),
+        }
+        ray.shutdown()
+        return result
+
     # --- BM25 batch query throughput (200 queries, scatter-gather actors) ---
     q = make_queries_table(200).column("query").to_pylist()
     # shard count: one single-threaded scorer actor per ~2 CPUs — measured
@@ -194,8 +211,11 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
-        # GRAFT_INNER stops the child from recursing into its own scaling pair
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_INNER="1")
+        # GRAFT_INNER stops the child from recursing into its own scaling
+        # pair; GRAFT_BUILD_ONLY keeps it to the build measurement
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_INNER="1", GRAFT_BUILD_ONLY="1"
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

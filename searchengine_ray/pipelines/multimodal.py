@@ -292,6 +292,87 @@ def media_dataset_from_documents(sf_dir: str) -> rd.Dataset:
     )
 
 
+def png_dataset_from_documents(sf_dir: str) -> rd.Dataset:
+    """(media_id, payload) of REAL PNG images derived deterministically
+    from doc_id: w = 4 + doc_id % 13, h = 4 + (doc_id // 13) % 11, and
+    flat byte j of the RGB pixel stream is (doc_id + 31*j) % 256. Because
+    the pixel rule is pure integer arithmetic, a SQL oracle can recompute
+    any integer statistic of the DECODED pixels — which makes the full
+    PNG decode path (zlib inflate + unfilter) hash-checkable end-to-end
+    (media_image_stats)."""
+    from ..functions.media import encode_png
+    from ..sources.tables import read_documents
+
+    def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids.tolist():
+            w = 4 + d % 13
+            h = 4 + (d // 13) % 11
+            j = np.arange(h * w * 3, dtype=np.int64)
+            px = ((d + 31 * j) % 256).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(encode_png(px))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class ImageStatsStage:
+    """Actor-pool stage: PNG payload -> integer pixel statistics via the
+    REAL decode (decode ladder as ImageFeatureStage, integer outputs so
+    the DuckDB oracle matches bit-for-bit: luma_e3 = sum over pixels of
+    299*R + 587*G + 114*B, byte_sum = sum of all samples)."""
+
+    def __init__(self):
+        cap_worker_threads()
+        from ..functions import media as media_codecs
+
+        self.codecs = media_codecs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        widths, heights, lumas, bsums = [], [], [], []
+        for p in t.column("payload").to_pylist():
+            px = self.codecs.decode_png(p).astype(np.int64)
+            h, w, _c = px.shape
+            widths.append(w)
+            heights.append(h)
+            lumas.append(
+                int((299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]).sum())
+            )
+            bsums.append(int(px.sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "luma_e3": pa.array(lumas, pa.int64()),
+                "byte_sum": pa.array(bsums, pa.int64()),
+            }
+        )
+
+
+def media_image_stats(sf_dir: str, concurrency: int = 2, batch_size: int = 64) -> rd.Dataset:
+    """Oracle-checkable proof of the real PNG decode: encode formula-pixels
+    per doc, decode them back through the actor pool, emit integer pixel
+    stats the SQL oracle recomputes from doc_id alone."""
+    return png_dataset_from_documents(sf_dir).map_batches(
+        ImageStatsStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def synth_media_dataset(n: int = 200, seed: int = 99) -> rd.Dataset:
     """Deterministic fake media table (media_id, payload)."""
     g = np.random.Generator(np.random.PCG64(seed))
