@@ -226,6 +226,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
         "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        # IVF-flat with the deterministic first-16 quantizer (train_iters=0)
+        # so the oracle can recompute list assignment + probing in SQL;
+        # Lloyd-refined quantizer quality is covered by tests/test_ann.py
+        "ann_ivf_topk": lambda sf: ann_ops.ann_ivf_topk(
+            sf, n_queries=ANN_QUERIES, k=TOPK, n_lists=16, nprobe=4, train_iters=0
+        ),
         # event-stream windowed shapes (events table)
         "events_windowed": lambda sf: event_ops.windowed_counts(sf),
         "events_sessions": lambda sf: event_ops.sessionize(sf),
@@ -568,6 +574,39 @@ SELECT query_id, rank::INT AS rank, neighbor_id, {_r6('sim')} AS sim
 FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
+    # IVF-flat (pipelines/ann.ann_ivf_topk, train_iters=0): the quantizer
+    # is the first 16 vectors by vec_id; assignment = argmax cosine with
+    # ties to the lower list id (row_number mirrors numpy argmax), queries
+    # probe their 4 nearest lists
+    ann_ivf = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+c AS (SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < 16),
+ea AS (SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.ee, c.ce) DESC, c.list_id ASC) AS rn
+        FROM e CROSS JOIN c) WHERE rn = 1),
+qp AS (SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.list_id ASC) AS rn
+        FROM q CROSS JOIN c) WHERE rn <= 4),
+sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(e.ee, q.qe) AS sim
+         FROM q JOIN qp USING (query_id)
+              JOIN ea ON ea.list_id = qp.list_id
+              JOIN e ON e.vec_id = ea.vec_id),
+ranked AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(sim*1000000000 + 0.5) DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT query_id, rank::INT AS rank, neighbor_id, {_r6('sim')} AS sim
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
     from searchengine_ray.pipelines.multimodal import _HEADER_SIZE
 
     media_meta_sql = f"""
@@ -699,6 +738,7 @@ FROM s GROUP BY 1, 2
         "dedup_minhash_pairs": minhash,
         "dedup_components": components,
         "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
         "media_meta": media_meta_sql,
         "media_frames": media_frames_sql,
         "media_image_stats": media_image_stats_sql,

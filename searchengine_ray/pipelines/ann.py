@@ -8,9 +8,17 @@ embedding:list<float>).
   DISTRIBUTED groupby(query_id) reduce (one group per query, each bounded
   by n_blocks * k rows) — only the final q * k ranked rows ever reach the
   driver, regardless of corpus size.
-- `ann_lsh_topk`: the scale path — random-hyperplane LSH buckets; only
+- `ann_lsh_topk`: a scale path — random-hyperplane LSH buckets; only
   vectors whose bucket matches a query bucket (within `probe` bit flips)
   are scored. Recall measured against brute force in tests.
+- `ann_ivf_topk`: the other classic scale path — IVF-flat: a coarse
+  quantizer of `n_lists` centroids partitions the corpus into inverted
+  lists; queries probe the `nprobe` nearest lists and score only those
+  vectors. With train_iters=0 the quantizer is the DETERMINISTIC first
+  n_lists vectors by vec_id, which makes the whole operator
+  SQL-oracle-checkable; train_iters>0 runs distributed Lloyd rounds
+  (assignment in map_batches, centroid update as a groupby-mean) for the
+  production-quality quantizer (recall tested vs brute).
 """
 
 from __future__ import annotations
@@ -149,6 +157,117 @@ def ann_lsh_topk(
                 continue
             sims = m[mask] @ r_mat[qi]
             d, s = topk_by_score(ids[mask].astype(np.int64), sims, min(k, mask.sum()))
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(len(d), r_ids[qi]), pa.int64()),
+                        "neighbor_id": pa.array(d, pa.int64()),
+                        "sim": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.concat_tables(out)
+
+    cands = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _distributed_merge(cands, k)
+
+
+def _ivf_centroids(
+    sf_dir: str, n_lists: int, train_iters: int, seed: int = 0
+) -> np.ndarray:
+    """Coarse quantizer centroids, L2-normalized, shape (n_lists, dim).
+
+    Init: the first n_lists vectors by vec_id — deterministic and
+    oracle-reproducible (ANSI SQL can select them). Each Lloyd round is
+    one distributed pass: per-batch assignment (matmul against the
+    broadcast centroids) + partial sums, then a driver-side reduce of the
+    n_lists x dim partials (tiny; the DATA never leaves the map tasks).
+    Empty lists keep their previous centroid."""
+    init = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_lists}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cent = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    for _ in range(train_iters):
+        ref = ray.put(cent)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            _ids, m = _batch_matrix(t)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "list_id": pa.array(np.arange(len(c)), pa.int64()),
+                    "vec_sum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1), pa.float64()), c.shape[1]
+                    ),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        agg = (
+            read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+            .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )  # n_batches * n_lists tiny partial rows — metadata, not data
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for lid, vs, n in zip(agg["list_id"], agg["vec_sum"], agg["n"]):
+            sums[lid] += np.asarray(vs, dtype=np.float64)
+            counts[lid] += int(n)
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 0,
+) -> rd.Dataset:
+    """IVF-flat approximate cosine top-k (module docstring). Output schema
+    matches ann_brute_topk; queries score only vectors whose assigned
+    list is among the query's `nprobe` closest centroids. Assignment and
+    probe ties break toward the LOWER list id (np.argmax / stable sort),
+    which the SQL oracle mirrors with row_number ordering."""
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    cent = _ivf_centroids(sf_dir, n_lists, train_iters)
+    q_sims = q_mat @ cent.T
+    # nprobe lists per query, ties toward lower list id (stable mergesort)
+    probed = [
+        np.sort(np.argsort(-q_sims[qi], kind="stable")[:nprobe])
+        for qi in range(len(q_ids))
+    ]
+    ref = ray.put((q_ids, q_mat, cent, probed))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        r_ids, r_mat, c, probe_lists = ray.get(ref)
+        ids, m = _batch_matrix(t)
+        assign = np.argmax(m @ c.T, axis=1)
+        out = []
+        for qi in range(len(r_ids)):
+            mask = np.isin(assign, probe_lists[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ r_mat[qi]
+            d, s = topk_by_score(ids[mask].astype(np.int64), sims, min(k, int(mask.sum())))
             out.append(
                 pa.table(
                     {

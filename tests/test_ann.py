@@ -31,3 +31,41 @@ def test_brute_self_top1(ray_session):
     brute = ann_brute_topk(SF_DIR, n_queries=4, k=3).to_pandas()
     r1 = brute[brute["rank"] == 1]
     assert (r1.query_id.to_numpy() == r1.neighbor_id.to_numpy()).all()
+
+
+def test_ivf_subset_and_recall(ray_session):
+    """IVF results are a subset of brute (same sims, fewer candidates);
+    nprobe=n_lists degenerates to exact; Lloyd-trained quantizer keeps
+    usable recall at nprobe=4."""
+    from searchengine_ray.pipelines.ann import ann_ivf_topk
+
+    brute = ann_brute_topk(SF_DIR, n_queries=8, k=10).to_pandas()
+    full = ann_ivf_topk(SF_DIR, n_queries=8, k=10, n_lists=8, nprobe=8).to_pandas()
+    # probing every list == brute force
+    assert full.reset_index(drop=True).equals(brute.reset_index(drop=True))
+
+    ivf = ann_ivf_topk(SF_DIR, n_queries=8, k=10, n_lists=16, nprobe=4).to_pandas()
+    bset = {(q, n) for q, n in zip(brute.query_id, brute.neighbor_id)}
+    iset = {(q, n) for q, n in zip(ivf.query_id, ivf.neighbor_id)}
+    # self-match always lands in a probed list (its own)
+    assert all((q, q) in iset for q in ivf.query_id.unique())
+    assert len(iset & bset) / len(bset) >= 0.3  # untrained coarse quantizer
+
+    trained = ann_ivf_topk(
+        SF_DIR, n_queries=8, k=10, n_lists=16, nprobe=4, train_iters=2
+    ).to_pandas()
+    tset = {(q, n) for q, n in zip(trained.query_id, trained.neighbor_id)}
+    assert len(tset & bset) / len(bset) >= len(iset & bset) / len(bset) - 0.1
+    # sims on the intersection agree with brute exactly (same kernel)
+    bmap = {(q, n): s for q, n, s in zip(brute.query_id, brute.neighbor_id, brute.sim)}
+    for key, s in zip(zip(trained.query_id, trained.neighbor_id), trained.sim):
+        if key in bmap:
+            assert abs(bmap[key] - s) < 1e-12
+
+
+def test_ivf_deterministic(ray_session):
+    from searchengine_ray.pipelines.ann import ann_ivf_topk
+
+    a = ann_ivf_topk(SF_DIR, n_queries=4, k=5, train_iters=1).to_pandas()
+    b = ann_ivf_topk(SF_DIR, n_queries=4, k=5, train_iters=1).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
