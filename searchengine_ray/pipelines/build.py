@@ -62,9 +62,17 @@ POSTINGS_BYTES_PER_INPUT_BYTE = 16
 
 def auto_num_partitions(input_path: str) -> int:
     """Size P from input bytes when BuildConfig.num_partitions is None.
-    Floor 8 keeps encode parallelism at toy scale; no hard cap — at 100 TB
-    the estimate yields ~3M partitions of ~512 MB, which is the intended
-    shape (partition count scales with data, worker memory does not)."""
+    No hard cap — at 100 TB the estimate yields ~3M partitions of ~512 MB,
+    which is the intended shape (partition count scales with data, worker
+    memory does not).
+
+    Floor: 2x the cluster CPU count (min 8). P is also the SortReduce/encode
+    parallelism, so at small data sizes a bytes-derived P below the CPU count
+    leaves most of the cluster idle through the whole reduce stage (measured
+    3x on a 95k-doc corpus: P=8 took 16.6 s vs P=64 6.1 s at 16 CPUs). At
+    real scale the bytes estimate dominates and the floor is inert. The
+    resolved P is fingerprinted, so resuming an auto-P build on a different
+    cluster size restarts rather than mixing partitionings."""
     total = 0
     if os.path.isdir(input_path):
         for fn in os.listdir(input_path):
@@ -73,7 +81,15 @@ def auto_num_partitions(input_path: str) -> int:
     elif os.path.exists(input_path):
         total = os.path.getsize(input_path)
     est = total * POSTINGS_BYTES_PER_INPUT_BYTE
-    return int(max(8, -(-est // TARGET_PART_POSTINGS_BYTES)))
+    floor = 8
+    try:
+        import ray
+
+        if ray.is_initialized():
+            floor = max(floor, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        pass
+    return int(max(floor, -(-est // TARGET_PART_POSTINGS_BYTES)))
 
 
 @dataclass(frozen=True)

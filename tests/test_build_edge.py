@@ -74,3 +74,38 @@ def test_all_filtered_corpus(tmp_path, ray_session):
     assert m["n_terms_global"] == 0
     engine = SearchEngine(idx, n_shards=1)
     assert engine.search("t", k=5) == []
+
+
+def test_auto_num_partitions_floor_and_scaling(tmp_path, ray_session):
+    """auto-P: floored at 2x cluster CPUs (reduce parallelism), scales with
+    input bytes above the floor, and the resolved value is fingerprinted."""
+    import ray
+
+    from searchengine_ray.pipelines.build import (
+        POSTINGS_BYTES_PER_INPUT_BYTE,
+        TARGET_PART_POSTINGS_BYTES,
+        auto_num_partitions,
+    )
+
+    fake = tmp_path / "fake_inputs"
+    fake.mkdir()
+    small = fake / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    floor = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    assert auto_num_partitions(str(small)) == floor
+
+    # a file big enough that the bytes estimate dominates the floor
+    n_big = (floor + 5) * TARGET_PART_POSTINGS_BYTES // POSTINGS_BYTES_PER_INPUT_BYTE
+    big = fake / "big.parquet"
+    with open(big, "wb") as f:
+        f.truncate(n_big)  # sparse: size matters, content does not
+    assert auto_num_partitions(str(big)) == floor + 5
+
+    rows = [("u://a", b"<html><head><title>t</title></head><body><p>alpha beta</p></body></html>",
+             "t\nalpha beta\n", "en")]
+    pages_dir = tmp_path / "pages_auto"
+    pages_dir.mkdir()
+    d = _write_pages(pages_dir, rows)
+    idx = str(tmp_path / "idx_auto")
+    m = build_index(d, idx, BuildConfig(num_partitions=None), source="pages")
+    assert m["config"]["num_partitions"] == floor  # resolved value recorded
