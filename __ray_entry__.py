@@ -56,7 +56,7 @@ def _make_tasks_self_contained() -> None:
 _make_tasks_self_contained()
 
 from searchengine_ray.functions.scoring import round6
-from searchengine_ray.functions.tokenize import parse_query
+from searchengine_ray.functions.tokenize import parse_query, parse_query_signed
 from searchengine_ray.pipelines import ann as ann_ops
 from searchengine_ray.pipelines import dedup as dedup_ops
 from searchengine_ray.pipelines import events as event_ops
@@ -89,6 +89,21 @@ DOC_QUERIES: list[str] = [
 ]
 TOPK = 10
 ANN_QUERIES = 8
+
+# Signed query set: `-word` excludes docs containing the word (NOT
+# semantics — a rebuild extension; the reference query language has no
+# operators). Covers: known/unknown negatives, negative == positive word,
+# multiple negatives, and a no-positive-terms query (must return nothing).
+DOC_NOT_QUERIES: list[str] = [
+    "join -hash",
+    "spark stream -window",
+    "query -the",
+    "big data -vector -scan",
+    "dup -zzznotaword",
+    "merge sort -merge",
+    "agg group -value",
+    "-the",
+]
 
 # Phrase query set (consecutive kept tokens; ranked by the bm25 spec sum)
 DOC_PHRASES: list[str] = [
@@ -127,6 +142,19 @@ def _query_values() -> str:
     return ", ".join(rows)
 
 
+def _signed_query_values() -> tuple[str, str]:
+    """(query_id, term, qtf) positives and (query_id, term) negatives for
+    DOC_NOT_QUERIES — from the SAME signed parser the engine uses."""
+    pos_rows, neg_rows = [], []
+    for qid, q in enumerate(DOC_NOT_QUERIES):
+        pos, neg = parse_query_signed(q)
+        for term, qtf in pos.items():
+            pos_rows.append(f"({qid}, '{term.replace(chr(39), chr(39)*2)}', {qtf}.0)")
+        for term in sorted(neg):
+            neg_rows.append(f"({qid}, '{term.replace(chr(39), chr(39)*2)}')")
+    return ", ".join(pos_rows), ", ".join(neg_rows)
+
+
 def _index_dir_for(sf_dir: str) -> str:
     safe = sf_dir.strip("/").replace("/", "_")
     return os.path.join("/tmp", "seray_index_cache", safe)
@@ -161,16 +189,23 @@ def _rerank(df: pd.DataFrame, score_col: str, id_col: str, k: int) -> pd.DataFra
     return pd.concat(out)[cols].reset_index(drop=True)
 
 
-def _topk_pipeline(sf_dir: str, mode: str, conjunctive: bool = False) -> pd.DataFrame:
+def _topk_pipeline(
+    sf_dir: str,
+    mode: str,
+    conjunctive: bool = False,
+    query_set: list[str] | None = None,
+    negation: bool = False,
+) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data as rd
 
+    qs = DOC_QUERIES if query_set is None else query_set
     index_dir = _ensure_index(sf_dir)
     q_tbl = pa.table(
         {
-            "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
-            "query": pa.array(DOC_QUERIES, pa.string()),
-            "k": pa.array([TOPK + 32] * len(DOC_QUERIES), pa.int32()),
+            "query_id": pa.array(range(len(qs)), pa.int64()),
+            "query": pa.array(qs, pa.string()),
+            "k": pa.array([TOPK + 32] * len(qs), pa.int32()),
         }
     )
     res = evaluate_queries(
@@ -180,6 +215,7 @@ def _topk_pipeline(sf_dir: str, mode: str, conjunctive: bool = False) -> pd.Data
         fields=(FIELD_BODY,),
         concurrency=2,
         conjunctive=conjunctive,
+        negation=negation,
     ).to_pandas()
     return _rerank(res, "score", "doc_id", TOPK)
 
@@ -215,6 +251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: _topk_pipeline(sf, mode="bm25"),
         "reference_topk": lambda sf: _topk_pipeline(sf, mode="reference"),
         "bm25_conjunctive_topk": lambda sf: _topk_pipeline(sf, mode="bm25", conjunctive=True),
+        "bm25_not_topk": lambda sf: _topk_pipeline(
+            sf, mode="bm25", query_set=DOC_NOT_QUERIES, negation=True
+        ),
         "phrase_topk": lambda sf: _phrase_pipeline(sf),
         # dedup suite
         "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
@@ -376,6 +415,40 @@ ranked AS (SELECT s.query_id, s.doc_id, s.score,
                     ORDER BY floor(s.score*1000000000 + 0.5) DESC, s.doc_id ASC) AS rank
            FROM scores s JOIN need ON need.query_id = s.query_id
            WHERE s.nt = need.n)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    nq_pos, nq_neg = _signed_query_values()
+    bm25_not = f"""
+WITH tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {nq_pos}),
+nq(query_id, term) AS (VALUES {nq_neg}),
+excl AS (SELECT DISTINCT nq.query_id, tf.doc_id
+         FROM nq JOIN tf ON tf.term = nq.term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) *
+         (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl)))) AS c
+  FROM q JOIN tf ON q.term = tf.term
+       JOIN df ON df.term = q.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+scores AS (SELECT c.query_id, c.doc_id, sum(c.c) AS score FROM contrib c
+           WHERE NOT EXISTS (SELECT 1 FROM excl e
+                             WHERE e.query_id = c.query_id
+                               AND e.doc_id = c.doc_id)
+           GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
+           FROM scores)
 SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
 FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
@@ -673,6 +746,7 @@ SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_topk": bm25,
         "reference_topk": ref,
         "bm25_conjunctive_topk": bm25_and,
+        "bm25_not_topk": bm25_not,
         "phrase_topk": phrase,
         "dedup_exact": """
 SELECT doc_id,

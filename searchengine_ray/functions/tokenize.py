@@ -193,3 +193,23 @@ def parse_query(query: str) -> Counter[str]:
     and contribute nothing.
     """
     return Counter(w.lower() for w in query.split(" ") if w)
+
+
+def parse_query_signed(query: str) -> tuple[Counter[str], frozenset[str]]:
+    """Signed query parser: a `-` prefix marks an EXCLUDED word
+    (`alpha -beta` ranks docs with alpha that do NOT contain beta).
+
+    Positive words follow parse_query exactly (reference semantics,
+    Engine.cs:127-139); negation is a rebuild extension — the reference
+    query language has no operators. A bare '-' is dropped."""
+    pos: Counter[str] = Counter()
+    neg: set[str] = set()
+    for w in query.split(" "):
+        if not w:
+            continue
+        if w.startswith("-"):
+            if len(w) > 1:
+                neg.add(w[1:].lower())
+        else:
+            pos[w.lower()] += 1
+    return pos, frozenset(neg)

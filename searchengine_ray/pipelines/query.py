@@ -19,8 +19,15 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.runtime import cap_worker_threads
+from ..functions.tokenize import parse_query_signed
 from ..schemas import FIELD_BODY, FIELD_TITLE
-from ..state.shards import Lexicon, LocalIndex, make_term_specs, with_ref_cutoffs
+from ..state.shards import (
+    Lexicon,
+    LocalIndex,
+    make_term_specs,
+    make_term_specs_from_counts,
+    with_ref_cutoffs,
+)
 
 
 class QueryEvalActor:
@@ -33,6 +40,7 @@ class QueryEvalActor:
         fields: tuple[int, ...] = (FIELD_BODY, FIELD_TITLE),
         default_k: int = 10,
         conjunctive: bool = False,
+        negation: bool = False,
     ):
         cap_worker_threads()
         self.index = LocalIndex(index_dir)
@@ -41,6 +49,10 @@ class QueryEvalActor:
         self.fields = fields
         self.default_k = default_k
         self.conjunctive = conjunctive
+        # negation=True parses `-word` as an exclusion (parse_query_signed);
+        # kept opt-in so the default path stays byte-compatible with the
+        # reference parser, where '-foo' is the positive word '-foo'
+        self.negation = negation
         self._cutoff_cache: dict = {}  # reference-mode truncation memo
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -56,9 +68,23 @@ class QueryEvalActor:
         out_doc: list[int] = []
         out_score: list[float] = []
         for qid, query, k in zip(qids, queries, ks):
-            specs = make_term_specs(
-                query, self.lexicon, self.index.n_docs, self.fields, self.mode
-            )
+            exclude = None
+            if self.negation:
+                pos, neg = parse_query_signed(query)
+                specs = make_term_specs_from_counts(
+                    pos, self.lexicon, self.index.n_docs, self.fields, self.mode
+                )
+                if neg:
+                    from collections import Counter
+
+                    exclude = make_term_specs_from_counts(
+                        Counter(neg), self.lexicon, self.index.n_docs,
+                        self.fields, self.mode,
+                    )
+            else:
+                specs = make_term_specs(
+                    query, self.lexicon, self.index.n_docs, self.fields, self.mode
+                )
             if not specs:
                 continue
             if self.mode == "reference":
@@ -68,7 +94,8 @@ class QueryEvalActor:
                     specs, self.index.tf_doc_candidates, cache=self._cutoff_cache
                 )
             docs, scores = self.index.topk(
-                specs, int(k), self.mode, conjunctive=self.conjunctive
+                specs, int(k), self.mode, conjunctive=self.conjunctive,
+                exclude=exclude,
             )
             for r, (d, s) in enumerate(zip(docs, scores), start=1):
                 out_qid.append(int(qid))
@@ -93,6 +120,7 @@ def evaluate_queries(
     concurrency: int = 2,
     batch_size: int = 256,
     conjunctive: bool = False,
+    negation: bool = False,
 ) -> rd.Dataset:
     return queries_ds.map_batches(
         QueryEvalActor,
@@ -101,6 +129,7 @@ def evaluate_queries(
             "mode": mode,
             "fields": fields,
             "conjunctive": conjunctive,
+            "negation": negation,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -320,18 +320,23 @@ class LocalIndex:
         mode: str = "bm25",
         algo: str = "taat",
         conjunctive: bool = False,
+        exclude: list[TermSpec] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k. algo='taat': exhaustive vectorized term-at-a-time.
         algo='bmw' (bm25 only): block-max WAND with selective block decode —
         same results bit-for-bit, decodes only blocks that can matter.
         conjunctive=True: AND semantics — only docs containing EVERY
         globally-known query term are ranked (posting-list intersection;
-        valid per partition because a doc's postings are co-located)."""
+        valid per partition because a doc's postings are co-located).
+        exclude: docs containing ANY of these terms are dropped (NOT
+        semantics; a rebuild extension — the reference has no operators).
+        Exclusion is exact per partition for the same co-location reason
+        and costs one extra postings_for per excluded term — no shuffle."""
         if not terms:
             # no known terms: nothing can match (without this, the
             # conjunctive filter `touched == 0` would match every doc)
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
-        if algo == "bmw" and mode == "bm25" and not conjunctive:
+        if algo == "bmw" and mode == "bm25" and not conjunctive and not exclude:
             if not self.has_tombstones:
                 # multi-field included: each cursor carries its own field's
                 # dl/avgdl (state/bmw.py); ordinals are shared across fields
@@ -369,6 +374,13 @@ class LocalIndex:
                 cand = np.flatnonzero(touched == len(terms))
             else:
                 cand = np.flatnonzero(touched)
+            if exclude and len(cand):
+                excl_mask = np.zeros(len(part.doc_ids), dtype=bool)
+                for t in exclude:
+                    got = part.postings_for(t.field, t.term_hash)
+                    if got is not None:
+                        excl_mask[got[0]] = True
+                cand = cand[~excl_mask[cand]]
             if self.has_tombstones and len(cand):
                 alive = ~np.isin(part.doc_ids[cand], self.tombstones_for(part.gen))
                 cand = cand[alive]
@@ -844,7 +856,18 @@ def make_term_specs(
 ) -> list[TermSpec]:
     """Query words -> TermSpecs with global stats resolved; unknown words
     contribute nothing (reference behavior, Engine.cs:146-153)."""
-    counts: Counter[str] = parse_query(query)
+    return make_term_specs_from_counts(
+        parse_query(query), lexicon, n_docs, fields, mode
+    )
+
+
+def make_term_specs_from_counts(
+    counts: "Counter[str]",
+    lexicon: Lexicon,
+    n_docs: float,
+    fields: tuple[int, ...],
+    mode: str,
+) -> list[TermSpec]:
     specs: list[TermSpec] = []
     for word, qtf in counts.items():
         th = hash64(word)

@@ -114,3 +114,54 @@ def test_sharded_lexicon_identical_results(built, ray_session):
     a = SearchEngine(index_dir, n_shards=2).search_batch(queries, k=10)
     b = SearchEngine(index_dir, n_shards=2, lexicon_shards=3).search_batch(queries, k=10)
     assert a == b
+
+
+def test_negated_query_excludes_docs(built, brute, ray_session):
+    """`alpha -beta`: excluded docs vanish, surviving ranks/scores equal the
+    unnegated run filtered against the brute term-membership oracle."""
+    import pyarrow as pa
+
+    from searchengine_ray.state.shards import (
+        Lexicon,
+        LocalIndex,
+        make_term_specs,
+        make_term_specs_from_counts,
+    )
+
+    index_dir, _, _ = built
+    index = LocalIndex(index_dir)
+    lex = Lexicon(index_dir)
+
+    # pick a positive and negative term that both exist in the corpus
+    from searchengine_ray.synth import VOCAB
+
+    pos_w, neg_w = str(VOCAB[25]), str(VOCAB[120])  # mid terms: both present,
+    # negative rare enough that some positives survive
+    specs = make_term_specs(pos_w, lex, index.n_docs, (FIELD_BODY,), "bm25")
+    from collections import Counter
+
+    excl = make_term_specs_from_counts(
+        Counter([neg_w]), lex, index.n_docs, (FIELD_BODY,), "bm25"
+    )
+    assert specs and excl
+    base_docs, base_scores = index.topk(specs, 1000)
+    not_docs, not_scores = index.topk(specs, 1000, exclude=excl)
+
+    # brute membership of the negative term
+    neg_set = set(brute.postings.get((FIELD_BODY, neg_w), {}))
+    want = [(d, s) for d, s in zip(base_docs.tolist(), base_scores.tolist())
+            if d not in neg_set]
+    assert list(zip(not_docs.tolist(), not_scores.tolist())) == want
+    assert 0 < len(not_docs) < len(base_docs)
+
+    # the batch pipeline (negation=True) agrees end-to-end
+    q_tbl = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "query": pa.array([f"{pos_w} -{neg_w}"], pa.string()),
+        "k": pa.array([10], pa.int32()),
+    })
+    out = evaluate_queries(
+        rd.from_arrow(q_tbl), index_dir, fields=(FIELD_BODY,),
+        concurrency=2, negation=True,
+    ).to_pandas().sort_values("rank")
+    assert [int(d) for d in out.doc_id] == [d for d, _ in want[:10]]

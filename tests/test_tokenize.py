@@ -72,3 +72,16 @@ def test_parse_query():
     assert c == {"foo": 2, "bar": 1}
     # no filtering on the query side (Engine.cs:127): non-ASCII survives parsing
     assert parse_query("naïve") == {"naïve": 1}
+
+
+def test_parse_query_signed():
+    from searchengine_ray.functions.tokenize import parse_query_signed
+
+    pos, neg = parse_query_signed("Foo foo -BAR -bar baz")
+    assert pos == {"foo": 2, "baz": 1}
+    assert neg == frozenset({"bar"})
+    # positives parse exactly like parse_query
+    assert parse_query_signed("Foo foo  BAR")[0] == parse_query("Foo foo  BAR")
+    # bare '-' is dropped; no positives -> empty Counter
+    pos, neg = parse_query_signed("- -x")
+    assert pos == {} and neg == frozenset({"x"})
