@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream windowed shapes (events table)
         "events_windowed": lambda sf: event_ops.windowed_counts(sf),
         "events_sessions": lambda sf: event_ops.sessionize(sf),
+        "events_asof_join": lambda sf: event_ops.asof_join(sf),
         # text analysis
         "quality_scores": lambda sf: textops.quality_scores(sf),
         "token_counts": lambda sf: textops.token_counts(sf),
@@ -806,6 +807,25 @@ s AS (SELECT user_id, us,
 SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
        min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us
 FROM s GROUP BY 1, 2
+""",
+        # as-of join: latest strictly-earlier 'view' per 'click', same user;
+        # tie among equal-ts views: max event_id (mirrors events.asof_join)
+        "events_asof_join": """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'view'),
+pairs AS (SELECT l.event_id, l.user_id, l.us AS lus, r.us AS rus,
+                 r.event_id AS rid
+          FROM l JOIN r ON r.user_id = l.user_id AND r.us < l.us),
+best_ts AS (SELECT event_id, max(rus) AS bus FROM pairs GROUP BY 1),
+best AS (SELECT p.event_id, p.user_id, p.lus, b.bus, max(p.rid) AS rid
+         FROM pairs p JOIN best_ts b
+           ON b.event_id = p.event_id AND p.rus = b.bus
+         GROUP BY 1, 2, 3, 4)
+SELECT event_id, user_id, rid AS matched_event_id,
+       (lus - bus)::BIGINT AS lag_us
+FROM best
 """,
         "dedup_ngram_jaccard": ngram,
         "dedup_simhash": simhash_sql,

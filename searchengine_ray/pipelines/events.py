@@ -212,3 +212,97 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+_ASOF_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("matched_event_id", pa.int64()),
+        ("lag_us", pa.int64()),
+    ]
+)
+
+
+def asof_join(
+    sf_dir: str, left_type: str = "click", right_type: str = "view"
+) -> rd.Dataset:
+    """Per-user as-of join: each `left_type` event matches the latest
+    `right_type` event of the SAME user with a strictly earlier timestamp
+    (tie among equal-ts rights: max event_id; unmatched lefts dropped).
+
+    The classic range/as-of join Ray Data lacks natively, expressed as a
+    coarse user-bucket shuffle + a vectorized per-group kernel — same
+    partitioning discipline as sessionize: ONE groupby on `user_id % 64`,
+    never a per-user group call. Within a group, rights are lexsorted by
+    (user, ts, id) and each left binary-searches a packed (user-rank, ts)
+    int64 key — no Python per-row loop.
+
+    Packing assumption (guarded): distinct users per bucket < 2^20 and the
+    group's ts span < 2^43 us (~278 years). At larger scale raise the
+    bucket count — the per-bucket invariant is what matters, not N.
+    """
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _ASOF_SCHEMA.empty_table()
+        import pyarrow.compute as pc
+
+        typ = group.column("event_type")
+        is_l = pc.equal(typ, left_type).combine_chunks().to_numpy(zero_copy_only=False)
+        is_r = pc.equal(typ, right_type).combine_chunks().to_numpy(zero_copy_only=False)
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        if not is_l.any() or not is_r.any():
+            return _ASOF_SCHEMA.empty_table()
+
+        # dense user ranks shared by both sides
+        uniq, rank = np.unique(user, return_inverse=True)
+        t0 = us.min()
+        span = int(us.max() - t0) + 1
+        ts_bits = max(1, span.bit_length())
+        if len(uniq) >= (1 << 20) or ts_bits > 43:  # pragma: no cover
+            raise ValueError(
+                "asof_join bucket too wide for key packing; raise bucket count"
+            )
+        key = (rank.astype(np.int64) << ts_bits) | (us - t0)
+
+        l_key, l_us, l_eid, l_user, l_rank = (
+            key[is_l], us[is_l], eid[is_l], user[is_l], rank[is_l]
+        )
+        r_key, r_us, r_eid, r_rank = key[is_r], us[is_r], eid[is_r], rank[is_r]
+        order = np.lexsort((r_eid, r_key))  # (user, ts) asc, id asc within ties
+        r_key, r_us, r_eid, r_rank = (
+            r_key[order], r_us[order], r_eid[order], r_rank[order]
+        )
+        pos = np.searchsorted(r_key, l_key, side="left") - 1
+        ok = pos >= 0
+        ok[ok] &= r_rank[pos[ok]] == l_rank[ok]  # same user, strictly earlier ts
+        pos = pos[ok]
+        return pa.table(
+            {
+                "event_id": pa.array(l_eid[ok], pa.int64()),
+                "user_id": pa.array(l_user[ok], pa.int64()),
+                "matched_event_id": pa.array(r_eid[pos], pa.int64()),
+                "lag_us": pa.array(l_us[ok] - r_us[pos], pa.int64()),
+            }
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+        .filter(
+            expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+        )
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
