@@ -56,7 +56,11 @@ def _make_tasks_self_contained() -> None:
 _make_tasks_self_contained()
 
 from searchengine_ray.functions.scoring import round6
-from searchengine_ray.functions.tokenize import parse_query, parse_query_signed
+from searchengine_ray.functions.tokenize import (
+    parse_query,
+    parse_query_prefix,
+    parse_query_signed,
+)
 from searchengine_ray.pipelines import ann as ann_ops
 from searchengine_ray.pipelines import dedup as dedup_ops
 from searchengine_ray.pipelines import events as event_ops
@@ -103,6 +107,21 @@ DOC_NOT_QUERIES: list[str] = [
     "merge sort -merge",
     "agg group -value",
     "-the",
+]
+
+# Prefix query set: `word*` expands to up to 64 vocabulary terms (term-
+# strings sidecar, ascending). Covers: pattern+literal mix, no-match
+# pattern, repeated pattern (qtf 2), pattern whose expansion overlaps a
+# literal, and a single-letter pattern with a wide expansion.
+DOC_PREFIX_QUERIES: list[str] = [
+    "jo*",
+    "s* merge",
+    "dup ba*",
+    "zzz*",
+    "b* b*",
+    "w* window",
+    "qu* scan",
+    "t*",
 ]
 
 # Phrase query set (consecutive kept tokens; ranked by the bm25 spec sum)
@@ -155,6 +174,22 @@ def _signed_query_values() -> tuple[str, str]:
     return ", ".join(pos_rows), ", ".join(neg_rows)
 
 
+def _prefix_query_values() -> tuple[str, str]:
+    """(query_id, prefix, qtf) patterns and (query_id, term, qtf) literals
+    for DOC_PREFIX_QUERIES — from the SAME prefix parser the engine uses."""
+    pat_rows, lit_rows = [], []
+    for qid, q in enumerate(DOC_PREFIX_QUERIES):
+        lit, pre = parse_query_prefix(q)
+        for p, qtf in sorted(pre.items()):
+            pat_rows.append(f"({qid}, '{p.replace(chr(39), chr(39)*2)}', {qtf}.0)")
+        for term, qtf in lit.items():
+            lit_rows.append(f"({qid}, '{term.replace(chr(39), chr(39)*2)}', {qtf}.0)")
+    # VALUES cannot be empty: pad literals with a never-matching sentinel
+    if not lit_rows:
+        lit_rows.append("(-1, 'zzzneverlit', 0.0)")
+    return ", ".join(pat_rows), ", ".join(lit_rows)
+
+
 def _index_dir_for(sf_dir: str) -> str:
     safe = sf_dir.strip("/").replace("/", "_")
     return os.path.join("/tmp", "seray_index_cache", safe)
@@ -165,7 +200,8 @@ def _ensure_index(sf_dir: str) -> str:
     lang_filter=None: every row is indexed (the oracle SQL scans all rows)."""
     index_dir = _index_dir_for(sf_dir)
     cfg = BuildConfig(
-        num_partitions=8, block_size=128, lang_filter=None, store_positions=True
+        num_partitions=8, block_size=128, lang_filter=None, store_positions=True,
+        term_strings=True,  # prefix expansion + explain need the sidecar
     )
     build_index(sf_dir, index_dir, cfg, source="documents")
     return index_dir
@@ -195,6 +231,7 @@ def _topk_pipeline(
     conjunctive: bool = False,
     query_set: list[str] | None = None,
     negation: bool = False,
+    prefix: bool = False,
 ) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data as rd
@@ -216,6 +253,7 @@ def _topk_pipeline(
         concurrency=2,
         conjunctive=conjunctive,
         negation=negation,
+        prefix=prefix,
     ).to_pandas()
     return _rerank(res, "score", "doc_id", TOPK)
 
@@ -253,6 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunctive_topk": lambda sf: _topk_pipeline(sf, mode="bm25", conjunctive=True),
         "bm25_not_topk": lambda sf: _topk_pipeline(
             sf, mode="bm25", query_set=DOC_NOT_QUERIES, negation=True
+        ),
+        "bm25_prefix_topk": lambda sf: _topk_pipeline(
+            sf, mode="bm25", query_set=DOC_PREFIX_QUERIES, prefix=True
         ),
         "phrase_topk": lambda sf: _phrase_pipeline(sf),
         # dedup suite
@@ -446,6 +487,42 @@ scores AS (SELECT c.query_id, c.doc_id, sum(c.c) AS score FROM contrib c
                              WHERE e.query_id = c.query_id
                                AND e.doc_id = c.doc_id)
            GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    pq_pat, pq_lit = _prefix_query_values()
+    bm25_prefix = f"""
+WITH tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+lex AS (SELECT DISTINCT term FROM tok),
+pat(query_id, prefix, qtf) AS (VALUES {pq_pat}),
+lit(query_id, term, qtf) AS (VALUES {pq_lit}),
+exp0 AS (SELECT p.query_id, l.term, p.qtf,
+                row_number() OVER (PARTITION BY p.query_id, p.prefix
+                                   ORDER BY l.term) AS rn
+         FROM pat p JOIN lex l ON l.term LIKE p.prefix || '%'),
+q AS (SELECT query_id, term, sum(qtf) AS qtf FROM (
+        SELECT query_id, term, qtf FROM exp0 WHERE rn <= 64
+        UNION ALL SELECT query_id, term, qtf FROM lit) GROUP BY 1, 2),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) *
+         (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl)))) AS c
+  FROM q JOIN tf ON q.term = tf.term
+       JOIN df ON df.term = q.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
@@ -748,6 +825,7 @@ SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
         "reference_topk": ref,
         "bm25_conjunctive_topk": bm25_and,
         "bm25_not_topk": bm25_not,
+        "bm25_prefix_topk": bm25_prefix,
         "phrase_topk": phrase,
         "dedup_exact": """
 SELECT doc_id,

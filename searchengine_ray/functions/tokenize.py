@@ -195,6 +195,25 @@ def parse_query(query: str) -> Counter[str]:
     return Counter(w.lower() for w in query.split(" ") if w)
 
 
+def parse_query_prefix(query: str) -> tuple[Counter[str], Counter[str]]:
+    """Prefix query parser: a trailing `*` marks a prefix pattern
+    (`jo*` expands to vocabulary terms starting with 'jo'). Returns
+    (literal word counts, prefix counts); a bare '*' is dropped. Literal
+    words parse exactly as parse_query. A rebuild extension — the
+    reference query language has no operators."""
+    lit: Counter[str] = Counter()
+    pre: Counter[str] = Counter()
+    for w in query.split(" "):
+        if not w:
+            continue
+        if w.endswith("*"):
+            if len(w) > 1:
+                pre[w[:-1].lower()] += 1
+        else:
+            lit[w.lower()] += 1
+    return lit, pre
+
+
 def parse_query_signed(query: str) -> tuple[Counter[str], frozenset[str]]:
     """Signed query parser: a `-` prefix marks an EXCLUDED word
     (`alpha -beta` ranks docs with alpha that do NOT contain beta).

@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.runtime import cap_worker_threads
-from ..functions.tokenize import parse_query_signed
+from ..functions.tokenize import parse_query_prefix, parse_query_signed
 from ..schemas import FIELD_BODY, FIELD_TITLE
 from ..state.shards import (
     Lexicon,
@@ -28,6 +28,8 @@ from ..state.shards import (
     make_term_specs_from_counts,
     with_ref_cutoffs,
 )
+
+MAX_EXPAND = 64  # prefix-pattern expansion cap (ascending term order)
 
 
 class QueryEvalActor:
@@ -41,6 +43,7 @@ class QueryEvalActor:
         default_k: int = 10,
         conjunctive: bool = False,
         negation: bool = False,
+        prefix: bool = False,
     ):
         cap_worker_threads()
         self.index = LocalIndex(index_dir)
@@ -53,6 +56,13 @@ class QueryEvalActor:
         # kept opt-in so the default path stays byte-compatible with the
         # reference parser, where '-foo' is the positive word '-foo'
         self.negation = negation
+        # prefix=True parses `word*` as a vocabulary prefix expansion (up
+        # to MAX_EXPAND terms, ascending — needs the term-strings sidecar)
+        self.prefix = prefix
+        if prefix:
+            from ..state.shards import TermStrings
+
+            self.term_strings = TermStrings(index_dir)
         self._cutoff_cache: dict = {}  # reference-mode truncation memo
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -69,7 +79,18 @@ class QueryEvalActor:
         out_score: list[float] = []
         for qid, query, k in zip(qids, queries, ks):
             exclude = None
-            if self.negation:
+            if self.prefix:
+                from collections import Counter
+
+                lit, pre = parse_query_prefix(query)
+                expanded: Counter[str] = Counter(lit)
+                for p, qtf in pre.items():
+                    for term in self.term_strings.prefix_terms(p, MAX_EXPAND):
+                        expanded[term] += qtf
+                specs = make_term_specs_from_counts(
+                    expanded, self.lexicon, self.index.n_docs, self.fields, self.mode
+                )
+            elif self.negation:
                 pos, neg = parse_query_signed(query)
                 specs = make_term_specs_from_counts(
                     pos, self.lexicon, self.index.n_docs, self.fields, self.mode
@@ -121,6 +142,7 @@ def evaluate_queries(
     batch_size: int = 256,
     conjunctive: bool = False,
     negation: bool = False,
+    prefix: bool = False,
 ) -> rd.Dataset:
     return queries_ds.map_batches(
         QueryEvalActor,
@@ -130,6 +152,7 @@ def evaluate_queries(
             "fields": fields,
             "conjunctive": conjunctive,
             "negation": negation,
+            "prefix": prefix,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -681,6 +681,26 @@ class TermStrings:
             return self._terms[i].as_py()
         return None
 
+    def prefix_terms(self, prefix: str, limit: int = 64) -> list[str]:
+        """Distinct vocabulary terms starting with `prefix`, ascending,
+        capped at `limit` (deterministic expansion order for `pre*`
+        queries). Term-sorted view built lazily on first use; range found
+        by binary search, so each call is O(log V + limit)."""
+        if not hasattr(self, "_terms_sorted"):
+            self._terms_sorted = np.sort(
+                np.asarray(self._terms.to_pylist(), dtype=object)
+            )
+        ts = self._terms_sorted
+        lo = int(np.searchsorted(ts, prefix, side="left"))
+        out: list[str] = []
+        for i in range(lo, len(ts)):
+            if not ts[i].startswith(prefix):
+                break
+            out.append(ts[i])
+            if len(out) >= limit:
+                break
+        return out
+
 
 @ray.remote
 class DocMapShardActor:

@@ -145,3 +145,49 @@ def test_http_explain_endpoint(index_dir):
             assert {t["term"] for t in e["terms"]} <= {"join", "hash"}
     finally:
         server.shutdown()
+
+
+def test_prefix_terms_cap_and_order(index_dir):
+    """prefix_terms: ascending term order, deterministic cap, exact-prefix
+    range (no over-match)."""
+    ts = TermStrings(index_dir)
+    all_t = ts.prefix_terms("", limit=10**9)  # whole vocabulary
+    assert all_t == sorted(all_t) and len(all_t) == len(set(all_t))
+    # every returned term actually has the prefix; cap truncates the head
+    for p in ("t", "s", "b"):
+        full = [t for t in all_t if t.startswith(p)]
+        assert ts.prefix_terms(p, limit=10**9) == full
+        assert ts.prefix_terms(p, limit=2) == full[:2]
+    assert ts.prefix_terms("zzzznope") == []
+
+
+def test_prefix_query_pipeline_equivalence(index_dir, ray_session):
+    """`jo*` scores identically to the explicit OR of its expansions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.pipelines.query import evaluate_queries
+    from searchengine_ray.schemas import FIELD_BODY
+
+    ts = TermStrings(index_dir)
+    expansion = ts.prefix_terms("jo", limit=64)
+    assert expansion  # vocab has join/joins-like terms
+    qs = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "query": pa.array(["jo*"], pa.string()),
+        "k": pa.array([20], pa.int32()),
+    })
+    got = evaluate_queries(
+        rd.from_arrow(qs), index_dir, fields=(FIELD_BODY,),
+        concurrency=2, prefix=True,
+    ).to_pandas()
+    qs2 = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "query": pa.array([" ".join(expansion)], pa.string()),
+        "k": pa.array([20], pa.int32()),
+    })
+    want = evaluate_queries(
+        rd.from_arrow(qs2), index_dir, fields=(FIELD_BODY,), concurrency=2,
+    ).to_pandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.score.tolist() == want.score.tolist()
