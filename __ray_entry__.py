@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": lambda sf: event_ops.asof_join(sf),
         # text analysis
         "quality_scores": lambda sf: textops.quality_scores(sf),
+        "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
         "fingerprints": lambda sf: textops.fingerprints(sf),
@@ -834,6 +835,13 @@ FROM documents
 """,
         "dedup_embedding": emb_dup,
         "ann_brute_topk": ann,
+        "topk_per_group": """
+SELECT lang, source, rn::BIGINT AS rank, doc_id, n_chars FROM (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 5
+""",
         "quality_scores": f"""
 WITH base AS (SELECT doc_id, text, {toks} AS toks FROM documents)
 SELECT doc_id,

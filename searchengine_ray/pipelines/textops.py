@@ -254,3 +254,82 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def topk_per_group(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """(lang, source, rank, doc_id, n_chars) — top-k docs per (lang, source)
+    by (n_chars desc, doc_id asc): the distributed ROW_NUMBER()<=k window
+    shape.
+
+    Scale discipline: each batch emits at most k rows PER GROUP (vectorized
+    partial top-k — lexsort + run slicing, no Python per-group loop), so the
+    shuffle moves <= k * n_groups * n_batches rows regardless of input size;
+    one groupby finishes with the same kernel. Partitioning assumption: the
+    GROUP COUNT is small (lang x source here). For high-cardinality keys,
+    hash the key into coarse buckets first (events.sessionize pattern) —
+    the per-batch partial already makes the exchange cheap either way.
+    """
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        cols = ["lang", "source", "doc_id", "n_chars"]
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        t = t.select(cols)
+        lang = t.column("lang")
+        src = t.column("source")
+        _, lcode = np.unique(np.asarray(lang.to_pylist(), dtype=object), return_inverse=True)
+        _, scode = np.unique(np.asarray(src.to_pylist(), dtype=object), return_inverse=True)
+        key = lcode.astype(np.int64) * (scode.max() + 1) + scode
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nch, key))
+        sk = key[order]
+        new = np.empty(len(sk), dtype=bool)
+        new[0] = True
+        new[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        pos = np.arange(len(sk)) - starts[run_id]
+        keep = order[pos < k]
+        return t.take(pa.array(np.sort(keep)))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        nch = group.column("n_chars").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nch))[:k]
+        g = group.take(pa.array(order))
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                "doc_id": g.column("doc_id"),
+                "n_chars": g.column("n_chars"),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "lang", "source", "n_chars"])
+        .map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .map_groups(finalize, batch_format="pyarrow")
+    )
