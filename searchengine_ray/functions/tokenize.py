@@ -214,6 +214,30 @@ def parse_query_prefix(query: str) -> tuple[Counter[str], Counter[str]]:
     return lit, pre
 
 
+def parse_query_ops(query: str) -> tuple[Counter[str], Counter[str], frozenset[str]]:
+    """Combined operator parser for the online serving surface:
+    `-word` excludes, `word*` prefix-expands, everything else is a literal.
+    Returns (literals, prefix patterns, negated words). A negated prefix
+    (`-pre*`) is treated as the negated literal 'pre*'-minus-dash word,
+    i.e. NOT supported as an expansion (kept simple; document at the API).
+    Bare '-' / '*' are dropped."""
+    lit: Counter[str] = Counter()
+    pre: Counter[str] = Counter()
+    neg: set[str] = set()
+    for w in query.split(" "):
+        if not w:
+            continue
+        if w.startswith("-"):
+            if len(w) > 1:
+                neg.add(w[1:].lower())
+        elif w.endswith("*"):
+            if len(w) > 1:
+                pre[w[:-1].lower()] += 1
+        else:
+            lit[w.lower()] += 1
+    return lit, pre, frozenset(neg)
+
+
 def parse_query_signed(query: str) -> tuple[Counter[str], frozenset[str]]:
     """Signed query parser: a `-` prefix marks an EXCLUDED word
     (`alpha -beta` ranks docs with alpha that do NOT contain beta).

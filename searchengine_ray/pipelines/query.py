@@ -22,14 +22,13 @@ from ..functions.runtime import cap_worker_threads
 from ..functions.tokenize import parse_query_prefix, parse_query_signed
 from ..schemas import FIELD_BODY, FIELD_TITLE
 from ..state.shards import (
+    MAX_EXPAND,
     Lexicon,
     LocalIndex,
     make_term_specs,
     make_term_specs_from_counts,
     with_ref_cutoffs,
 )
-
-MAX_EXPAND = 64  # prefix-pattern expansion cap (ascending term order)
 
 
 class QueryEvalActor:

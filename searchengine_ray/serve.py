@@ -8,6 +8,9 @@ this is a stdlib ThreadingHTTPServer whose handlers call the
 IndexShardActor, merge) is unchanged.
 
 GET /search?q=<query>&k=10        -> JSON {results: [{doc_id, url, score}], took_ms}
+GET /search?q=...&syntax=ops      -> enables `-word` (NOT) and `word*` (prefix)
+                                     operators (rebuild extensions; plain is
+                                     the reference-compatible default)
 GET /search?q=<query>&format=html -> minimal HTML results page (F6 analog)
 GET /explain?q=<query>&k=10       -> JSON per-term score breakdown (the debug
                                      surface; contributions sum to each score)
@@ -85,8 +88,12 @@ def make_handler(engine: SearchEngine):
                     "application/json",
                 )
                 return
+            syntax = (qs.get("syntax") or ["plain"])[0]
+            if syntax not in ("plain", "ops"):
+                self._send(400, b"invalid syntax", "text/plain")
+                return
             t0 = time.perf_counter()
-            results = engine.search(query, k=k)
+            results = engine.search(query, k=k, syntax=syntax)
             urls = engine.hydrate([d for d, _ in results])
             ms = round((time.perf_counter() - t0) * 1000, 2)
             if (qs.get("format") or ["json"])[0] == "html":

@@ -41,7 +41,7 @@ from ..functions.scoring import (
     ref_title_term_scores,
     topk_by_score,
 )
-from ..functions.tokenize import parse_query
+from ..functions.tokenize import parse_query, parse_query_ops
 from ..schemas import FIELD_BODY, FIELD_TITLE
 from ..state.segments import decode_ords, decode_tfs
 from ..state.manifest import part_name, recover_compaction
@@ -619,14 +619,28 @@ class IndexShardActor:
         self.index = LocalIndex(index_dir, parts)
 
     def topk(
-        self, terms: list[TermSpec], k: int, mode: str, algo: str = "taat"
+        self,
+        terms: list[TermSpec],
+        k: int,
+        mode: str,
+        algo: str = "taat",
+        exclude: list[TermSpec] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        return self.index.topk(terms, k, mode, algo)
+        return self.index.topk(terms, k, mode, algo, exclude=exclude)
 
     def topk_batch(
-        self, term_lists: list[list[TermSpec]], k: int, mode: str, algo: str = "taat"
+        self,
+        term_lists: list[list[TermSpec]],
+        k: int,
+        mode: str,
+        algo: str = "taat",
+        exclude_lists: list[list[TermSpec] | None] | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        return [self.index.topk(t, k, mode, algo) for t in term_lists]
+        excl = exclude_lists or [None] * len(term_lists)
+        return [
+            self.index.topk(t, k, mode, algo, exclude=e)
+            for t, e in zip(term_lists, excl)
+        ]
 
     def phrase_topk(
         self, words: list[str], specs: list[TermSpec], k: int, field: int
@@ -642,6 +656,10 @@ class IndexShardActor:
         self, specs: list[TermSpec], doc_ids: list[int], mode: str
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         return self.index.explain_docs(specs, doc_ids, mode)
+
+
+MAX_EXPAND = 64  # `pre*` expansion cap (ascending term order); the batch
+# path (pipelines/query.py) imports this so both surfaces agree
 
 
 class TermStrings:
@@ -983,9 +1001,12 @@ class SearchEngine:
             tfs, docs = tfs[keep], docs[keep]
         return tfs, docs
 
-    def _resolve_specs(self, query: str, fields=None) -> list[TermSpec]:
-        specs = make_term_specs(
-            query, self.lexicon, self.n_docs, fields or self.fields, self.mode
+    def _resolve_specs(
+        self, query: str, fields=None, counts: Counter[str] | None = None
+    ) -> list[TermSpec]:
+        specs = make_term_specs_from_counts(
+            parse_query(query) if counts is None else counts,
+            self.lexicon, self.n_docs, fields or self.fields, self.mode,
         )
         if specs and self.mode == "reference":
             if not hasattr(self, "_cutoff_cache"):
@@ -994,6 +1015,22 @@ class SearchEngine:
                 specs, self._global_candidates, cache=self._cutoff_cache
             )
         return specs
+
+    def _ops_counts(
+        self, query: str
+    ) -> tuple[Counter[str], Counter[str] | None]:
+        """syntax='ops' parsing: `-word` excludes, `word*` prefix-expands
+        (term-strings sidecar, MAX_EXPAND cap). Returns (positive counts,
+        exclusion counts or None). Negated prefixes are not expanded."""
+        lit, pre, neg = parse_query_ops(query)
+        counts = Counter(lit)
+        if pre:
+            if not hasattr(self, "_term_strings"):
+                self._term_strings = TermStrings(self.index_dir)
+            for p, qtf in pre.items():
+                for t in self._term_strings.prefix_terms(p, MAX_EXPAND):
+                    counts[t] += qtf
+        return counts, (Counter(neg) if neg else None)
 
     def shutdown(self) -> None:
         """Kill the shard (and lexicon-shard) actors. Each actor reserves a
@@ -1012,11 +1049,30 @@ class SearchEngine:
         if lex is not None and hasattr(lex, "actors"):
             lex.actors = []
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        specs = self._resolve_specs(query)
+    def search(
+        self, query: str, k: int = 10, syntax: str = "plain"
+    ) -> list[tuple[int, float]]:
+        """syntax='plain': reference-compatible parser (every word is a
+        positive term). syntax='ops': `-word` negation + `word*` prefix
+        expansion (rebuild extensions; see _ops_counts)."""
+        exclude = None
+        if syntax == "ops":
+            counts, excl_counts = self._ops_counts(query)
+            specs = self._resolve_specs(query, counts=counts)
+            if excl_counts:
+                exclude = make_term_specs_from_counts(
+                    excl_counts, self.lexicon, self.n_docs, self.fields, self.mode
+                )
+        else:
+            specs = self._resolve_specs(query)
         if not specs:
             return []
-        parts = ray.get([s.topk.remote(specs, k, self.mode, self.algo) for s in self.shards])
+        parts = ray.get(
+            [
+                s.topk.remote(specs, k, self.mode, self.algo, exclude)
+                for s in self.shards
+            ]
+        )
         docs = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)
         d, s = topk_by_score(docs, scores, k)
@@ -1116,20 +1172,40 @@ class SearchEngine:
         urls = self.hydrate([d for d, _ in res])
         return [(urls[d], s) for d, s in res]
 
-    def search_batch(self, queries: list[str], k: int = 10) -> list[list[tuple[int, float]]]:
+    def search_batch(
+        self, queries: list[str], k: int = 10, syntax: str = "plain"
+    ) -> list[list[tuple[int, float]]]:
         """Batched scatter-gather: one round trip per shard for ALL queries."""
+        if syntax == "ops":
+            parsed = [self._ops_counts(q) for q in queries]
+            word_lists = [list(c) + list(e or ()) for c, e in parsed]
+        else:
+            parsed = None
+            word_lists = [list(parse_query(q)) for q in queries]
         if isinstance(self.lexicon, ShardedLexicon):
             # one get_many round-trip per lexicon shard for the WHOLE batch
             self.lexicon.prefetch(
-                [
-                    (f, hash64(w))
-                    for q in queries
-                    for w in parse_query(q)
-                    for f in self.fields
-                ]
+                [(f, hash64(w)) for ws in word_lists for w in ws for f in self.fields]
             )
-        spec_lists = [self._resolve_specs(q) for q in queries]
-        futures = [s.topk_batch.remote(spec_lists, k, self.mode, self.algo) for s in self.shards]
+        if parsed is not None:
+            spec_lists = [
+                self._resolve_specs(q, counts=c) for q, (c, _e) in zip(queries, parsed)
+            ]
+            exclude_lists = [
+                make_term_specs_from_counts(
+                    e, self.lexicon, self.n_docs, self.fields, self.mode
+                )
+                if e
+                else None
+                for _c, e in parsed
+            ]
+        else:
+            spec_lists = [self._resolve_specs(q) for q in queries]
+            exclude_lists = None
+        futures = [
+            s.topk_batch.remote(spec_lists, k, self.mode, self.algo, exclude_lists)
+            for s in self.shards
+        ]
         per_shard = ray.get(futures)
         out = []
         for qi in range(len(queries)):

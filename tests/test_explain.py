@@ -191,3 +191,38 @@ def test_prefix_query_pipeline_equivalence(index_dir, ray_session):
     ).to_pandas()
     assert got.doc_id.tolist() == want.doc_id.tolist()
     assert got.score.tolist() == want.score.tolist()
+
+
+def test_online_ops_syntax_matches_batch(index_dir, ray_session):
+    """SearchEngine(syntax='ops') gives the same results as the batch
+    pipeline's negation/prefix paths (shared kernels, shared parser caps)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.pipelines.query import evaluate_queries
+    from searchengine_ray.schemas import FIELD_BODY
+
+    engine = SearchEngine(index_dir, n_shards=2, fields=(FIELD_BODY,))
+    try:
+        cases = [("join -hash", "negation"), ("jo* -hash", None), ("s* merge", "prefix")]
+        for q, flavor in cases:
+            got = engine.search(q, k=10, syntax="ops")
+            if flavor in ("negation", "prefix"):
+                qs = pa.table({
+                    "query_id": pa.array([0], pa.int64()),
+                    "query": pa.array([q], pa.string()),
+                    "k": pa.array([10], pa.int32()),
+                })
+                want = evaluate_queries(
+                    rd.from_arrow(qs), index_dir, fields=(FIELD_BODY,),
+                    concurrency=2, negation=flavor == "negation",
+                    prefix=flavor == "prefix",
+                ).to_pandas()
+                assert [d for d, _ in got] == [int(x) for x in want.doc_id]
+                assert [round(s, 9) for _, s in got] == [
+                    round(float(x), 9) for x in want.score
+                ]
+            else:
+                assert got  # combined ops parse produced results
+    finally:
+        engine.shutdown()

@@ -111,3 +111,33 @@ def test_size_suffix():
     assert size_suffix(1536) == "1.5 KB"
     assert size_suffix(3 * 1024**3) == "3.0 GB"
     assert size_suffix(-2048) == "-2.0 KB"
+
+
+def test_http_search_ops_syntax(index_dir, ray_session):
+    server = serve(index_dir, port=18737, n_shards=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        plain = json.loads(
+            urllib.request.urlopen(
+                "http://127.0.0.1:18737/search?q=taag&k=1000"
+            ).read()
+        )["results"]
+        # under plain syntax a '-word' is just an unknown positive word
+        ops = json.loads(
+            urllib.request.urlopen(
+                "http://127.0.0.1:18737/search?q=taag+-taeq&k=1000&syntax=ops"
+            ).read()
+        )["results"]
+        assert 0 < len(ops) < len(plain)
+        assert {r["doc_id"] for r in ops} < {r["doc_id"] for r in plain}
+        # invalid syntax value -> 400
+        try:
+            urllib.request.urlopen(
+                "http://127.0.0.1:18737/search?q=taag&syntax=bogus"
+            )
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
