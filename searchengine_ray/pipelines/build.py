@@ -111,6 +111,10 @@ class BuildConfig:
     #  Engine/Engine/Engine.cs:100-122; here it is a field code)
     term_strings: bool = False  # also write the (term_hash -> term) sidecar
     # (costs a second tokenize pass over the corpus; see build_term_strings)
+    store_text: bool = False  # docs map also stores the extracted body text
+    # (enables serving-time snippets/highlighting via DocMapShardActor point
+    # reads; costs the docs stage a full html read + extract for the pages
+    # source instead of the ~1% url/lang column read)
 
 
 def _fingerprint(input_path: str, cfg: BuildConfig, source: str) -> str:
@@ -515,7 +519,8 @@ def build_index(
 
     def run_docs_stage() -> int:
         if source == "pages":
-            ds = rd.read_parquet(input_path, columns=["url", "lang"])
+            docs_cols = ["url", "html", "lang"] if cfg.store_text else ["url", "lang"]
+            ds = rd.read_parquet(input_path, columns=docs_cols)
             if cfg.lang_filter is not None:
                 ds = ds.map_batches(
                     lambda t: t.filter(pc.equal(t.column("lang"), cfg.lang_filter)),
@@ -525,12 +530,16 @@ def build_index(
 
             def to_docs(t: pa.Table) -> pa.Table:
                 cap_worker_threads()
-                return pa.table(
-                    {
-                        "doc_id": pa.array(hash64_array(t.column("url")), pa.int64()),
-                        "url": t.column("url").combine_chunks(),
-                    }
-                )
+                cols = {
+                    "doc_id": pa.array(hash64_array(t.column("url")), pa.int64()),
+                    "url": t.column("url").combine_chunks(),
+                }
+                if cfg.store_text:
+                    from ..stages.extract import extract_text
+
+                    _titles, body = extract_text(t.column("html"))
+                    cols["text"] = body
+                return pa.table(cols)
 
             # stream to a partitioned directory — never materialized on the
             # driver. write_parquet APPENDS into an existing dir: clear it
@@ -549,15 +558,35 @@ def build_index(
                 for f in os.listdir(docs_path)
                 if f.endswith(".parquet")
             )
+        doc_cols = ["doc_id", "text", "lang"] if cfg.store_text else ["doc_id", "lang"]
         ds = rd.read_parquet(
             f"{input_path}/documents.parquet" if os.path.isdir(input_path) else input_path,
-            columns=["doc_id", "lang"],
+            columns=doc_cols,
         )
         if cfg.lang_filter is not None:
             ds = ds.map_batches(
                 lambda t: t.filter(pc.equal(t.column("lang"), cfg.lang_filter)),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
+            )
+        if cfg.store_text:
+            # documents have no url; the docs map stores (doc_id, text) for
+            # snippet point reads (hydrate renders missing urls as raw ids)
+            if os.path.isdir(docs_path):
+                import shutil
+
+                shutil.rmtree(docs_path)
+            ds.map_batches(
+                lambda t: t.select(["doc_id", "text"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).write_parquet(docs_path)
+            if not os.path.isdir(docs_path):
+                return 0
+            return sum(
+                pq.ParquetFile(os.path.join(docs_path, f)).metadata.num_rows
+                for f in os.listdir(docs_path)
+                if f.endswith(".parquet")
             )
         return ds.count()
 

@@ -11,6 +11,9 @@ GET /search?q=<query>&k=10        -> JSON {results: [{doc_id, url, score}], took
 GET /search?q=...&syntax=ops      -> enables `-word` (NOT) and `word*` (prefix)
                                      operators (rebuild extensions; plain is
                                      the reference-compatible default)
+GET /search?q=...&snippets=1      -> adds a `snippet` field per result
+                                     (indexes built with store_text=True;
+                                     empty string otherwise)
 GET /search?q=<query>&format=html -> minimal HTML results page (F6 analog)
 GET /explain?q=<query>&k=10       -> JSON per-term score breakdown (the debug
                                      surface; contributions sum to each score)
@@ -92,9 +95,15 @@ def make_handler(engine: SearchEngine):
             if syntax not in ("plain", "ops"):
                 self._send(400, b"invalid syntax", "text/plain")
                 return
+            want_snippets = (qs.get("snippets") or ["0"])[0] == "1"
             t0 = time.perf_counter()
             results = engine.search(query, k=k, syntax=syntax)
             urls = engine.hydrate([d for d, _ in results])
+            snips = (
+                engine.snippets([d for d, _ in results], query, syntax=syntax)
+                if want_snippets
+                else {}
+            )
             ms = round((time.perf_counter() - t0) * 1000, 2)
             if (qs.get("format") or ["json"])[0] == "html":
                 rows = "".join(
@@ -109,7 +118,9 @@ def make_handler(engine: SearchEngine):
                         "query": query,
                         "took_ms": ms,
                         "results": [
-                            {"doc_id": d, "url": urls[d], "score": s} for d, s in results
+                            {"doc_id": d, "url": urls[d], "score": s}
+                            | ({"snippet": snips.get(d, "")} if want_snippets else {})
+                            for d, s in results
                         ],
                     }
                 )

@@ -735,22 +735,77 @@ class DocMapShardActor:
 
         cap_worker_threads()
         if files:
-            t = pq.read_table(files, columns=["doc_id", "url"])
+            have = set(pq.read_schema(files[0]).names)
+            cols = ["doc_id"] + [c for c in ("url", "text") if c in have]
+            t = pq.read_table(files, columns=cols)
             ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            urls = t.column("url").combine_chunks()
             o = np.argsort(ids, kind="stable")
             self.ids = ids[o]
-            self.urls = urls.take(pa.array(o))
+            oa = pa.array(o)
+            self.urls = (
+                t.column("url").combine_chunks().take(oa) if "url" in have else None
+            )
+            self.texts = (
+                t.column("text").combine_chunks().take(oa) if "text" in have else None
+            )
         else:
             self.ids = np.zeros(0, dtype=np.int64)
             self.urls = pa.array([], pa.string())
+            self.texts = None
+
+    def _find(self, d: int) -> int | None:
+        i = int(np.searchsorted(self.ids, d))
+        if i < len(self.ids) and self.ids[i] == d:
+            return i
+        return None
 
     def get_many(self, ids: list[int]) -> dict[int, str]:
         out: dict[int, str] = {}
         for d in ids:
-            i = int(np.searchsorted(self.ids, d))
-            if i < len(self.ids) and self.ids[i] == d:
+            i = self._find(d)
+            if i is not None and self.urls is not None:
                 out[d] = self.urls[i].as_py()
+        return out
+
+    def snippet_many(
+        self, ids: list[int], terms: list[str], width: int = 160
+    ) -> dict[int, str]:
+        """doc_id -> snippet window from the stored text (store_text builds).
+        Deterministic: the window centers on the earliest occurrence of the
+        FIRST term in `terms` that appears (callers pass terms ranked by
+        idf desc, so the rarest matching term wins), snapped outward to
+        whitespace; falls back to the text head. Case-insensitive find."""
+        out: dict[int, str] = {}
+        if self.texts is None:
+            return out
+        for d in ids:
+            i = self._find(d)
+            if i is None:
+                continue
+            text = self.texts[i].as_py() or ""
+            low = text.lower()
+            pos = -1
+            for term in terms:
+                pos = low.find(term.lower())
+                if pos >= 0:
+                    break
+            if pos < 0:
+                pos = 0
+            start = max(0, pos - width // 3)
+            end = min(len(text), pos + width)
+            # snap to whitespace so words are not cut mid-token
+            if start > 0:
+                ws = text.rfind(" ", 0, start + 1)
+                start = ws + 1 if ws >= 0 else start
+            if end < len(text):
+                ws = text.find(" ", end)
+                end = ws if ws >= 0 else end
+            snip = text[start:end].strip()
+            if start > 0:
+                snip = "… " + snip
+            if end < len(text):
+                snip = snip + " …"
+            out[d] = snip
         return out
 
 
@@ -1101,6 +1156,15 @@ class SearchEngine:
         coordinator never materializes the docs table — each actor loads
         its own file subset once and answers point lookups; misses render
         as the raw id (docstring of DocMapShardActor)."""
+        self._ensure_docmap(n_map_shards)
+        out: dict[int, str] = {int(d): str(d) for d in doc_ids}
+        if self._docmap and doc_ids:
+            ids = [int(d) for d in doc_ids]
+            for hits in ray.get([a.get_many.remote(ids) for a in self._docmap]):
+                out.update(hits)
+        return out
+
+    def _ensure_docmap(self, n_map_shards: int = 4) -> None:
         if not hasattr(self, "_docmap"):
             files = [
                 os.path.join(root, "docs", f)
@@ -1113,11 +1177,46 @@ class SearchEngine:
             self._docmap = (
                 [DocMapShardActor.remote(files[i::n]) for i in range(n)] if files else []
             )
-        out: dict[int, str] = {int(d): str(d) for d in doc_ids}
-        if self._docmap and doc_ids:
-            ids = [int(d) for d in doc_ids]
-            for hits in ray.get([a.get_many.remote(ids) for a in self._docmap]):
-                out.update(hits)
+
+    def snippets(
+        self,
+        doc_ids: list[int],
+        query: str,
+        width: int = 160,
+        n_map_shards: int = 4,
+        syntax: str = "plain",
+    ) -> dict[int, str]:
+        """doc_id -> snippet for result display (store_text builds only;
+        returns {} otherwise). Terms are ranked rarest-first (df asc) so the
+        window centers on the most informative matching term. Point reads
+        via the same DocMapShardActor pool as hydrate — the coordinator
+        never loads the docs table."""
+        self._ensure_docmap(n_map_shards)
+        if not self._docmap or not doc_ids:
+            return {}
+        if syntax == "ops":
+            counts, _excl = self._ops_counts(query)
+        else:
+            counts = parse_query(query)
+        specs = make_term_specs_from_counts(
+            counts, self.lexicon, self.n_docs, self.fields, self.mode
+        )
+        by_rarity = sorted(specs, key=lambda t: (t.df, t.term_hash))
+        seen: set[str] = set()
+        terms: list[str] = []
+        for t in by_rarity:
+            for w in counts:
+                if hash64(w) == t.term_hash and w not in seen:
+                    seen.add(w)
+                    terms.append(w)
+        if not terms:
+            terms = sorted(counts)
+        ids = [int(d) for d in doc_ids]
+        out: dict[int, str] = {}
+        for hits in ray.get(
+            [a.snippet_many.remote(ids, terms, width) for a in self._docmap]
+        ):
+            out.update(hits)
         return out
 
     def explain(self, query: str, k: int = 10) -> list[dict]:

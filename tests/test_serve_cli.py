@@ -141,3 +141,68 @@ def test_http_search_ops_syntax(index_dir, ray_session):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def index_dir_text(pages_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_snip"))
+    build_index(
+        pages_dir, d, BuildConfig(num_partitions=4, store_text=True), source="pages"
+    )
+    return d
+
+
+def test_snippets(index_dir_text, ray_session):
+    engine = SearchEngine(index_dir_text, n_shards=1)
+    try:
+        results = engine.search("taeq", k=5)
+        assert results
+        snips = engine.snippets([d for d, _ in results], "taeq")
+        assert set(snips) == {d for d, _ in results}
+        for s in snips.values():
+            # window centers on the matched term and stays word-aligned
+            assert "taeq" in s.lower()
+            assert len(s) <= 160 + 2 * 20 + 4  # width + snap slack + ellipses
+        # rarest-first centering: for a two-term query the rarer term wins
+        # when both occur (taaa is the Zipf head => taeq is rarer)
+        snips2 = engine.snippets([d for d, _ in results], "taaa taeq")
+        for s in snips2.values():
+            assert "taeq" in s.lower()
+        # url hydration still works alongside text storage
+        urls = engine.hydrate([results[0][0]])
+        assert urls[results[0][0]].startswith("https://example.org/")
+    finally:
+        engine.shutdown()
+
+
+def test_snippets_absent_without_store_text(index_dir, ray_session):
+    engine = SearchEngine(index_dir, n_shards=1)
+    try:
+        results = engine.search("taaa", k=3)
+        assert engine.snippets([d for d, _ in results], "taaa") == {}
+    finally:
+        engine.shutdown()
+
+
+def test_http_snippets(index_dir_text, ray_session):
+    server = serve(index_dir_text, port=18739, n_shards=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.loads(
+            urllib.request.urlopen(
+                "http://127.0.0.1:18739/search?q=taeq&k=3&snippets=1"
+            ).read()
+        )
+        assert body["results"]
+        for r in body["results"]:
+            assert "taeq" in r["snippet"].lower()
+        # without the flag the field is absent
+        body2 = json.loads(
+            urllib.request.urlopen(
+                "http://127.0.0.1:18739/search?q=taeq&k=3"
+            ).read()
+        )
+        assert "snippet" not in body2["results"][0]
+    finally:
+        server.shutdown()
