@@ -62,6 +62,7 @@ from searchengine_ray.functions.tokenize import (
     parse_query_signed,
 )
 from searchengine_ray.pipelines import ann as ann_ops
+from searchengine_ray.pipelines import clean as clean_ops
 from searchengine_ray.pipelines import dedup as dedup_ops
 from searchengine_ray.pipelines import events as event_ops
 from searchengine_ray.pipelines import multimodal as mm_ops
@@ -319,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "quality_scores": lambda sf: textops.quality_scores(sf),
         "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
+        "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
         "fingerprints": lambda sf: textops.fingerprints(sf),
@@ -835,6 +837,32 @@ FROM documents
 """,
         "dedup_embedding": emb_dup,
         "ann_brute_topk": ann,
+        # composed cleaning pipeline: reason precedence mirrors
+        # pipelines/clean.py (lang > short > alpha > stopword > dup);
+        # dup canonicals resolved among quality-passing docs only
+        "clean_corpus": f"""
+WITH base AS (SELECT doc_id, text, lang, {toks} AS toks FROM documents),
+m AS (SELECT doc_id, text, lang, len(toks) AS n_tok,
+        len(list_filter(toks, x -> x IN ({stop_flat})))::DOUBLE
+          / greatest(len(toks), 1) AS stop_ratio,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1) AS alpha_ratio
+      FROM base),
+v AS (SELECT doc_id, text,
+        CASE WHEN lang <> '{clean_ops.KEEP_LANG}' THEN 'lang'
+             WHEN n_tok < {clean_ops.MIN_TOKENS} THEN 'short'
+             WHEN alpha_ratio < {clean_ops.MIN_ALPHA_RATIO} THEN 'alpha'
+             WHEN stop_ratio < {clean_ops.MIN_STOPWORD_RATIO} THEN 'stopword'
+             ELSE '' END AS reason
+      FROM m),
+canon AS (SELECT md5(text) AS h, min(doc_id) AS cid
+          FROM v WHERE reason = '' GROUP BY 1),
+final AS (SELECT v.doc_id,
+        CASE WHEN v.reason <> '' THEN v.reason
+             WHEN v.doc_id <> c.cid THEN 'dup' ELSE '' END AS reason
+        FROM v LEFT JOIN canon c ON v.reason = '' AND md5(v.text) = c.h)
+SELECT doc_id, (reason = '') AS keep, reason FROM final
+""",
         "topk_per_group": """
 SELECT lang, source, rn::BIGINT AS rank, doc_id, n_chars FROM (
   SELECT lang, source, doc_id, n_chars,
