@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: textops.quality_scores(sf),
         "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
         "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
+        "sample_stratified": lambda sf: textops.sample_stratified(sf, k=20),
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
         "fingerprints": lambda sf: textops.fingerprints(sf),
@@ -862,6 +863,13 @@ final AS (SELECT v.doc_id,
              WHEN v.doc_id <> c.cid THEN 'dup' ELSE '' END AS reason
         FROM v LEFT JOIN canon c ON v.reason = '' AND md5(v.text) = c.h)
 SELECT doc_id, (reason = '') AS keep, reason FROM final
+""",
+        "sample_stratified": """
+SELECT lang, doc_id, rn::BIGINT AS sample_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents) WHERE rn <= 20
 """,
         "topk_per_group": """
 SELECT lang, source, rn::BIGINT AS rank, doc_id, n_chars FROM (

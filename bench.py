@@ -200,6 +200,13 @@ def run_once() -> dict:
     event_ops.windowed_counts(SF_DIR).to_pandas()
     queries["events_windowed"] = round(time.perf_counter() - t0, 3)
 
+    # round-3: composed lang/quality/dedup cleaning pipeline
+    from searchengine_ray.pipelines import clean as clean_ops
+
+    t0 = time.perf_counter()
+    clean_ops.clean_corpus(SF_DIR).to_pandas()
+    queries["clean_corpus"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "index_build_sec",
         "value": round(build_s, 3),

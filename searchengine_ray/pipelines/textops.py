@@ -333,3 +333,79 @@ def topk_per_group(sf_dir: str, k: int = 5) -> rd.Dataset:
         .groupby(["lang", "source"])
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """(lang, doc_id, sample_rank) — a deterministic k-per-lang sample:
+    docs ranked by (md5(doc_id-as-string) hex, doc_id) within each lang,
+    first k kept. The hash order is a fixed pseudo-random permutation, so
+    the sample is stable across runs/cluster sizes AND recomputable in SQL
+    (md5 contract, like the dedup ops) — the property a reproducible
+    training-data subset needs.
+
+    Same scale shape as topk_per_group: per-batch partial top-k per group
+    caps the shuffle at k rows per group per batch; md5-per-row is C-speed
+    hashlib (contract-mandated, same trade as fingerprints)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.string()),
+                }
+            )
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = np.asarray(
+            [hashlib.md5(str(d).encode()).hexdigest() for d in did], dtype=object
+        )
+        _, lcode = np.unique(
+            np.asarray(t.column("lang").to_pylist(), dtype=object), return_inverse=True
+        )
+        order = np.lexsort((did, hs, lcode))
+        lc = lcode[order]
+        new = np.empty(len(lc), dtype=bool)
+        new[0] = True
+        new[1:] = lc[1:] != lc[:-1]
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(lc)) - starts[np.cumsum(new) - 1]
+        keep = order[pos < k]
+        keep.sort()
+        return pa.table(
+            {
+                "lang": t.column("lang").take(pa.array(keep)),
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "h": pa.array(hs[keep], pa.string()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sample_rank": pa.array([], pa.int64()),
+                }
+            )
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = np.asarray(group.column("h").to_pylist(), dtype=object)
+        order = np.lexsort((did, hs))[:k]
+        g = group.take(pa.array(order))
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "doc_id": g.column("doc_id"),
+                "sample_rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
