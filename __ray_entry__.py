@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
         "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
         "sample_stratified": lambda sf: textops.sample_stratified(sf, k=20),
+        "length_quantiles": lambda sf: textops.length_quantiles(sf),
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
         "fingerprints": lambda sf: textops.fingerprints(sf),
@@ -863,6 +864,13 @@ final AS (SELECT v.doc_id,
              WHEN v.doc_id <> c.cid THEN 'dup' ELSE '' END AS reason
         FROM v LEFT JOIN canon c ON v.reason = '' AND md5(v.text) = c.h)
 SELECT doc_id, (reason = '') AS keep, reason FROM final
+""",
+        "length_quantiles": """
+SELECT lang,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p99
+FROM documents GROUP BY lang
 """,
         "sample_stratified": """
 SELECT lang, doc_id, rn::BIGINT AS sample_rank FROM (

@@ -409,3 +409,62 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
         .groupby("lang")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def length_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> rd.Dataset:
+    """(lang, p50, p90, p99) — EXACT discrete quantiles of n_chars per lang
+    (percentile_disc semantics: the value at 1-based sorted index
+    ceil(q*n)), computed as a distributed histogram: each batch emits
+    per-(lang, n_chars) partial counts, one groupby(lang) merges and takes
+    the quantiles from the cumulative counts. The shuffle moves value
+    DISTRIBUTIONS, never rows — exact quantiles without a sort of the data
+    (n_chars cardinality is the bound, not corpus size)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            t.select(["lang", "n_chars"])
+            .group_by(["lang", "n_chars"])
+            .aggregate([("n_chars", "count")])
+            .rename_columns(["lang", "n_chars", "cnt"])
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string())}
+                | {f"p{int(q * 100)}": pa.array([], pa.int64()) for q in qs}
+            )
+        merged = (
+            group.select(["lang", "n_chars", "cnt"])
+            .group_by(["lang", "n_chars"])
+            .aggregate([("cnt", "sum")])
+        )
+        vals = merged.column("n_chars").to_numpy(zero_copy_only=False)
+        cnts = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
+        o = np.argsort(vals, kind="stable")
+        vals, cnts = vals[o], cnts[o]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        row = {"lang": pa.array([group.column("lang")[0].as_py()], pa.string())}
+        for q in qs:
+            r = max(1, int(np.ceil(q * n)))
+            i = int(np.searchsorted(cum, r, side="left"))
+            row[f"p{int(q * 100)}"] = pa.array([int(vals[i])], pa.int64())
+        return pa.table(row)
+
+    return (
+        read_documents(sf_dir, columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
