@@ -535,8 +535,6 @@ def build_index(
                     "url": t.column("url").combine_chunks(),
                 }
                 if cfg.store_text:
-                    from ..stages.extract import extract_text
-
                     _titles, body = extract_text(t.column("html"))
                     cols["text"] = body
                 return pa.table(cols)

@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions import media as _media_codecs
 from ..functions.runtime import cap_worker_threads
 
 # 16-byte deterministic fake media header: magic, kind, width, height, n_frames
@@ -61,9 +62,7 @@ class MediaDecodeStage:
             self.pil = Image
         except ImportError:
             self.pil = None
-        from ..functions import media as media_codecs
-
-        self.codecs = media_codecs
+        self.codecs = _media_codecs
 
     def _decode_one(self, p: bytes) -> tuple[int, int, int, int, bool]:
         """(kind, width, height, n_frames, ok)."""
@@ -131,9 +130,7 @@ class ImageFeatureStage:
             self.pil = Image
         except ImportError:
             self.pil = None
-        from ..functions import media as media_codecs
-
-        self.codecs = media_codecs
+        self.codecs = _media_codecs
 
     def _pixels(self, p: bytes) -> np.ndarray | None:
         if p[:8] != self.codecs.PNG_SIG:
@@ -333,9 +330,7 @@ class ImageStatsStage:
 
     def __init__(self):
         cap_worker_threads()
-        from ..functions import media as media_codecs
-
-        self.codecs = media_codecs
+        self.codecs = _media_codecs
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("media_id").to_pylist()

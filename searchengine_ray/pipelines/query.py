@@ -25,6 +25,7 @@ from ..state.shards import (
     MAX_EXPAND,
     Lexicon,
     LocalIndex,
+    TermStrings,
     make_term_specs,
     make_term_specs_from_counts,
     with_ref_cutoffs,
@@ -59,8 +60,6 @@ class QueryEvalActor:
         # to MAX_EXPAND terms, ascending — needs the term-strings sidecar)
         self.prefix = prefix
         if prefix:
-            from ..state.shards import TermStrings
-
             self.term_strings = TermStrings(index_dir)
         self._cutoff_cache: dict = {}  # reference-mode truncation memo
 

@@ -231,6 +231,7 @@ def compact(index_dir: str) -> dict:
     metadata. Resets stats drift and clears tombstones."""
     import ray.data as rd
 
+    from ..functions.runtime import cap_worker_threads
     from ..state.segments import build_segment, segment_to_postings
     from ..state.shards import committed_generation_roots, load_tombstones
 
@@ -249,8 +250,6 @@ def compact(index_dir: str) -> dict:
 
     # one merge task per partition id; data stays inside the task
     def merge_part(batch: pa.Table) -> pa.Table:
-        from ..functions.runtime import cap_worker_threads
-
         cap_worker_threads()
         rows_docs = []
         for part in batch.column("part").to_pylist():

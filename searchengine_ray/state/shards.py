@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.hashing import hash64
+from ..functions.runtime import cap_worker_threads
 from ..functions.scoring import (
     bm25_idf,
     bm25_term_scores,
@@ -43,7 +44,7 @@ from ..functions.scoring import (
 )
 from ..functions.tokenize import parse_query, parse_query_ops
 from ..schemas import FIELD_BODY, FIELD_TITLE
-from ..state.segments import decode_ords, decode_tfs
+from ..state.segments import decode_ords, decode_positions, decode_tfs
 from ..state.manifest import part_name, recover_compaction
 
 
@@ -176,8 +177,6 @@ class _Part:
         if got is None:
             return None
         ords, tfs = got
-        from .segments import decode_positions
-
         pos = decode_positions(self._bin(self.pos_data, self.pos_off, row), tfs)
         return ords, tfs, pos
 
@@ -426,8 +425,6 @@ class LocalIndex:
         kept-token positions (equivalent to substring match on the
         space-joined token stream), ranked by the same BM25 sum as topk()
         over `specs`. Requires an index built with store_positions=True."""
-        from .segments import decode_positions  # noqa: F401 (via _Part)
-
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
         word_hashes = [hash64(w) for w in words]
@@ -613,8 +610,6 @@ class IndexShardActor:
     """Stateful stage: segments loaded once per actor (SURVEY.md §2.3 T4)."""
 
     def __init__(self, index_dir: str, parts: list[int]):
-        from ..functions.runtime import cap_worker_threads
-
         cap_worker_threads()
         self.index = LocalIndex(index_dir, parts)
 
@@ -731,8 +726,6 @@ class DocMapShardActor:
     corpus and the coordinator never holds any of the table."""
 
     def __init__(self, files: list[str]):
-        from ..functions.runtime import cap_worker_threads
-
         cap_worker_threads()
         if files:
             have = set(pq.read_schema(files[0]).names)
@@ -858,8 +851,6 @@ class LexiconShardActor:
     now implemented). Point lookups batch per query round-trip."""
 
     def __init__(self, index_dir: str, shard: int, n_shards: int):
-        from ..functions.runtime import cap_worker_threads
-
         cap_worker_threads()
         lex_dir = os.path.join(index_dir, "lexicon")
         files = (
