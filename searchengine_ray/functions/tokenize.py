@@ -32,6 +32,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .codec import varbyte_encode
+from .hashing import hash64
+
 # RE2: \pL = Unicode letter. Split on non-letter runs -> maximal letter runs.
 SPLIT_PATTERN = r"[^\pL]+"
 # Keep: all-ASCII letters, length 1..20 (also rejects the empty strings that
@@ -91,8 +94,6 @@ def encode_group_positions(
     """Varbyte-encode per-group token positions (delta within group, first
     absolute). Returns (buffer, byte_offsets[n_groups+1]) for zero-copy
     per-group slicing. Everything vectorized."""
-    from .codec import varbyte_encode
-
     n = len(positions_sorted)
     if n == 0:
         return b"", np.zeros(1, dtype=np.int64)
@@ -127,8 +128,6 @@ def count_postings_hashed(
     per-posting varbyte-encoded token positions (delta-coded, first value
     absolute; position = token index within the row's kept-token stream).
     """
-    from .hashing import hash64
-
     parents, tokens = tokenize_flat(texts)
     n_rows = len(texts)
     dl = np.bincount(parents, minlength=n_rows).astype(np.uint32)

@@ -24,7 +24,8 @@ import heapq
 import numpy as np
 
 from ..functions.codec import varbyte_decode
-from ..functions.scoring import B, K1
+from ..functions.scoring import B, K1, bm25_term_scores, topk_by_score
+from .segments import decode_ords, decode_tfs
 
 _INF = np.iinfo(np.int64).max
 
@@ -132,9 +133,6 @@ def _exact_short(cursors: list["_Cursor"], n_docs: int, k: int):
     """Vectorized exhaustive scoring for short lists — identical results
     (same kernel, same TermSpec accumulation order), ~10x less Python
     overhead than document-at-a-time pivoting. Standard WAND fallback."""
-    from ..functions.scoring import bm25_term_scores, topk_by_score
-    from .segments import decode_ords, decode_tfs
-
     scores = np.zeros(n_docs, dtype=np.float64)
     touched = np.zeros(n_docs, dtype=bool)
     for c in sorted(cursors, key=lambda c: c.spec_idx):

@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codec import varbyte_decode, varbyte_encode
+from ..functions.tokenize import encode_group_positions
 from ..schemas import FIELD_BODY, FIELD_TITLE, SEGMENT_DOCS, SEGMENT_POSTINGS
 
 BLOCK_SIZE = 128
@@ -183,8 +184,6 @@ def segment_to_postings(part_dir: str, block_size: int) -> pa.Table:
     import os
 
     import pyarrow.parquet as pq
-
-    from ..functions.tokenize import encode_group_positions
 
     docs = pq.read_table(os.path.join(part_dir, "docs.parquet"))
     doc_ids = docs.column("doc_id").to_numpy(zero_copy_only=False)

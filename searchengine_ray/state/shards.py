@@ -45,6 +45,7 @@ from ..functions.scoring import (
 from ..functions.tokenize import parse_query, parse_query_ops
 from ..schemas import FIELD_BODY, FIELD_TITLE
 from ..state.segments import decode_ords, decode_positions, decode_tfs
+from .bmw import _Cursor, bmw_topk
 from ..state.manifest import part_name, recover_compaction
 
 
@@ -577,8 +578,6 @@ class LocalIndex:
         )
 
     def _topk_bmw(self, terms: list[TermSpec], k: int) -> tuple[np.ndarray, np.ndarray]:
-        from .bmw import _Cursor, bmw_topk
-
         bs = int(self.stats["block_size"])
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
