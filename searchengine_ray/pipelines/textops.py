@@ -403,9 +403,14 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
             }
         )
 
+    # partial() caps the shuffle at k rows per lang per batch, so the
+    # pre-groupby dataset is tiny by construction; coalesce to one block to
+    # avoid empty schema-less sort blocks (groups << blocks), same as
+    # length_quantiles below.
     return (
         read_documents(sf_dir, columns=["doc_id", "lang"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
         .groupby("lang")
         .map_groups(finalize, batch_format="pyarrow")
     )
@@ -462,9 +467,14 @@ def length_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> r
             row[f"p{int(q * 100)}"] = pa.array([int(vals[i])], pa.int64())
         return pa.table(row)
 
+    # partial() collapsed the corpus to per-(lang, n_chars) distribution rows
+    # (bounded by lang x value cardinality, not corpus size), so coalescing to
+    # one block before the groupby is safe at any scale — and it stops the
+    # sort exchange from emitting empty schema-less blocks (groups << blocks).
     return (
         read_documents(sf_dir, columns=["lang", "n_chars"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
         .groupby("lang")
         .map_groups(finalize, batch_format="pyarrow")
     )
