@@ -65,6 +65,7 @@ from searchengine_ray.pipelines import ann as ann_ops
 from searchengine_ray.pipelines import clean as clean_ops
 from searchengine_ray.pipelines import dedup as dedup_ops
 from searchengine_ray.pipelines import events as event_ops
+from searchengine_ray.pipelines import joins as join_ops
 from searchengine_ray.pipelines import multimodal as mm_ops
 from searchengine_ray.pipelines import textops
 from searchengine_ray.pipelines.build import BuildConfig, build_index
@@ -341,6 +342,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer pixel stats from doc_id alone, so a hash match proves
         # the pixel-level decode, not just header plumbing
         "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
+        # relational joins (round 3): native hash-shuffle Dataset.join for
+        # big x big, broadcast searchsorted lookup for big x small,
+        # left_anti for the NOT EXISTS shape — integer-cent money sums
+        "join_revenue_by_nation": lambda sf: join_ops.revenue_by_nation(sf),
+        "join_priority_revenue": lambda sf: join_ops.order_priority_revenue(sf),
+        "join_customers_no_orders": lambda sf: join_ops.customers_without_orders(sf),
     }
 
 
@@ -966,4 +973,33 @@ FROM best
         "media_meta": media_meta_sql,
         "media_frames": media_frames_sql,
         "media_image_stats": media_image_stats_sql,
+        # relational joins — integer-cent / 1e-4-unit money contract
+        # (pipelines/joins.py): floor(x*100+0.5) mirrors joins._cents
+        "join_revenue_by_nation": """
+SELECT n.n_name,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+        "join_priority_revenue": """
+SELECT o.o_orderpriority,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))::BIGINT
+         AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+        "join_customers_no_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""",
     }

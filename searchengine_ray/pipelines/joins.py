@@ -1,0 +1,335 @@
+"""General relational joins over the TPC-H-ish testdata tables.
+
+The reference engine's only joins are key lookups (CRC -> lexicon slot,
+doc -> title; SURVEY.md §2.4, /root/reference/Engine/Engine/Engine.cs:201-207)
+— a complete data engine also needs arbitrary table joins. Expressed
+Ray-Data-first, with one implementation per size regime:
+
+- big JOIN big     -> native `Dataset.join` (hash-shuffle; Ray 2.49). Both
+                      sides repartition by key hash; num_partitions scales
+                      with data, not cluster size.
+- big JOIN small   -> `broadcast_lookup`: the small side is put in the
+                      object store ONCE (`ray.put`) as sorted key + value
+                      arrays; every map_batches task reads it zero-copy and
+                      resolves rows via vectorized `np.searchsorted`. No
+                      shuffle, no per-batch re-ship.
+- anti / semi      -> native `left_anti` / `left_semi` join types.
+
+Always aggregate partial BEFORE a join/shuffle when the downstream only
+needs aggregates (combiner discipline, same as events.py): the flagship
+`revenue_by_nation` moves one row per (batch, custkey) — not one per order
+— through the join exchange.
+
+Money columns sum as INTEGER cents / 1e-4 units so results are
+bit-deterministic under any add order (floats are not associative; the SQL
+oracles use the same integer contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.runtime import cap_worker_threads
+
+# Join exchange width. At testdata scale any small value works; at real
+# scale size this like build partitions (bytes / 512 MB target), not from
+# cluster CPU count — see build.auto_num_partitions.
+JOIN_PARTITIONS = 16
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Exact integer cents from a 2-decimal dollar column."""
+    v = col.to_numpy(zero_copy_only=False)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def broadcast_lookup(
+    ds: rd.Dataset,
+    small: pa.Table,
+    left_on: str,
+    right_on: str,
+    take: list[str],
+    how: str = "inner",
+) -> rd.Dataset:
+    """big JOIN small without a shuffle: `small` (unique-keyed) is broadcast
+    via ray.put once; each batch resolves matches with np.searchsorted.
+
+    how="inner" drops unmatched left rows; how="left" keeps them (taken
+    int64/int32 columns get 0, string columns ""). Raises on duplicate
+    right keys — this is a LOOKUP join; use Dataset.join for m:n."""
+    keys = small.column(right_on).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+        raise ValueError(f"broadcast_lookup: duplicate keys in right side '{right_on}'")
+    vals = {c: small.column(c).take(pa.array(order)).combine_chunks() for c in take}
+    ref = ray.put((keys, vals))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        k_sorted, v = ray.get(ref)
+        lk = t.column(left_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(k_sorted, lk)
+        pos_c = np.minimum(pos, len(k_sorted) - 1)
+        hit = (len(k_sorted) > 0) & (k_sorted[pos_c] == lk)
+        if how == "inner":
+            idx = np.flatnonzero(hit)
+            out = t.take(pa.array(idx))
+            cols = {c: out.column(c) for c in out.column_names}
+            for c, arr in v.items():
+                cols[c] = arr.take(pa.array(pos_c[idx]))
+            return pa.table(cols)
+        # left: unmatched rows take the type's zero value
+        cols = {c: t.column(c) for c in t.column_names}
+        for c, arr in v.items():
+            taken = arr.take(pa.array(pos_c))
+            if pa.types.is_string(arr.type):
+                fill = pa.scalar("", arr.type)
+            else:
+                fill = pa.scalar(0, arr.type)
+            cols[c] = pc.if_else(pa.array(hit), taken, fill)
+        return pa.table(cols)
+
+    return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """(n_name, n_orders, revenue_cents) — order revenue rolled up to the
+    customer's nation. orders JOIN customer is the shuffle join (both sides
+    scale with data); nation (25 fixed rows) is a broadcast lookup;
+    per-batch combiners bound both exchanges."""
+    _P = pa.schema(
+        [("o_custkey", pa.int64()), ("n_orders", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _P.empty_table()
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("o_totalprice"))
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u, pa.int64()),
+                "n_orders": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
+            }
+        )
+
+    orders = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(per_cust, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        customer,
+        "inner",
+        num_partitions=JOIN_PARTITIONS,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    _N = pa.schema(
+        [
+            ("c_nationkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("revenue_cents", pa.int64()),
+        ]
+    )
+
+    def per_nation(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _N.empty_table()
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(nk, return_inverse=True)
+        n_ord = t.column("n_orders").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(u, pa.int64()),
+                "n_orders": pa.array(np.bincount(inv, weights=n_ord).astype(np.int64), pa.int64()),
+                "revenue_cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge_nation(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _N.empty_table()
+        return pa.table(
+            {
+                "c_nationkey": pa.array([group.column("c_nationkey")[0].as_py()], pa.int64()),
+                "n_orders": pa.array(
+                    [int(group.column("n_orders").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "revenue_cents": pa.array(
+                    [int(group.column("revenue_cents").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation = nation.set_column(
+        0, "n_nationkey", pc.cast(nation.column("n_nationkey"), pa.int64())
+    )
+
+    # the partials are one row per (block, nationkey) — tiny by construction;
+    # coalesce to one block so the groupby sort emits no empty schema-less
+    # blocks (same pattern as textops.length_quantiles)
+    agg = (
+        joined.map_batches(per_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .groupby("c_nationkey")
+        .map_groups(merge_nation, batch_format="pyarrow")
+    )
+    out = broadcast_lookup(agg, nation, "c_nationkey", "n_nationkey", ["n_name"])
+    return out.map_batches(
+        lambda t: t.select(["n_name", "n_orders", "revenue_cents"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def order_priority_revenue(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, n_items, revenue_e4) — the big JOIN big shape:
+    lineitem JOIN orders on orderkey via the native hash-shuffle join,
+    discounted revenue in integer 1e-4-dollar units
+    (round(price*100) * (100 - round(discount*100))), per-batch combiner
+    after the join, tiny final groupby."""
+    _P = pa.schema(
+        [("l_orderkey", pa.int64()), ("n_items", pa.int64()), ("rev_e4", pa.int64())]
+    )
+
+    def per_order(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _P.empty_table()
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_pct = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(u, pa.int64()),
+                "n_items": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "rev_e4": pa.array(np.bincount(inv, weights=rev).astype(np.int64), pa.int64()),
+            }
+        )
+
+    lineitem = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(per_order, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = lineitem.join(
+        orders,
+        "inner",
+        num_partitions=JOIN_PARTITIONS,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    # only DISTRIBUTIVE sums here: a distinct-order count would need the
+    # orderkey partials deduped (an orderkey spans lineitem batches), i.e.
+    # an extra shuffle — out of contract for this op
+    _A = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("n_items", pa.int64()),
+            ("revenue_e4", pa.int64()),
+        ]
+    )
+
+    def per_prio(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _A.empty_table()
+        g = (
+            t.group_by(["o_orderpriority"])
+            .aggregate([("n_items", "sum"), ("rev_e4", "sum")])
+            .rename_columns(["o_orderpriority", "n_items", "revenue_e4"])
+        )
+        return g.cast(_A)
+
+    def merge_prio(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _A.empty_table()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [group.column("o_orderpriority")[0].as_py()], pa.string()
+                ),
+                "n_items": pa.array(
+                    [int(group.column("n_items").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "revenue_e4": pa.array(
+                    [int(group.column("revenue_e4").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(per_prio, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .groupby("o_orderpriority")
+        .map_groups(merge_prio, batch_format="pyarrow")
+    )
+
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
+    """(c_custkey, c_name, c_mktsegment) — customers with NO order of the
+    given priority (NOT EXISTS): the native left_anti join. Filter is
+    pushed to the read; the right side is pre-shrunk to per-batch distinct
+    custkeys (combiner), so the anti-join exchange carries keys, not
+    orders. Scoped to a priority class because in the testdata every
+    customer has SOME order — an unconditionally-empty result would
+    exercise nothing."""
+    _K = pa.schema([("o_custkey", pa.int64())])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        t = t.filter(pc.equal(t.column("o_orderpriority"), priority))
+        if t.num_rows == 0:
+            return _K.empty_table()
+        u = np.unique(t.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(u, pa.int64())})
+
+    orders = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .map_batches(distinct_keys, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    return customer.join(
+        orders,
+        "left_anti",
+        num_partitions=JOIN_PARTITIONS,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
