@@ -342,6 +342,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer pixel stats from doc_id alone, so a hash match proves
         # the pixel-level decode, not just header plumbing
         "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
+        # event ops (round 3, batch 2): banded range join, sliding windows,
+        # HyperLogLog distinct sketch (bit-exact deterministic contract)
+        "events_range_join": lambda sf: event_ops.range_join(sf),
+        "events_hopping": lambda sf: event_ops.hopping_counts(sf),
+        "events_distinct_hll": lambda sf: event_ops.distinct_hll(sf),
         # relational joins (round 3): native hash-shuffle Dataset.join for
         # big x big, broadcast searchsorted lookup for big x small,
         # left_anti for the NOT EXISTS shape — integer-cent money sums
@@ -963,6 +968,69 @@ best AS (SELECT p.event_id, p.user_id, p.lus, b.bus, max(p.rid) AS rid
 SELECT event_id, user_id, rid AS matched_event_id,
        (lus - bus)::BIGINT AS lag_us
 FROM best
+""",
+        # banded range join: every 'view' of the same user within the 6 h
+        # lookback before each 'click' (multi-match; mirrors
+        # events.range_join — asof_join's single-latest generalized)
+        "events_range_join": """
+SELECT l.event_id, l.user_id, r.event_id AS matched_event_id,
+       (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT AS lag_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
+ AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL 21600 SECOND
+""",
+        # sliding (hopping) windows: 3600 s windows every 900 s; window w
+        # covers [w*900 s, w*900 s + 3600 s) -> each event in 4 windows
+        "events_hopping": """
+WITH e AS (SELECT (epoch_us(ts) // 900000000) AS h, event_type, user_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+x AS (SELECT e.h - t.j AS window_id, event_type, user_id, cents
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) t)
+SELECT window_id, event_type, count(*)::BIGINT AS n_events,
+       (sum(cents) / 100.0) AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM x GROUP BY 1, 2
+""",
+        # HyperLogLog (p=6, m=64) distinct users per event_type — the FULL
+        # sketch recomputed in SQL: md5-derived 64-bit hash, rho via integer
+        # bit-smearing + bit_count (never float log2), INTEGER harmonic sum
+        # (2^(59-rho) per register, empty=2^59) in HUGEINT, linear-counting
+        # branch when E <= 2.5m and v_zero > 0; round 6 (mirrors
+        # events.distinct_hll's deterministic contract line by line)
+        "events_distinct_hll": """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type,
+             ('0x'||substr(md5(user_id::VARCHAR),1,16))::UBIGINT::HUGEINT AS hv
+      FROM u),
+b AS (SELECT event_type,
+             CAST(hv // CAST(power(2, 58) AS HUGEINT) AS BIGINT) AS reg,
+             CAST(hv % CAST(power(2, 58) AS HUGEINT) AS BIGINT) AS w
+      FROM h),
+sm AS (SELECT event_type, reg,
+              (SELECT x6 FROM (
+                 SELECT w | (w >> 1) AS x1) t1,
+                 LATERAL (SELECT x1 | (x1 >> 2) AS x2) t2,
+                 LATERAL (SELECT x2 | (x2 >> 4) AS x3) t3,
+                 LATERAL (SELECT x3 | (x3 >> 8) AS x4) t4,
+                 LATERAL (SELECT x4 | (x4 >> 16) AS x5) t5,
+                 LATERAL (SELECT x5 | (x5 >> 32) AS x6) t6) AS wsm
+       FROM b),
+r AS (SELECT event_type, reg, (58 - bit_count(wsm)) + 1 AS rho FROM sm),
+regs AS (SELECT event_type, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+agg AS (SELECT event_type, count(*)::BIGINT AS n_registers,
+               (64 - count(*))::BIGINT AS v_zero,
+               sum(CAST(power(2, 59 - rho) AS HUGEINT))
+               + (64 - count(*)) * CAST(power(2, 59) AS HUGEINT) AS s_int
+        FROM regs GROUP BY 1)
+SELECT event_type, n_registers, v_zero,
+       floor(CASE WHEN (0.709 * 64 * 64 * power(2, 59) / CAST(s_int AS DOUBLE))
+                       <= 2.5 * 64 AND v_zero > 0
+                  THEN 64 * ln(64.0 / v_zero)
+                  ELSE 0.709 * 64 * 64 * power(2, 59) / CAST(s_int AS DOUBLE)
+             END * 1e6 + 0.5) / 1e6 AS est_distinct
+FROM agg
 """,
         "dedup_ngram_jaccard": ngram,
         "dedup_simhash": simhash_sql,

@@ -14,8 +14,24 @@ expressed here Ray-Data-first:
   session) — groupby(user) with a fully vectorized per-group kernel
   (sort, diff, cumsum); the classic window-function shape without a
   window-function engine.
+- `hopping_counts`: sliding (hopping) windows — each event lands in
+  window_s/hop_s overlapping windows; the fan-out happens INSIDE the
+  per-batch combiner (np.repeat then immediate group-compress), so the
+  shuffle still moves one row per (window, type, user) per batch.
+- `range_join`: banded equi+range join (attribution shape): every left
+  event matches ALL right events of the same user inside a lookback
+  window — the multi-match generalization of `asof_join`, with the same
+  coarse-user-bucket shuffle and a vectorized two-searchsorted +
+  np.repeat expansion per bucket (no per-row Python).
+- `distinct_hll`: HyperLogLog distinct-count sketch (p -> m=2^p
+  registers) with a bit-exact deterministic contract: md5-derived 64-bit
+  hashes, register rho computed by integer bit-smearing + popcount (no
+  float log2), register merges are max (order-free), and the final
+  harmonic sum is an INTEGER (sum of 2^(59-rho) per register) so the
+  estimate is reproducible bit-for-bit at any cluster size — and
+  recomputable by the DuckDB oracle.
 
-Both have DuckDB oracles in __ray_entry__.oracle_sql().
+All have DuckDB oracles in __ray_entry__.oracle_sql().
 """
 
 from __future__ import annotations
@@ -67,6 +83,47 @@ def read_events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns)
 
 
+def _finalize_window_cells(group: pa.Table) -> pa.Table:
+    """Merge (window, type, user) partial rows into final (window, type)
+    cells — one coarse group holds many cells; fully vectorized runs.
+    Shared by windowed_counts (tumbling) and hopping_counts (sliding):
+    the merge semantics are identical."""
+    if group.num_rows == 0:
+        return _WINDOW_SCHEMA.empty_table()
+    win = group.column("window_id").to_numpy(zero_copy_only=False)
+    typ = group.column("event_type").combine_chunks()
+    user = group.column("user_id").to_numpy(zero_copy_only=False)
+    n_p = group.column("n_p").to_numpy(zero_copy_only=False)
+    cents = group.column("cents_p").to_numpy(zero_copy_only=False)
+    typ_codes = typ.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((user, typ_codes, win))
+    win, user, n_p, cents, typ_codes = (
+        win[order], user[order], n_p[order], cents[order], typ_codes[order]
+    )
+    typ = typ.take(pa.array(order))
+    new = np.empty(len(win), dtype=bool)
+    new[0] = True
+    new[1:] = (win[1:] != win[:-1]) | (typ_codes[1:] != typ_codes[:-1])
+    starts = np.flatnonzero(new)
+    seg = np.cumsum(new) - 1
+    n_events = np.add.reduceat(n_p, starts)
+    sum_cents = np.add.reduceat(cents, starts)
+    # distinct users per cell: user changes within a cell run
+    u_new = np.empty(len(win), dtype=bool)
+    u_new[0] = True
+    u_new[1:] = new[1:] | (user[1:] != user[:-1])
+    n_users = np.bincount(seg[u_new], minlength=len(starts))
+    return pa.table(
+        {
+            "window_id": pa.array(win[starts], pa.int64()),
+            "event_type": typ.take(pa.array(starts)),
+            "n_events": pa.array(n_events, pa.int64()),
+            "sum_value": pa.array(sum_cents / 100.0, pa.float64()),
+            "n_users": pa.array(n_users.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def windowed_counts(sf_dir: str, window_s: int = WINDOW_S) -> rd.Dataset:
     """(window_id, event_type, n_events, sum_value, n_users) per tumbling
     window of `window_s` seconds. window_id = epoch_us(ts) // (window_s*1e6).
@@ -106,44 +163,6 @@ def windowed_counts(sf_dir: str, window_s: int = WINDOW_S) -> rd.Dataset:
             ["window_id", "event_type", "user_id", "n_p", "cents_p"]
         )
 
-    def finalize(group: pa.Table) -> pa.Table:
-        # one coarse group = many (window, type) cells; vectorized runs
-        if group.num_rows == 0:
-            return _WINDOW_SCHEMA.empty_table()
-        win = group.column("window_id").to_numpy(zero_copy_only=False)
-        typ = group.column("event_type").combine_chunks()
-        user = group.column("user_id").to_numpy(zero_copy_only=False)
-        n_p = group.column("n_p").to_numpy(zero_copy_only=False)
-        cents = group.column("cents_p").to_numpy(zero_copy_only=False)
-        typ_codes = typ.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-        order = np.lexsort((user, typ_codes, win))
-        win, user, n_p, cents, typ_codes = (
-            win[order], user[order], n_p[order], cents[order], typ_codes[order]
-        )
-        typ = typ.take(pa.array(order))
-        new = np.empty(len(win), dtype=bool)
-        new[0] = True
-        new[1:] = (win[1:] != win[:-1]) | (typ_codes[1:] != typ_codes[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(win))
-        seg = np.cumsum(new) - 1
-        n_events = np.add.reduceat(n_p, starts)
-        sum_cents = np.add.reduceat(cents, starts)
-        # distinct users per cell: user changes within a cell run
-        u_new = np.empty(len(win), dtype=bool)
-        u_new[0] = True
-        u_new[1:] = new[1:] | (user[1:] != user[:-1])
-        n_users = np.bincount(seg[u_new], minlength=len(starts))
-        return pa.table(
-            {
-                "window_id": pa.array(win[starts], pa.int64()),
-                "event_type": typ.take(pa.array(starts)),
-                "n_events": pa.array(n_events, pa.int64()),
-                "sum_value": pa.array(sum_cents / 100.0, pa.float64()),
-                "n_users": pa.array(n_users.astype(np.int64), pa.int64()),
-            }
-        )
-
     def coarse(t: pa.Table) -> pa.Table:
         win = t.column("window_id").to_numpy(zero_copy_only=False)
         return t.append_column(
@@ -156,7 +175,7 @@ def windowed_counts(sf_dir: str, window_s: int = WINDOW_S) -> rd.Dataset:
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(finalize, batch_format="pyarrow")
+        .map_groups(_finalize_window_cells, batch_format="pyarrow")
     )
 
 
@@ -305,4 +324,320 @@ def asof_join(
         .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+RANGE_JOIN_WINDOW_S = 21_600  # 6 h lookback
+HOP_S = 900
+
+
+def range_join(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "view",
+    window_s: int = RANGE_JOIN_WINDOW_S,
+) -> rd.Dataset:
+    """Banded equi+range join: each `left_type` event matches EVERY
+    `right_type` event of the same user with ts in (left.ts - window_s,
+    left.ts] — all matches, not just the latest (that's `asof_join`).
+    Output (event_id, user_id, matched_event_id, lag_us), lag_us in
+    [0, window_s*1e6).
+
+    Scale shape: the equi-key (user) rides a coarse 64-way bucket shuffle;
+    inside a bucket rights are sorted ONCE by a packed (user-rank, ts)
+    int64 key and every left finds its match run with two np.searchsorted
+    calls; the run expansion is np.repeat + arange arithmetic — output
+    work is O(n_matches), never O(n_left * n_right). The packed-key width
+    guard mirrors asof_join.
+    """
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _ASOF_SCHEMA.empty_table()
+        import pyarrow.compute as pc
+
+        typ = group.column("event_type")
+        is_l = pc.equal(typ, left_type).combine_chunks().to_numpy(zero_copy_only=False)
+        is_r = pc.equal(typ, right_type).combine_chunks().to_numpy(zero_copy_only=False)
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        if not is_l.any() or not is_r.any():
+            return _ASOF_SCHEMA.empty_table()
+
+        uniq, rank = np.unique(user, return_inverse=True)
+        t0 = us.min()
+        span = int(us.max() - t0) + 1
+        ts_bits = max(1, span.bit_length())
+        if len(uniq) >= (1 << 20) or ts_bits > 43:  # pragma: no cover
+            raise ValueError(
+                "range_join bucket too wide for key packing; raise bucket count"
+            )
+        off = us - t0
+        key = (rank.astype(np.int64) << ts_bits) | off
+
+        l_us, l_eid, l_user = us[is_l], eid[is_l], user[is_l]
+        l_rank, l_off = rank[is_l], off[is_l]
+        r_key, r_us, r_eid = key[is_r], us[is_r], eid[is_r]
+        order = np.argsort(r_key, kind="stable")
+        r_key, r_us, r_eid = r_key[order], r_us[order], r_eid[order]
+
+        # match run per left: rights with same user, ts in (l.ts - W, l.ts]
+        base = l_rank.astype(np.int64) << ts_bits
+        lo_key = base | np.maximum(l_off - (win_us - 1), 0)
+        hi_key = base | l_off
+        lo = np.searchsorted(r_key, lo_key, side="left")
+        hi = np.searchsorted(r_key, hi_key, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return _ASOF_SCHEMA.empty_table()
+        li = np.repeat(np.arange(len(l_eid)), counts)
+        # right position = run start + offset within run
+        run_start = np.repeat(lo, counts)
+        run_first = np.repeat(np.cumsum(counts) - counts, counts)
+        ri = run_start + (np.arange(total) - run_first)
+        return pa.table(
+            {
+                "event_id": pa.array(l_eid[li], pa.int64()),
+                "user_id": pa.array(l_user[li], pa.int64()),
+                "matched_event_id": pa.array(r_eid[ri], pa.int64()),
+                "lag_us": pa.array(l_us[li] - r_us[ri], pa.int64()),
+            }
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+        .filter(
+            expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+        )
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def hopping_counts(
+    sf_dir: str, window_s: int = WINDOW_S, hop_s: int = HOP_S
+) -> rd.Dataset:
+    """Sliding-window aggregate: windows of `window_s` seconds start every
+    `hop_s` seconds (window_s % hop_s == 0); window_id = start_epoch_s //
+    hop_s, so window `w` covers [w*hop_s, w*hop_s + window_s). Every event
+    lands in window_s/hop_s consecutive windows. Output schema matches
+    windowed_counts: (window_id, event_type, n_events, sum_value, n_users).
+
+    The xK fan-out is applied INSIDE the per-batch combiner (np.repeat,
+    then the same group-compress as windowed_counts), so the shuffle still
+    carries at most one row per (window, type, user) per batch — the
+    replication never crosses the wire uncompressed.
+    """
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+    hop_us = np.int64(hop_s) * np.int64(1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = us // hop_us
+        typ = t.column("event_type").combine_chunks()
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        n = len(us)
+        # event at hop index h belongs to windows h-k+1 .. h
+        win = (h[:, None] - np.arange(k, dtype=np.int64)[None, :]).reshape(-1)
+        idx = np.repeat(np.arange(n), k)
+        sub = pa.table(
+            {
+                "window_id": pa.array(win, pa.int64()),
+                "event_type": typ.take(pa.array(idx)),
+                "user_id": pa.array(user[idx], pa.int64()),
+                "n_p": pa.array(np.ones(n * k, np.int64), pa.int64()),
+                "cents_p": pa.array(cents[idx], pa.int64()),
+            }
+        )
+        agg = (
+            sub.group_by(["window_id", "event_type", "user_id"])
+            .aggregate([("n_p", "sum"), ("cents_p", "sum")])
+            .select(["window_id", "event_type", "user_id", "n_p_sum", "cents_p_sum"])
+        )
+        return agg.rename_columns(
+            ["window_id", "event_type", "user_id", "n_p", "cents_p"]
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        win = t.column("window_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((win.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        read_events(sf_dir, columns=["ts", "event_type", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_finalize_window_cells, batch_format="pyarrow")
+    )
+
+
+# --- HyperLogLog distinct-count sketch -------------------------------------
+
+HLL_P = 6  # m = 64 registers; ~13% std err — determinism, not precision,
+# is the tested contract (precision scales as 1.04/sqrt(2^p))
+
+_HLL_SCHEMA = pa.schema(
+    [
+        ("event_type", pa.string()),
+        ("reg", pa.int64()),
+        ("rho", pa.int64()),
+    ]
+)
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact per-element bit_length of a uint64 array via bit smearing +
+    byte-table popcount — NO float log2 (a float path rounds up across
+    power-of-two boundaries and would diverge from the integer oracle)."""
+    w = w.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        w |= w >> np.uint64(s)
+    return _POP8[w.view(np.uint8).reshape(len(w), 8)].sum(axis=1).astype(np.int64)
+
+
+def distinct_hll(sf_dir: str, p: int = HLL_P) -> rd.Dataset:
+    """(event_type, n_registers, v_zero, est_distinct): HyperLogLog
+    estimate of distinct user_id per event_type.
+
+    Deterministic contract (mirrored bit-for-bit by the SQL oracle):
+    - hash = first 8 bytes (big-endian) of md5(str(user_id)) — the repo's
+      standard md5-derived 64-bit hash.
+    - register = top p bits; rho = leading-zero count of the remaining
+      (64-p) bits + 1, computed by integer smearing+popcount.
+    - merge = per-register MAX (order-free, mergeable at any parallelism).
+    - harmonic sum as an INTEGER: S = sum over registers of 2^(59-rho)
+      (rho=0 for empty registers), exact in HUGEINT/Python int — no
+      float accumulation order to disagree on.
+    - raw estimate alpha * m * m * 2^59 / S with the standard small-range
+      linear-counting branch (E <= 2.5m and v_zero > 0 -> m*ln(m/v_zero));
+      result rounded to 6 decimals.
+
+    Scale shape: per-batch partials emit at most m rows per event_type per
+    batch (register max over unique users in the batch); the shuffle is a
+    groupby over (event_type) cells of <= m rows each — sketch bytes, not
+    data bytes, cross the wire. p is a knob: p=12 gives ~1.6% error at 32 KB
+    per (type) cell per batch.
+    """
+    import hashlib
+
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    mask = np.uint64((1 << (64 - p)) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _HLL_SCHEMA.empty_table()
+        typ = t.column("event_type").combine_chunks()
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        codes = typ.dictionary_encode()
+        tcode = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tdict = codes.dictionary
+        # hash only the batch's UNIQUE (type, user) pairs
+        pair = np.stack([tcode, user], axis=1)
+        upair = np.unique(pair, axis=0)
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+                for u in upair[:, 1]
+            ),
+            dtype=np.uint64,
+            count=len(upair),
+        )
+        reg = (h >> shift).astype(np.int64)
+        w = h & mask
+        rho = (np.int64(64 - p) - _bit_length_u64(w)) + 1
+        # per (type, reg) max rho
+        cell = upair[:, 0] * m + reg
+        order = np.argsort(cell, kind="stable")
+        cell_s, rho_s = cell[order], rho[order]
+        new = np.empty(len(cell_s), dtype=bool)
+        if len(cell_s):
+            new[0] = True
+            new[1:] = cell_s[1:] != cell_s[:-1]
+        starts = np.flatnonzero(new)
+        rho_max = np.maximum.reduceat(rho_s, starts) if len(starts) else rho_s
+        cells = cell_s[starts]
+        return pa.table(
+            {
+                "event_type": tdict.take(pa.array(cells // m)),
+                "reg": pa.array(cells % m, pa.int64()),
+                "rho": pa.array(rho_max, pa.int64()),
+            }
+        ).cast(_HLL_SCHEMA)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n_registers", pa.int64()),
+                    ("v_zero", pa.int64()),
+                    ("est_distinct", pa.float64()),
+                ]
+            ).empty_table()
+        # one group = one event_type's partial registers from all batches
+        reg = group.column("reg").to_numpy(zero_copy_only=False)
+        rho = group.column("rho").to_numpy(zero_copy_only=False)
+        order = np.argsort(reg, kind="stable")
+        reg_s, rho_s = reg[order], rho[order]
+        new = np.empty(len(reg_s), dtype=bool)
+        new[0] = True
+        new[1:] = reg_s[1:] != reg_s[:-1]
+        starts = np.flatnonzero(new)
+        rho_max = np.maximum.reduceat(rho_s, starts)
+        n_present = len(starts)
+        v_zero = m - n_present
+        # integer harmonic sum: empty registers contribute 2^59 each
+        s_int = int(sum(1 << (59 - int(r)) for r in rho_max)) + v_zero * (1 << 59)
+        alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1.0 + 1.079 / m))
+        est = alpha * m * m * float(2**59) / float(s_int)
+        if est <= 2.5 * m and v_zero > 0:
+            est = m * float(np.log(m / v_zero))
+        est = float(np.floor(est * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "n_registers": pa.array([n_present], pa.int64()),
+                "v_zero": pa.array([v_zero], pa.int64()),
+                "est_distinct": pa.array([est], pa.float64()),
+            }
+        )
+
+    # partial() caps the shuffle at m rows per event_type per batch — the
+    # pre-groupby dataset is sketch-sized by construction, so coalesce to
+    # one block (no empty schema-less sort blocks; groups << blocks)
+    return (
+        read_events(sf_dir, columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
     )

@@ -65,3 +65,89 @@ def test_asof_join_empty_sides(tmp_path, ray_session):
         assert list(out.columns) == [
             "event_id", "user_id", "matched_event_id", "lag_us",
         ]
+
+
+def test_range_join_semantics(tmp_path, ray_session):
+    """Inclusive-right (r.ts == l.ts matches), exclusive-left boundary
+    (r.ts == l.ts - W does NOT match), multi-match expansion, per-user
+    isolation."""
+    from searchengine_ray.pipelines.events import range_join
+
+    W = 100  # window_s
+    w_us = W * 1_000_000
+    rows = [
+        # user 1: click at t=1000s(us scale below); views at boundary points
+        (10, 1, 5 * w_us, "view", 0.0),            # exactly l.ts - W -> OUT
+        (11, 1, 5 * w_us + 1, "view", 0.0),        # just inside -> IN
+        (12, 1, 6 * w_us - 7, "view", 0.0),        # inside -> IN
+        (13, 1, 6 * w_us, "view", 0.0),            # equal ts -> IN
+        (20, 1, 6 * w_us, "click", 0.0),
+        # user 2 same timestamps must not leak into user 1
+        (14, 2, 6 * w_us - 3, "view", 0.0),
+        # a second click of user 1 later, window empty
+        (21, 1, 9 * w_us, "click", 0.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = (
+        range_join(sf, window_s=W)
+        .to_pandas()
+        .sort_values(["event_id", "matched_event_id"])
+        .reset_index(drop=True)
+    )
+    assert list(got["event_id"]) == [20, 20, 20]
+    assert list(got["matched_event_id"]) == [11, 12, 13]
+    assert list(got["lag_us"]) == [w_us - 1, 7, 0]
+    assert set(got["user_id"]) == {1}
+
+
+def test_hopping_counts_fanout_and_sums(tmp_path, ray_session):
+    """One event lands in exactly window_s/hop_s consecutive windows, with
+    identical n_events/sum_value in each; two events a hop apart share the
+    overlapping windows."""
+    from searchengine_ray.pipelines.events import hopping_counts
+
+    hop_us = 10 * 1_000_000
+    rows = [
+        (1, 1, 100 * hop_us + 3, "view", 1.25),
+        (2, 2, 101 * hop_us + 4, "view", 2.5),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = (
+        hopping_counts(sf, window_s=40, hop_s=10)
+        .to_pandas()
+        .sort_values("window_id")
+        .reset_index(drop=True)
+    )
+    # event 1 in windows 97..100, event 2 in 98..101
+    assert list(got["window_id"]) == [97, 98, 99, 100, 101]
+    assert list(got["n_events"]) == [1, 2, 2, 2, 1]
+    assert list(got["sum_value"]) == [1.25, 3.75, 3.75, 3.75, 2.5]
+    assert list(got["n_users"]) == [1, 2, 2, 2, 1]
+
+
+def test_distinct_hll_deterministic_and_mergeable(tmp_path, ray_session):
+    """The estimate is identical no matter how rows are batched/duplicated
+    (register max is order-free and idempotent), and within the expected
+    error envelope of the true distinct count."""
+    from searchengine_ray.pipelines.events import distinct_hll
+
+    rng = np.random.default_rng(7)
+    users = rng.choice(100_000, size=400, replace=False)
+    rows = [(i, int(u), i * 1000, "view", 0.0) for i, u in enumerate(users)]
+    sf = _write_events(tmp_path, rows)
+    a = distinct_hll(sf, p=6).to_pandas()
+    # duplicate every event (same users, different event ids/ts) -> same sketch
+    rows2 = rows + [
+        (10_000 + i, int(u), 999_000_000 + i, "view", 1.0)
+        for i, u in enumerate(users)
+    ]
+    sf2 = _write_events(tmp_path, rows2)
+    b = distinct_hll(sf2, p=6).to_pandas()
+    assert a["est_distinct"].iloc[0] == b["est_distinct"].iloc[0]
+    assert a["n_registers"].iloc[0] + a["v_zero"].iloc[0] == 64
+    # m=64 -> ~13% std error; allow 4 sigma
+    assert abs(a["est_distinct"].iloc[0] - 400) < 400 * 0.13 * 4
+
+    # higher precision tightens the estimate
+    c = distinct_hll(sf, p=10).to_pandas()
+    assert abs(c["est_distinct"].iloc[0] - 400) < 400 * 0.033 * 4
