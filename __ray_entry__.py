@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": lambda sf: event_ops.range_join(sf),
         "events_hopping": lambda sf: event_ops.hopping_counts(sf),
         "events_distinct_hll": lambda sf: event_ops.distinct_hll(sf),
+        "events_rolling": lambda sf: event_ops.rolling_user_window(sf),
+        "events_pivot": lambda sf: event_ops.pivot_event_counts(sf),
+        # deterministic hash-based train/val/test assignment (documents)
+        "split_assign": lambda sf: textops.split_assign(sf),
         # relational joins (round 3): native hash-shuffle Dataset.join for
         # big x big, broadcast searchsorted lookup for big x small,
         # left_anti for the NOT EXISTS shape — integer-cent money sums
@@ -1031,6 +1035,46 @@ SELECT event_type, n_registers, v_zero,
                   ELSE 0.709 * 64 * 64 * power(2, 59) / CAST(s_int AS DOUBLE)
              END * 1e6 + 0.5) / 1e6 AS est_distinct
 FROM agg
+""",
+        # per-event rolling frame: same user's events in (ts - 1 h, ts];
+        # RANGE (not ROWS) so tied timestamps are peers — mirrors
+        # events.rolling_user_window's searchsorted frame exactly
+        "events_rolling": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_in_window,
+       (sum(cents) OVER w) / 100.0 AS sum_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+""",
+        # pivot/crosstab: one row per user, one count column per event type
+        "events_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT     AS n_view,
+       count(*)::BIGINT AS n_total
+FROM events GROUP BY 1
+""",
+        # deterministic split: frac = md5-u64(doc_id)/2^64; thresholds are
+        # written as the SAME left-to-right float sums textops.split_assign's
+        # np.cumsum produces (0.8, then 0.8 + 0.1), so the boundary doubles
+        # are bit-identical
+        "split_assign": """
+WITH f AS (SELECT doc_id,
+                  CAST(('0x'||substr(md5(doc_id::VARCHAR),1,16))::UBIGINT
+                       AS DOUBLE) / power(2, 64) AS frac
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.8 + 0.1 THEN 'val'
+            ELSE 'test' END AS split
+FROM f
 """,
         "dedup_ngram_jaccard": ngram,
         "dedup_simhash": simhash_sql,

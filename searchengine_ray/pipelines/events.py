@@ -641,3 +641,160 @@ def distinct_hll(sf_dir: str, p: int = HLL_P) -> rd.Dataset:
         .groupby("event_type")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+ROLLING_WINDOW_S = 3600
+
+
+def rolling_user_window(
+    sf_dir: str, window_s: int = ROLLING_WINDOW_S
+) -> rd.Dataset:
+    """Per-event rolling aggregate: for EVERY event, the count and
+    integer-cent sum of the same user's events with ts in
+    (ts - window_s, ts] — the SQL `RANGE BETWEEN ... PRECEDING AND CURRENT
+    ROW` window frame (tied timestamps are peers: all rows at the same ts
+    see the same frame). Output (event_id, user_id, n_in_window,
+    sum_value).
+
+    Scale shape: coarse user-bucket shuffle; inside a bucket, ONE lexsort
+    by packed (user-rank, ts) key + a prefix cumsum; every event's frame is
+    two np.searchsorted probes into the packed keys — O(n log n) per
+    bucket, no per-row Python, no per-user group calls.
+    """
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("n_in_window", pa.int64()),
+            ("sum_value", pa.float64()),
+        ]
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            group.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+
+        uniq, rank = np.unique(user, return_inverse=True)
+        t0 = us.min()
+        span = int(us.max() - t0) + 1
+        ts_bits = max(1, span.bit_length())
+        if len(uniq) >= (1 << 20) or ts_bits > 43:  # pragma: no cover
+            raise ValueError(
+                "rolling_user_window bucket too wide for key packing; "
+                "raise bucket count"
+            )
+        off = us - t0
+        key = (rank.astype(np.int64) << ts_bits) | off
+        order = np.argsort(key, kind="stable")
+        key_s, cents_s = key[order], cents[order]
+        csum = np.concatenate(([0], np.cumsum(cents_s)))
+
+        base = rank.astype(np.int64) << ts_bits
+        lo_key = base | np.maximum(off - (win_us - 1), 0)
+        hi_key = key  # (rank, own ts)
+        lo = np.searchsorted(key_s, lo_key, side="left")
+        hi = np.searchsorted(key_s, hi_key, side="right")  # incl. ALL ts peers
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(user, pa.int64()),
+                "n_in_window": pa.array((hi - lo).astype(np.int64), pa.int64()),
+                "sum_value": pa.array((csum[hi] - csum[lo]) / 100.0, pa.float64()),
+            }
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(
+    sf_dir: str, types: tuple[str, ...] = PIVOT_TYPES
+) -> rd.Dataset:
+    """Pivot/crosstab: one row per user with a count column per event type
+    (fixed, explicit `types` list — a pivot's output schema must be known
+    up front to be distributable) plus n_total. Types outside the list
+    count only toward n_total.
+
+    Scale shape: per-batch combiner collapses to (user, type) cell counts
+    before the shuffle; the coarse user-bucket finalize widens cells to
+    columns with one bincount per type — no per-user Python.
+    """
+    fields = [("user_id", pa.int64())]
+    fields += [(f"n_{t}", pa.int64()) for t in types]
+    fields.append(("n_total", pa.int64()))
+    out_schema = pa.schema(fields)
+    cell_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("n_p", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return cell_schema.empty_table()
+        agg = (
+            t.select(["user_id", "event_type"])
+            .append_column("n_p", pa.array(np.ones(t.num_rows, np.int64), pa.int64()))
+            .group_by(["user_id", "event_type"])
+            .aggregate([("n_p", "sum")])
+            .select(["user_id", "event_type", "n_p_sum"])
+        )
+        return agg.rename_columns(["user_id", "event_type", "n_p"]).cast(cell_schema)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        typ = group.column("event_type").to_pylist()
+        n_p = group.column("n_p").to_numpy(zero_copy_only=False)
+        uniq, uidx = np.unique(user, return_inverse=True)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(uniq, pa.int64())}
+        tcode = np.array([types.index(x) if x in types else -1 for x in typ])
+        for ti, tname in enumerate(types):
+            mask = tcode == ti
+            cols[f"n_{tname}"] = pa.array(
+                np.bincount(uidx[mask], weights=n_p[mask], minlength=len(uniq))
+                .astype(np.int64),
+                pa.int64(),
+            )
+        cols["n_total"] = pa.array(
+            np.bincount(uidx, weights=n_p, minlength=len(uniq)).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.table(cols)
+
+    def coarse(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        read_events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -478,3 +478,55 @@ def length_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> r
         .groupby("lang")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+SPLIT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("train", 0.8),
+    ("val", 0.1),
+    ("test", 0.1),
+)
+
+
+def split_assign(
+    sf_dir: str, weights: tuple[tuple[str, float], ...] = SPLIT_WEIGHTS
+) -> rd.Dataset:
+    """(doc_id, split) — deterministic train/val/test assignment by hashed
+    doc_id, NOT by position: the same document lands in the same split at
+    any scale, any partitioning, any cluster size, and adding/removing
+    other documents never reshuffles existing assignments (the property a
+    training pipeline actually needs; a `random_shuffle().split()` has
+    neither).
+
+    Contract (mirrored by the SQL oracle): frac = (md5-derived unsigned
+    64-bit hash of str(doc_id)) / 2^64; cumulative-weight thresholds in
+    `weights` order. Pure map_batches — embarrassingly parallel, no
+    shuffle."""
+    names = [n for n, _ in weights]
+    cuts = np.cumsum([w for _, w in weights])
+    if not np.isclose(cuts[-1], 1.0):
+        raise ValueError("split weights must sum to 1")
+    cuts = cuts[:-1]  # last split takes the remainder
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        frac = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(d)).encode()).digest()[:8], "big"
+                )
+                for d in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        ).astype(np.float64) / float(2**64)
+        idx = np.searchsorted(cuts, frac, side="right")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "split": pa.array(np.asarray(names, dtype=object)[idx], pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

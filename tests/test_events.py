@@ -151,3 +151,70 @@ def test_distinct_hll_deterministic_and_mergeable(tmp_path, ray_session):
     # higher precision tightens the estimate
     c = distinct_hll(sf, p=10).to_pandas()
     assert abs(c["est_distinct"].iloc[0] - 400) < 400 * 0.033 * 4
+
+
+def test_rolling_window_tied_timestamps(tmp_path, ray_session):
+    """RANGE-frame semantics: rows with the SAME (user, ts) are peers — every
+    one of them sees the whole peer group; boundary at exactly ts - W is
+    excluded; users isolated."""
+    from searchengine_ray.pipelines.events import rolling_user_window
+
+    W = 10  # seconds
+    w_us = W * 1_000_000
+    rows = [
+        (1, 1, 0, "view", 1.00),            # exactly t-W for event at w_us -> OUT
+        (2, 1, 1, "view", 2.00),            # just inside
+        (3, 1, w_us, "view", 4.00),         # peer A at t
+        (4, 1, w_us, "view", 8.00),         # peer B at t (later id, same frame)
+        (5, 2, w_us, "view", 100.00),       # other user, same ts
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = (
+        rolling_user_window(sf, window_s=W)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert got.loc[1, "n_in_window"] == 1 and got.loc[1, "sum_value"] == 1.0
+    assert got.loc[2, "n_in_window"] == 2 and got.loc[2, "sum_value"] == 3.0
+    # peers 3 and 4 both see {2, 3, 4} (event 1 is exactly t-W -> excluded)
+    for e in (3, 4):
+        assert got.loc[e, "n_in_window"] == 3
+        assert got.loc[e, "sum_value"] == 14.0
+    assert got.loc[5, "n_in_window"] == 1 and got.loc[5, "sum_value"] == 100.0
+
+
+def test_pivot_counts(tmp_path, ray_session):
+    from searchengine_ray.pipelines.events import pivot_event_counts
+
+    rows = [
+        (1, 7, 10, "click", 0.0),
+        (2, 7, 20, "click", 0.0),
+        (3, 7, 30, "view", 0.0),
+        (4, 8, 40, "error", 0.0),
+        (5, 8, 50, "weird_type", 0.0),  # outside the fixed list -> n_total only
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = pivot_event_counts(sf).to_pandas().set_index("user_id").sort_index()
+    assert got.loc[7, "n_click"] == 2 and got.loc[7, "n_view"] == 1
+    assert got.loc[7, "n_total"] == 3 and got.loc[7, "n_error"] == 0
+    assert got.loc[8, "n_error"] == 1 and got.loc[8, "n_total"] == 2
+    assert got.loc[8, "n_click"] == 0
+
+
+def test_split_assign_stable_and_proportional(ray_session):
+    """Hash-based split: proportions approximately match weights at sf0.01, and each
+    doc's assignment is a pure function of doc_id — independent of which
+    other docs exist (checked by subsetting)."""
+    from searchengine_ray.pipelines.textops import split_assign
+
+    df = split_assign("/root/testdata/sf0.01").to_pandas()
+    n = len(df)
+    frac = df["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac.get("val", 0) - 0.1) < 0.04
+    assert abs(frac.get("test", 0) - 0.1) < 0.04
+    small = split_assign("/root/testdata/sf0.001").to_pandas()
+    merged = small.merge(df, on="doc_id", suffixes=("_s", "_l"))
+    assert len(merged) > 0
+    assert (merged["split_s"] == merged["split_l"]).all()
