@@ -357,6 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_nation": lambda sf: join_ops.revenue_by_nation(sf),
         "join_priority_revenue": lambda sf: join_ops.order_priority_revenue(sf),
         "join_customers_no_orders": lambda sf: join_ops.customers_without_orders(sf),
+        # Bloom-filter semi-join: the broadcast-bitset filter primitive;
+        # false positives are part of the deterministic contract (the SQL
+        # oracle recomputes the same filter bit-for-bit)
+        "join_bloom_semi": lambda sf: join_ops.bloom_semi_join(sf),
     }
 
 
@@ -1113,5 +1117,27 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
+""",
+        # Bloom semi-join recomputed exactly: m=2^16 bits, 4 probes of
+        # 16 bits each from the md5-u64 key hash (joins._bloom_indices);
+        # a lineitem key passes iff ALL 4 of its bits are set
+        "join_bloom_semi": """
+WITH k AS (SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+h AS (SELECT ('0x'||substr(md5(o_orderkey::VARCHAR),1,16))::UBIGINT AS hv
+      FROM k),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+bits AS (SELECT DISTINCT CAST((hv >> (16 * j)) % 65536 AS BIGINT) AS bit
+         FROM h CROSS JOIN js),
+lk AS (SELECT l_orderkey, count(*)::BIGINT AS n_items
+       FROM lineitem GROUP BY 1),
+lh AS (SELECT l_orderkey, n_items,
+              ('0x'||substr(md5(l_orderkey::VARCHAR),1,16))::UBIGINT AS hv
+       FROM lk),
+probe AS (SELECT l_orderkey, n_items, count(*) AS hits
+          FROM lh CROSS JOIN js
+          JOIN bits b ON CAST((lh.hv >> (16 * j)) % 65536 AS BIGINT) = b.bit
+          GROUP BY 1, 2)
+SELECT l_orderkey, n_items FROM probe WHERE hits = 4
 """,
     }

@@ -333,3 +333,117 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Data
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
+
+
+BLOOM_BITS = 1 << 16  # m
+BLOOM_K = 4  # probes per key (16 bits of the md5-u64 hash each)
+
+
+def _bloom_indices(keys: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) int64 bit indices. Hash contract (mirrored by the SQL
+    oracle): h = md5-derived u64 of str(key); probe j = (h >> 16j) % m."""
+    import hashlib
+
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(x)).encode()).digest()[:8], "big")
+            for x in keys
+        ),
+        dtype=np.uint64,
+        count=len(keys),
+    )
+    out = np.empty((len(keys), BLOOM_K), dtype=np.int64)
+    for j in range(BLOOM_K):
+        out[:, j] = ((h >> np.uint64(16 * j)) % np.uint64(BLOOM_BITS)).astype(np.int64)
+    return out
+
+
+def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
+    """(l_orderkey, n_items) — lineitem keys that PASS a Bloom filter built
+    from the keys of `priority` orders (false positives included by design
+    and by the oracle: the filter itself is the deterministic contract).
+
+    The scale primitive this demonstrates: a semi-join where the right side
+    is too big to broadcast as raw keys but fits as a BIT SET — m bits
+    regardless of key count (10^9 keys at 10 bits/key is ~1.2 GB vs ~8 GB
+    of raw int64s; m here is 2^16 for the testdata). Build is distributed
+    (per-batch partial index sets -> distributed unique, bounded by m —
+    metadata-sized by construction); the probe is a broadcast-bitset
+    map_batches filter, no shuffle of the big side until the final
+    per-key count groupby.
+    """
+    _B = pa.schema([("bit", pa.int32())])
+
+    def batch_bits(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        t = t.filter(pc.equal(t.column("o_orderpriority"), priority))
+        if t.num_rows == 0:
+            return _B.empty_table()
+        keys = np.unique(t.column("o_orderkey").to_numpy(zero_copy_only=False))
+        idx = np.unique(_bloom_indices(keys).reshape(-1))
+        return pa.table({"bit": pa.array(idx.astype(np.int32), pa.int32())})
+
+    bits = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        )
+        .map_batches(batch_bits, batch_format="pyarrow", zero_copy_batch=True)
+        .unique("bit")
+    )
+    bitset = np.zeros(BLOOM_BITS, dtype=bool)
+    bitset[np.asarray(bits, dtype=np.int64)] = True
+    ref = ray.put(bitset)
+
+    _P = pa.schema([("l_orderkey", pa.int64()), ("n_p", pa.int64())])
+
+    def probe(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _P.empty_table()
+        bs = ray.get(ref)
+        lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(lk, return_inverse=True)
+        ok = bs[_bloom_indices(u)].all(axis=1)
+        if not ok.any():
+            return _P.empty_table()
+        n_per_key = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        sel = np.flatnonzero(ok)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(u[sel], pa.int64()),
+                "n_p": pa.array(n_per_key[sel], pa.int64()),
+            }
+        )
+
+    _O = pa.schema([("l_orderkey", pa.int64()), ("n_items", pa.int64())])
+
+    def merge(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        lk = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        n_p = group.column("n_p").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(lk, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(u, pa.int64()),
+                "n_items": pa.array(
+                    np.bincount(inv, weights=n_p).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((k.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
