@@ -63,6 +63,7 @@ from searchengine_ray.functions.tokenize import (
 )
 from searchengine_ray.pipelines import ann as ann_ops
 from searchengine_ray.pipelines import clean as clean_ops
+from searchengine_ray.pipelines import corpus as corpus_ops
 from searchengine_ray.pipelines import dedup as dedup_ops
 from searchengine_ray.pipelines import events as event_ops
 from searchengine_ray.pipelines import joins as join_ops
@@ -361,6 +362,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # false positives are part of the deterministic contract (the SQL
         # oracle recomputes the same filter bit-for-bit)
         "join_bloom_semi": lambda sf: join_ops.bloom_semi_join(sf),
+        # corpus statistics (round 3): Gopher-style repetition signals,
+        # LM-style n-gram counting, PMI collocations, per-doc TF-IDF —
+        # shuffle-free per-doc passes + vocab-sized partial-count groupbys
+        "repetition_scores": lambda sf: corpus_ops.repetition_scores(sf),
+        "ngram_counts": lambda sf: corpus_ops.ngram_counts(sf, k=50),
+        "bigram_pmi": lambda sf: corpus_ops.bigram_pmi(sf, min_count=5, k=50),
+        "tfidf_topk": lambda sf: corpus_ops.tfidf_topk(sf, k=5),
     }
 
 
@@ -1139,5 +1147,62 @@ probe AS (SELECT l_orderkey, n_items, count(*) AS hits
           JOIN bits b ON CAST((lh.hv >> (16 * j)) % 65536 AS BIGINT) = b.bit
           GROUP BY 1, 2)
 SELECT l_orderkey, n_items FROM probe WHERE hits = 4
+""",
+        # corpus statistics (pipelines/corpus.py). Same tokenizer CTE as the
+        # lexicon oracles; all ranking scores are round6'd BEFORE ordering
+        # so numpy-vs-DuckDB libm ULPs cannot flip ranks.
+        "repetition_scores": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_LIST_SQL} AS t FROM documents),
+bg AS (SELECT doc_id, t[s.i+1] || ' ' || t[s.i+2] AS g
+       FROM tokd, LATERAL (SELECT unnest(range(len(t)-1)) AS i) s
+       WHERE len(t) >= 2),
+bgc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1, 2),
+bstat AS (SELECT doc_id, sum(c) nb, max(c) mc FROM bgc GROUP BY 1),
+tg AS (SELECT doc_id, t[s.i+1] || ' ' || t[s.i+2] || ' ' || t[s.i+3] AS g
+       FROM tokd, LATERAL (SELECT unnest(range(len(t)-2)) AS i) s
+       WHERE len(t) >= 3),
+tstat AS (SELECT doc_id, count(*) nt, count(DISTINCT g) dt FROM tg GROUP BY 1)
+SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+  coalesce({_r6('mc * 1.0 / nb')}, 0) AS top_bigram_frac,
+  coalesce({_r6('(nt - dt) * 1.0 / nt')}, 0) AS dup_trigram_frac
+FROM documents d LEFT JOIN bstat USING (doc_id) LEFT JOIN tstat USING (doc_id)
+""",
+        "ngram_counts": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_LIST_SQL} AS t FROM documents),
+bg AS (SELECT t[s.i+1] || ' ' || t[s.i+2] AS g
+       FROM tokd, LATERAL (SELECT unnest(range(len(t)-1)) AS i) s
+       WHERE len(t) >= 2)
+SELECT g AS ngram, count(*)::BIGINT AS count FROM bg GROUP BY 1
+ORDER BY count DESC, ngram LIMIT 50
+""",
+        "bigram_pmi": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_LIST_SQL} AS t FROM documents),
+uni AS (SELECT unnest(t) AS term FROM tokd),
+uc AS (SELECT term, count(*)::BIGINT c FROM uni GROUP BY 1),
+nu AS (SELECT sum(c)::BIGINT n FROM uc),
+bg AS (SELECT t[s.i+1] AS a, t[s.i+2] AS b, t[s.i+1] || ' ' || t[s.i+2] AS g
+       FROM tokd, LATERAL (SELECT unnest(range(len(t)-1)) AS i) s
+       WHERE len(t) >= 2),
+bc AS (SELECT g, any_value(a) a, any_value(b) b, count(*)::BIGINT c
+       FROM bg GROUP BY 1),
+nb AS (SELECT sum(c)::BIGINT n FROM bc),
+sc AS (SELECT g AS ngram, bc.c AS count,
+  {_r6('ln((bc.c * 1.0 / nb.n) / ((ua.c * 1.0 / nu.n) * (ub.c * 1.0 / nu.n)))')} AS pmi
+  FROM bc, nb, nu JOIN uc ua ON ua.term = bc.a JOIN uc ub ON ub.term = bc.b
+  WHERE bc.c >= 5)
+SELECT ngram, count, pmi FROM sc ORDER BY pmi DESC, ngram LIMIT 50
+""",
+        "tfidf_topk": f"""
+WITH tok AS ({_TOKENIZE_SQL}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT nd FROM documents),
+sc AS (SELECT doc_id, tf.term,
+       {_r6('tf * ' + _r6('ln(nd * 1.0 / df)'))} AS tfidf
+       FROM tf, n JOIN dft ON dft.term = tf.term),
+r AS (SELECT doc_id, term, tfidf,
+      row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) rk
+      FROM sc)
+SELECT doc_id, term, rk::BIGINT AS rank, tfidf FROM r WHERE rk <= 5
 """,
     }

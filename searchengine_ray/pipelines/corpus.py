@@ -1,0 +1,364 @@
+"""Corpus-statistics operators a training-data pipeline needs beyond per-doc
+text analysis: Gopher-style repetition quality signals, corpus n-gram counts,
+bigram PMI (collocation mining) and per-doc TF-IDF top terms.
+
+These extend the reference's Lexicon/WordsCount aggregation family
+(/root/reference/Indexer/Program.cs:417-558) from unigram df/cf to ordered
+n-gram statistics. All per-doc work is map_batches-vectorized (each document
+row is wholly inside one batch, so per-doc n-gram structure never crosses a
+batch boundary); the only shuffles are pre-aggregated groupbys over n-gram
+partial counts (one row per distinct n-gram per batch — the same partial/
+combine discipline as textops.lexicon).
+
+Every operator has a DuckDB oracle in __ray_entry__.oracle_sql(); column
+names, tie-breaks and the floor(x*1e6+0.5)/1e6 rounding are the contract.
+Ranking ties are always broken on a string/integer column so float ULP
+differences between numpy and DuckDB libm cannot reorder results (scores that
+rank are rounded FIRST on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.runtime import cap_worker_threads
+from ..functions.scoring import round6
+from ..functions.tokenize import tokenize_flat
+from ..sources.tables import read_documents
+
+# Coarse shuffle granularity for n-gram groupbys (same constant family as
+# dedup's pair buckets): at 100 TB the distinct-bigram key space is huge and
+# uniform, so a plain hash groupby is fine; the bucket count only bounds the
+# reduce fan-in of the final top-k merge.
+_NGRAM_SEP = " "
+
+
+def _doc_ngram_runs(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(parents, codes, doc_row_count) for a documents batch: ordered kept
+    tokens dictionary-encoded to int32 codes, aligned with their source row.
+    Order within a document is the token order in the text (tokenize_flat
+    preserves it)."""
+    cap_worker_threads()
+    texts = t.column("text").combine_chunks()
+    parents, tokens = tokenize_flat(texts)
+    if len(tokens) == 0:
+        return parents, np.zeros(0, np.int64), np.zeros(t.num_rows, np.int64)
+    codes = pc.dictionary_encode(tokens).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return parents, codes, np.bincount(parents, minlength=t.num_rows)
+
+
+_REP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_bigrams", pa.int64()),
+        ("top_bigram_frac", pa.float64()),
+        ("dup_trigram_frac", pa.float64()),
+    ]
+)
+
+
+def repetition_scores(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac) — Gopher-style
+    repetition quality signals per document:
+
+      top_bigram_frac  = occurrences of the doc's most frequent bigram
+                         / total bigram occurrences   (0 when no bigrams)
+      dup_trigram_frac = (trigram occurrences - distinct trigrams)
+                         / trigram occurrences        (0 when no trigrams)
+
+    High values flag boilerplate/spam (Gopher repetition rules, Rae et al.
+    2021 §A1.1). Pure map_batches — a document's n-grams live entirely in
+    its own row, so there is NO shuffle; embarrassingly parallel at any
+    scale. Fractions are round6'd (oracle-identical division order)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        parents, codes, _ = _doc_ngram_runs(t)
+        n_rows = t.num_rows
+        n_bi = np.zeros(n_rows, np.int64)
+        top_bi = np.zeros(n_rows, np.int64)
+        n_tri = np.zeros(n_rows, np.int64)
+        uniq_tri = np.zeros(n_rows, np.int64)
+        if len(codes) >= 2:
+            ok = parents[:-1] == parents[1:]
+            p = parents[:-1][ok]
+            a, b = codes[:-1][ok], codes[1:][ok]
+            np.add.at(n_bi, p, 1)
+            if len(p):
+                order = np.lexsort((b, a, p))
+                ps, as_, bs = p[order], a[order], b[order]
+                new = np.empty(len(ps), bool)
+                new[0] = True
+                new[1:] = (ps[1:] != ps[:-1]) | (as_[1:] != as_[:-1]) | (bs[1:] != bs[:-1])
+                starts = np.flatnonzero(new)
+                run_len = np.diff(np.append(starts, len(ps)))
+                np.maximum.at(top_bi, ps[starts], run_len)
+        if len(codes) >= 3:
+            ok = parents[:-2] == parents[2:]
+            p = parents[:-2][ok]
+            a, b, c = codes[:-2][ok], codes[1:-1][ok], codes[2:][ok]
+            np.add.at(n_tri, p, 1)
+            if len(p):
+                order = np.lexsort((c, b, a, p))
+                ps = p[order]
+                as_, bs, cs = a[order], b[order], c[order]
+                new = np.empty(len(ps), bool)
+                new[0] = True
+                new[1:] = (
+                    (ps[1:] != ps[:-1])
+                    | (as_[1:] != as_[:-1])
+                    | (bs[1:] != bs[:-1])
+                    | (cs[1:] != cs[:-1])
+                )
+                np.add.at(uniq_tri, ps[new], 1)
+        bi_frac = np.zeros(n_rows, np.float64)
+        has = n_bi > 0
+        bi_frac[has] = top_bi[has] * 1.0 / n_bi[has]
+        tri_frac = np.zeros(n_rows, np.float64)
+        hast = n_tri > 0
+        tri_frac[hast] = (n_tri[hast] - uniq_tri[hast]) * 1.0 / n_tri[hast]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "top_bigram_frac": pa.array(round6(bi_frac), pa.float64()),
+                "dup_trigram_frac": pa.array(round6(tri_frac), pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_BG_PARTIAL = pa.schema([("ngram", pa.string()), ("c_p", pa.int64())])
+
+
+def _bigram_partials(t: pa.Table) -> pa.Table:
+    """One (ngram, partial_count) row per distinct bigram in the batch —
+    the combiner that keeps the groupby exchange at vocabulary size, not
+    token-occurrence size."""
+    cap_worker_threads()
+    texts = t.column("text").combine_chunks()
+    parents, tokens = tokenize_flat(texts)
+    if len(tokens) < 2:
+        return _BG_PARTIAL.empty_table()
+    ok = parents[:-1] == parents[1:]
+    if not ok.any():
+        return _BG_PARTIAL.empty_table()
+    grams = pc.binary_join_element_wise(
+        tokens.slice(0, len(tokens) - 1).filter(pa.array(ok)),
+        tokens.slice(1).filter(pa.array(ok)),
+        _NGRAM_SEP,
+    )
+    agg = pa.table({"ngram": grams}).group_by("ngram").aggregate([([], "count_all")])
+    return pa.table(
+        {"ngram": agg.column("ngram"), "c_p": agg.column("count_all").cast(pa.int64())}
+    )
+
+
+def bigram_counts(sf_dir: str) -> rd.Dataset:
+    """(ngram, count) — global corpus bigram occurrence counts. Per-batch
+    partial counts (vocab-sized rows) -> one groupby sum. The LM-style
+    n-gram counting primitive."""
+    return (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(_bigram_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ngram")
+        .aggregate(Sum("c_p", alias_name="count"))
+    )
+
+
+def ngram_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Top-`k` corpus bigrams by (count desc, ngram asc) —
+    (ngram, count). Each post-groupby block contributes its local top-k
+    (the global top-k is contained in the union), so the final sort sees
+    at most k x n_blocks rows, never the whole vocabulary."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("ngram", pa.string()), ("count", pa.int64())]).empty_table()
+        c = t.column("count").to_numpy(zero_copy_only=False)
+        g = np.asarray(t.column("ngram").to_pylist(), dtype=object)
+        order = np.lexsort((g, -c))[:k]
+        return pa.table(
+            {
+                "ngram": pa.array(g[order], pa.string()),
+                "count": pa.array(c[order], pa.int64()),
+            }
+        )
+
+    return (
+        bigram_counts(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["count", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50) -> rd.Dataset:
+    """Top-`k` collocations by pointwise mutual information —
+    (ngram, count, pmi) with pmi = ln((B/NB) / ((Ua/NU) * (Ub/NU))),
+    B = bigram count, NB = total bigram occurrences, U = unigram counts,
+    NU = total token occurrences. Bigrams with B < `min_count` are dropped
+    BEFORE ranking (rare-pair PMI is noise). Rank: (round6(pmi) desc,
+    ngram asc) — pmi is rounded before ranking on both engine and oracle
+    so libm ULP differences cannot reorder.
+
+    Scale shape: the unigram table is vocabulary-sized and broadcast via
+    ray.put (the small side of the join — at 10^12 docs it shards like the
+    lexicon, see RUNBOOK.md); bigram counts stay distributed; NB/NU are
+    scalar aggregates. No all-to-all beyond the count groupbys."""
+
+    def unigram_partials(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        _, tokens = tokenize_flat(t.column("text").combine_chunks())
+        if len(tokens) == 0:
+            return pa.schema([("term", pa.string()), ("c_p", pa.int64())]).empty_table()
+        agg = pa.table({"term": tokens}).group_by("term").aggregate([([], "count_all")])
+        return pa.table(
+            {"term": agg.column("term"), "c_p": agg.column("count_all").cast(pa.int64())}
+        )
+
+    uni = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(unigram_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c_p", alias_name="cf"))
+        .to_pandas()  # vocabulary-sized small side (broadcast, not shuffled)
+    )
+    terms = np.asarray(uni["term"].to_numpy(), dtype=object)
+    cfs = uni["cf"].to_numpy().astype(np.int64)
+    order = np.argsort(terms)
+    terms, cfs = terms[order], cfs[order]
+    nu = int(cfs.sum())
+    uni_ref = ray.put((terms, cfs))
+
+    bg = bigram_counts(sf_dir)
+    nb = int(bg.sum("count"))
+
+    def score(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        out_schema = pa.schema(
+            [("ngram", pa.string()), ("count", pa.int64()), ("pmi", pa.float64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        c = t.column("count").to_numpy(zero_copy_only=False)
+        keep = c >= min_count
+        if not keep.any():
+            return out_schema.empty_table()
+        grams = np.asarray(t.column("ngram").to_pylist(), dtype=object)[keep]
+        c = c[keep]
+        ts, us = ray.get(uni_ref)
+        left = np.asarray([g.split(_NGRAM_SEP, 1)[0] for g in grams], dtype=object)
+        right = np.asarray([g.split(_NGRAM_SEP, 1)[1] for g in grams], dtype=object)
+        ua = us[np.searchsorted(ts, left)]
+        ub = us[np.searchsorted(ts, right)]
+        pmi = round6(np.log((c / nb) / ((ua / nu) * (ub / nu))))
+        order = np.lexsort((grams, -pmi))[:k]  # local top-k caps the merge
+        return pa.table(
+            {
+                "ngram": pa.array(grams[order], pa.string()),
+                "count": pa.array(c[order], pa.int64()),
+                "pmi": pa.array(pmi[order], pa.float64()),
+            }
+        )
+
+    return (
+        bg.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["pmi", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Per-document top-`k` terms by TF-IDF —
+    (doc_id, term, rank, tfidf) with tfidf = round6(tf * round6(ln(N/df))),
+    rank by (tfidf desc, term asc), 1-based, rank <= k.
+
+    The idf factor is rounded BEFORE the tf multiply (and the product
+    rounded again) on both engine and oracle, so ranking compares identical
+    doubles. Document-frequency table is vocabulary-sized: computed with
+    one pre-aggregated groupby, then broadcast via ray.put into a pure
+    map_batches scoring pass (the classic broadcast-small-side join; at
+    10^12 docs the df table shards like the lexicon, RUNBOOK.md). The
+    scoring pass itself never shuffles — each doc's top-k is local."""
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        if len(tokens) == 0:
+            return pa.schema([("term", pa.string()), ("df_p", pa.int64())]).empty_table()
+        per_doc = (
+            pa.table({"i": pa.array(parents, pa.int64()), "term": tokens})
+            .group_by(["i", "term"])
+            .aggregate([])
+        )
+        agg = per_doc.group_by("term").aggregate([([], "count_all")])
+        return pa.table(
+            {"term": agg.column("term"), "df_p": agg.column("count_all").cast(pa.int64())}
+        )
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()
+    dfp = (
+        docs.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .to_pandas()  # vocabulary-sized small side
+    )
+    terms = np.asarray(dfp["term"].to_numpy(), dtype=object)
+    dfs = dfp["df"].to_numpy().astype(np.int64)
+    order = np.argsort(terms)
+    terms, dfs = terms[order], dfs[order]
+    idf_r6 = round6(np.log(n_docs * 1.0 / dfs))
+    df_ref = ray.put((terms, idf_r6))
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("rank", pa.int64()),
+            ("tfidf", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        if len(tokens) == 0:
+            return out_schema.empty_table()
+        per_doc = (
+            pa.table({"i": pa.array(parents, pa.int64()), "term": tokens})
+            .group_by(["i", "term"])
+            .aggregate([([], "count_all")])
+        )
+        rows = per_doc.column("i").to_numpy(zero_copy_only=False)
+        tf = per_doc.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        trm = np.asarray(per_doc.column("term").to_pylist(), dtype=object)
+        ts, idfs = ray.get(df_ref)
+        tfidf = round6(tf * idfs[np.searchsorted(ts, trm)])
+        order = np.lexsort((trm, -tfidf, rows))
+        rows, trm, tfidf = rows[order], trm[order], tfidf[order]
+        new = np.empty(len(rows), bool)
+        new[0] = True
+        new[1:] = rows[1:] != rows[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(rows)) - np.repeat(starts, np.diff(np.append(starts, len(rows)))) + 1
+        keep = rank <= k
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows[keep]], pa.int64()),
+                "term": pa.array(trm[keep], pa.string()),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "tfidf": pa.array(tfidf[keep], pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

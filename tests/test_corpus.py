@@ -1,0 +1,114 @@
+"""Corpus-statistics operators on crafted inputs: exact repetition fractions,
+n-gram counts, PMI ordering, TF-IDF ranks. DuckDB parity over the sf fixture
+is covered by tests/test_contract.py; these pin the SEMANTICS on inputs where
+the expected values are hand-computable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from searchengine_ray.pipelines import corpus
+
+
+def _write_documents(tmp_path, rows):
+    """rows: (doc_id, text)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_repetition_scores_crafted(tmp_path, ray_session):
+    rows = [
+        # "a b a b a b": bigrams = ab,ba,ab,ba,ab -> n=5, top(ab)=3
+        # trigrams = aba,bab,aba,bab -> 4 occurrences, 2 distinct -> dup 2/4
+        (1, "a b a b a b"),
+        # all-distinct tokens: every bigram/trigram unique
+        (2, "alpha beta gamma delta"),
+        # single token: no bigrams, no trigrams -> zeros
+        (3, "solo"),
+        # empty text
+        (4, ""),
+        # same token repeated: one distinct bigram/trigram
+        (5, "x x x x"),
+    ]
+    d = _write_documents(tmp_path, rows)
+    out = (
+        corpus.repetition_scores(d).to_pandas().sort_values("doc_id").set_index("doc_id")
+    )
+    assert out.loc[1, "n_bigrams"] == 5
+    assert out.loc[1, "top_bigram_frac"] == 0.6
+    assert out.loc[1, "dup_trigram_frac"] == 0.5
+    assert out.loc[2, "n_bigrams"] == 3
+    assert out.loc[2, "top_bigram_frac"] == np.floor(1 / 3 * 1e6 + 0.5) / 1e6
+    assert out.loc[2, "dup_trigram_frac"] == 0.0
+    assert (out.loc[[3, 4]][["n_bigrams", "top_bigram_frac", "dup_trigram_frac"]] == 0).all().all()
+    assert out.loc[5, "n_bigrams"] == 3
+    assert out.loc[5, "top_bigram_frac"] == 1.0  # "x x" is every bigram
+    assert out.loc[5, "dup_trigram_frac"] == 0.5  # 2 occurrences, 1 distinct
+
+
+def test_ngram_counts_crafted(tmp_path, ray_session):
+    rows = [
+        (1, "a b c"),
+        (2, "a b"),
+        (3, "b c a b"),
+    ]
+    d = _write_documents(tmp_path, rows)
+    out = corpus.ngram_counts(d, k=10).to_pandas()
+    got = list(zip(out["ngram"], out["count"]))
+    # counts: "a b" x3, "b c" x2, "c a" x1; order (count desc, ngram asc)
+    assert got == [("a b", 3), ("b c", 2), ("c a", 1)]
+    # k truncates in the same order
+    out1 = corpus.ngram_counts(d, k=1).to_pandas()
+    assert list(zip(out1["ngram"], out1["count"])) == [("a b", 3)]
+
+
+def test_bigram_pmi_crafted(tmp_path, ray_session):
+    # "zq xw" always co-occur (pointwise surprise high); "the cat" with
+    # 'the' everywhere scores lower. min_count=2 keeps both.
+    rows = [
+        (1, "zq xw the cat the dog the cow"),
+        (2, "zq xw the cat the bird"),
+        (3, "the fish zq xw"),
+    ]
+    d = _write_documents(tmp_path, rows)
+    out = corpus.bigram_pmi(d, min_count=2, k=10).to_pandas()
+    assert list(out["ngram"])[0] == "zq xw"  # perfect collocation ranks first
+    pmis = dict(zip(out["ngram"], out["pmi"]))
+    assert pmis["zq xw"] > pmis["the cat"]
+    # PMI definition check for the perfect pair: B=3, Ua=Ub=3
+    n_tokens = sum(len(r[1].split()) for r in rows)
+    n_bigrams = sum(len(r[1].split()) - 1 for r in rows)
+    expect = np.log((3 / n_bigrams) / ((3 / n_tokens) * (3 / n_tokens)))
+    assert abs(pmis["zq xw"] - expect) < 2e-6
+
+
+def test_tfidf_topk_crafted(tmp_path, ray_session):
+    rows = [
+        (1, "rare common common"),
+        (2, "common common unique"),
+        (3, "common filler"),
+    ]
+    d = _write_documents(tmp_path, rows)
+    out = corpus.tfidf_topk(d, k=2).to_pandas().sort_values(["doc_id", "rank"])
+    by_doc = {g: list(t["term"]) for g, t in out.groupby("doc_id")}
+    # 'common' has df=3 -> idf=ln(1)=0 -> never outranks a rarer term
+    assert by_doc[1][0] == "rare"
+    assert by_doc[2][0] == "unique"
+    # ranks are 1-based, dense, and capped at k
+    assert out.groupby("doc_id")["rank"].apply(
+        lambda s: list(s) == list(range(1, len(s) + 1))
+    ).all()
+    assert (out["rank"] <= 2).all()
+    # idf=0 -> tfidf exactly 0 for 'common' regardless of tf
+    assert (out.loc[out["term"] == "common", "tfidf"] == 0).all()
