@@ -66,6 +66,7 @@ from searchengine_ray.pipelines import clean as clean_ops
 from searchengine_ray.pipelines import corpus as corpus_ops
 from searchengine_ray.pipelines import dedup as dedup_ops
 from searchengine_ray.pipelines import events as event_ops
+from searchengine_ray.pipelines import export as export_ops
 from searchengine_ray.pipelines import joins as join_ops
 from searchengine_ray.pipelines import multimodal as mm_ops
 from searchengine_ray.pipelines import textops
@@ -366,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM-style n-gram counting, PMI collocations, per-doc TF-IDF —
         # shuffle-free per-doc passes + vocab-sized partial-count groupbys
         "repetition_scores": lambda sf: corpus_ops.repetition_scores(sf),
+        # training-shard export balance report (the export itself is a sink,
+        # tests/test_export.py: atomic per-shard writes, resume-skip,
+        # resumed == uninterrupted byte-for-byte)
+        "shard_stats": lambda sf: export_ops.shard_stats(sf, n_shards=8),
         "ngram_counts": lambda sf: corpus_ops.ngram_counts(sf, k=50),
         "bigram_pmi": lambda sf: corpus_ops.bigram_pmi(sf, min_count=5, k=50),
         "tfidf_topk": lambda sf: corpus_ops.tfidf_topk(sf, k=5),
@@ -1147,6 +1152,19 @@ probe AS (SELECT l_orderkey, n_items, count(*) AS hits
           JOIN bits b ON CAST((lh.hv >> (16 * j)) % 65536 AS BIGINT) = b.bit
           GROUP BY 1, 2)
 SELECT l_orderkey, n_items FROM probe WHERE hits = 4
+""",
+        # shard assignment mirrored exactly: md5-u64(doc_id) % 8, every
+        # shard row emitted even when empty (engine emits all n_shards)
+        "shard_stats": """
+WITH f AS (SELECT doc_id, n_chars,
+                  CAST(('0x'||substr(md5(doc_id::VARCHAR),1,16))::UBIGINT % 8
+                       AS BIGINT) AS shard
+           FROM documents),
+s AS (SELECT unnest(generate_series(0, 7)) AS shard)
+SELECT s.shard, coalesce(count(f.doc_id), 0)::BIGINT AS n_docs,
+       coalesce(sum(f.n_chars), 0)::BIGINT AS n_chars
+FROM s LEFT JOIN f ON f.shard = s.shard
+GROUP BY 1
 """,
         # corpus statistics (pipelines/corpus.py). Same tokenizer CTE as the
         # lexicon oracles; all ranking scores are round6'd BEFORE ordering

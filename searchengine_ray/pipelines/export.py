@@ -1,0 +1,178 @@
+"""Training-shard export: the corpus -> N deterministic, resumable parquet
+shards ready for a training loader.
+
+The write-side counterpart of textops.split_assign: shard membership is a
+pure function of doc_id (md5-derived u64 hash % n_shards — the same hash
+family as split_assign, so assignments are stable under any partitioning,
+any cluster size, and any insertion order). Each shard directory is written
+ATOMICALLY (tmp+rename, mirroring pipelines/build.make_segment_writer) with
+a per-shard manifest recording the input fingerprint — a rerun after a
+crash skips completed shards entirely (their rows are filtered out BEFORE
+the shuffle, so resume cost is one column-pruned read of the survivors,
+not a rewrite). Rows within a shard are doc_id-sorted, so a resumed export
+is byte-identical to an uninterrupted one (tested).
+
+At 100 TB: n_shards is sized so one shard ~ one loader file target
+(e.g. 10^12 docs / 10^5 shards); the shuffle moves each row once, keyed by
+shard — the same single-exchange discipline as the index build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.hashing import hash64
+from ..functions.runtime import cap_worker_threads
+from ..sources.tables import read_documents
+from ..state import manifest as mf
+
+EXPORT_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def shard_of(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    """md5-derived u64 of str(doc_id) % n_shards (contract mirrored by the
+    shard_stats SQL oracle and by textops.split_assign's hash)."""
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[:8], "big")
+            for d in ids
+        ),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
+def _export_fingerprint(sf_dir: str, n_shards: int) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+    body = json.dumps(
+        {"src": os.path.basename(src), "size": os.path.getsize(src), "n": n_shards, "v": 1}
+    )
+    return f"{hash64(body) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _shard_name(s: int) -> str:
+    return f"shard-{s:05d}"
+
+
+def completed_shards(out_dir: str, fingerprint: str) -> set[int]:
+    d = os.path.join(out_dir, "_manifest")
+    done: set[int] = set()
+    if not os.path.isdir(d):
+        return done
+    for fn in os.listdir(d):
+        if not (fn.startswith("shard-") and fn.endswith(".json")):
+            continue
+        with open(os.path.join(d, fn)) as fh:
+            m = json.load(fh)
+        if m.get("fingerprint") == fingerprint:
+            done.add(int(fn[len("shard-") : -len(".json")]))
+    return done
+
+
+def export_shards(sf_dir: str, out_dir: str, n_shards: int = 8) -> dict:
+    """Write the documents table as `n_shards` doc_id-hashed parquet shards
+    under out_dir/shard-NNNNN/part.parquet. Returns {n_docs, n_shards,
+    skipped} where `skipped` counts resume-skipped shards."""
+    fingerprint = _export_fingerprint(sf_dir, n_shards)
+    done = completed_shards(out_dir, fingerprint)
+    os.makedirs(out_dir, exist_ok=True)
+
+    done_ref = ray.put(np.asarray(sorted(done), dtype=np.int64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = shard_of(ids, n_shards)
+        d = ray.get(done_ref)
+        if len(d):  # resume: finished shards never enter the shuffle
+            t = t.filter(pa.array(~np.isin(sh, d)))
+            if t.num_rows == 0:
+                return t.append_column("shard", pa.array([], pa.int64()))
+            sh = shard_of(t.column("doc_id").to_numpy(zero_copy_only=False), n_shards)
+        return t.append_column("shard", pa.array(sh, pa.int64()))
+
+    _M = pa.schema([("shard", pa.int64()), ("n_docs", pa.int64())])
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _M.empty_table()
+        s = int(group.column("shard")[0].as_py())
+        body = group.drop_columns(["shard"])
+        order = pa.array(
+            np.argsort(body.column("doc_id").to_numpy(zero_copy_only=False), kind="stable")
+        )
+        body = body.take(order)  # doc_id-sorted: resumed == full, byte-for-byte
+        shard_dir = os.path.join(out_dir, _shard_name(s))
+        tmp = shard_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(body, os.path.join(tmp, "part.parquet"))
+        if os.path.isdir(shard_dir):  # stale partial from a killed run
+            import shutil
+
+            shutil.rmtree(shard_dir)
+        os.rename(tmp, shard_dir)
+        mf.write_json_atomic(
+            os.path.join(out_dir, "_manifest", _shard_name(s) + ".json"),
+            {"fingerprint": fingerprint, "n_docs": body.num_rows},
+        )
+        return pa.table(
+            {"shard": pa.array([s], pa.int64()), "n_docs": pa.array([body.num_rows], pa.int64())}
+        )
+
+    written = (
+        read_documents(sf_dir, columns=EXPORT_COLUMNS)
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()  # n_shards metric rows — metadata, not data
+    )
+    n_new = int(written["n_docs"].sum()) if len(written) else 0
+    prior = sum(
+        json.load(open(os.path.join(out_dir, "_manifest", _shard_name(s) + ".json")))["n_docs"]
+        for s in done
+    )
+    return {
+        "n_docs": n_new + prior,
+        "n_shards": n_shards,
+        "skipped": len(done),
+        "fingerprint": fingerprint,
+    }
+
+
+def shard_stats(sf_dir: str, n_shards: int = 8) -> rd.Dataset:
+    """(shard, n_docs, n_chars) — the export's shard balance report as a
+    queryable op (and the SQL-oracle hook for the export's hash contract).
+    Pure map_batches partials + one n_shards-row groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = shard_of(ids, n_shards)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        docs = np.bincount(sh, minlength=n_shards).astype(np.int64)
+        chars = np.bincount(sh, weights=nc, minlength=n_shards).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(n_shards), pa.int64()),
+                "d_p": pa.array(docs, pa.int64()),
+                "c_p": pa.array(chars, pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(Sum("d_p", alias_name="n_docs"), Sum("c_p", alias_name="n_chars"))
+    )

@@ -1,0 +1,105 @@
+"""Training-shard export: assignment correctness, resume-skip, and the
+byte-identity of a resumed export vs an uninterrupted one."""
+
+from __future__ import annotations
+
+import filecmp
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from searchengine_ray.pipelines import export as ex
+
+SF = "/root/testdata/sf0.001"
+N_SHARDS = 8
+
+
+def _read_all(out_dir):
+    parts = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("shard-") and not d.endswith(".tmp"):
+            parts.append(pq.read_table(os.path.join(out_dir, d, "part.parquet")))
+    import pyarrow as pa
+
+    return pa.concat_tables(parts)
+
+
+def test_export_full(tmp_path, ray_session):
+    out = str(tmp_path / "exp")
+    res = ex.export_shards(SF, out, n_shards=N_SHARDS)
+    src = pq.read_table(f"{SF}/documents.parquet")
+    assert res["n_docs"] == src.num_rows and res["skipped"] == 0
+    got = _read_all(out)
+    assert got.num_rows == src.num_rows
+    assert sorted(got.column("doc_id").to_pylist()) == sorted(
+        src.column("doc_id").to_pylist()
+    )
+    # every row sits in its md5-assigned shard
+    for d in os.listdir(out):
+        if not d.startswith("shard-") or d.endswith(".tmp"):
+            continue
+        s = int(d.split("-")[1])
+        ids = (
+            pq.read_table(os.path.join(out, d, "part.parquet"), columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+        )
+        assert (ex.shard_of(ids, N_SHARDS) == s).all()
+
+
+def test_export_resume_byte_identical(tmp_path, ray_session):
+    full = str(tmp_path / "full")
+    ex.export_shards(SF, full, n_shards=N_SHARDS)
+
+    resumed = str(tmp_path / "resumed")
+    ex.export_shards(SF, resumed, n_shards=N_SHARDS)
+    # simulate a crash that lost two shards (one mid-write .tmp leftover)
+    victims = sorted(
+        d for d in os.listdir(resumed) if d.startswith("shard-") and not d.endswith(".tmp")
+    )[:2]
+    for v in victims:
+        shutil.rmtree(os.path.join(resumed, v))
+        os.remove(os.path.join(resumed, "_manifest", v + ".json"))
+    os.makedirs(os.path.join(resumed, victims[0] + ".tmp"), exist_ok=True)
+
+    res = ex.export_shards(SF, resumed, n_shards=N_SHARDS)
+    n_present = len([d for d in os.listdir(full) if d.startswith("shard-")])
+    assert res["skipped"] == n_present - 2
+    assert res["n_docs"] == pq.read_table(f"{SF}/documents.parquet").num_rows
+
+    for d in sorted(os.listdir(full)):
+        if d.startswith("shard-") and not d.endswith(".tmp"):
+            a = os.path.join(full, d, "part.parquet")
+            b = os.path.join(resumed, d, "part.parquet")
+            assert filecmp.cmp(a, b, shallow=False), d
+
+
+def test_export_fingerprint_invalidates(tmp_path, ray_session):
+    out = str(tmp_path / "exp")
+    ex.export_shards(SF, out, n_shards=N_SHARDS)
+    # a different shard count is a different contract: nothing is skipped
+    res = ex.export_shards(SF, out, n_shards=4)
+    assert res["skipped"] == 0 and res["n_shards"] == 4
+
+
+def test_shard_stats_matches_export(tmp_path, ray_session):
+    out = str(tmp_path / "exp")
+    ex.export_shards(SF, out, n_shards=N_SHARDS)
+    stats = (
+        ex.shard_stats(SF, n_shards=N_SHARDS)
+        .to_pandas()
+        .sort_values("shard")
+        .set_index("shard")
+    )
+    assert len(stats) == N_SHARDS
+    for s in range(N_SHARDS):
+        mpath = os.path.join(out, "_manifest", f"shard-{s:05d}.json")
+        written = json.load(open(mpath))["n_docs"] if os.path.exists(mpath) else 0
+        assert stats.loc[s, "n_docs"] == written
+    src = pq.read_table(f"{SF}/documents.parquet")
+    assert stats["n_chars"].sum() == int(
+        np.sum(src.column("n_chars").to_numpy())
+    )
