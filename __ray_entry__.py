@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
         "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
         "sample_stratified": lambda sf: textops.sample_stratified(sf, k=20),
+        # quality-weighted Bernoulli subsample (CCNet-style reweighting):
+        # keep iff md5frac(doc_id) < min(1, n_tokens/64)
+        "sample_weighted": lambda sf: textops.sample_weighted(sf),
         "length_quantiles": lambda sf: textops.length_quantiles(sf),
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
@@ -1152,6 +1155,17 @@ probe AS (SELECT l_orderkey, n_items, count(*) AS hits
           JOIN bits b ON CAST((lh.hv >> (16 * j)) % 65536 AS BIGINT) = b.bit
           GROUP BY 1, 2)
 SELECT l_orderkey, n_items FROM probe WHERE hits = 4
+""",
+        # weighted Bernoulli keep: weight = round6(min(1, n_tokens/64)),
+        # keep iff md5-u64-frac(doc_id) < weight (split_assign hash family)
+        "sample_weighted": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_LIST_SQL} AS t FROM documents),
+w AS (SELECT doc_id, {_r6('least(1.0, len(t) * 1.0 / 64)')} AS weight FROM tokd),
+f AS (SELECT doc_id, weight,
+      CAST(('0x'||substr(md5(doc_id::VARCHAR),1,16))::UBIGINT AS DOUBLE)
+        / power(2, 64) AS frac
+      FROM w)
+SELECT doc_id, weight FROM f WHERE frac < weight
 """,
         # shard assignment mirrored exactly: md5-u64(doc_id) % 8, every
         # shard row emitted even when empty (engine emits all n_shards)

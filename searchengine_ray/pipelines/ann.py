@@ -34,9 +34,19 @@ from ..sources.tables import read_embeddings
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """The query vectors are a SMALL SIDE INPUT (like parsed query terms on
+    the BM25 side), so this is a direct predicate-pushdown parquet point
+    read — row-group stats skip everything but the matching groups. A full
+    Dataset pass here cost ~2 s of fixed pipeline overhead per ANN call at
+    sf0.1 and would scan the whole table at 100 TB."""
+    import pyarrow.parquet as pq
+
     q = (
-        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-        .filter(expr=f"vec_id < {n_queries}")
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", n_queries)],
+        )
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -57,34 +67,100 @@ def _batch_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
-def _group_topk(group: pa.Table, k: int) -> pa.Table:
-    """ONE query's (query_id, neighbor_id, sim) local-top-k candidate rows
-    -> its global ranked top-k. Runs inside groupby(query_id).map_groups:
-    group count == n_queries (small by construction), group size is bounded
-    by n_blocks * k — the merge is distributed, nothing but the final
-    q * k rows ever reaches the driver."""
-    qids = group.column("query_id").to_numpy(zero_copy_only=False)
-    nids = group.column("neighbor_id").to_numpy(zero_copy_only=False)
-    sims = group.column("sim").to_numpy(zero_copy_only=False)
-    d, s = topk_by_score(nids.astype(np.int64), sims, k)
+_CAND_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+)
+_MERGE_FANIN = 32  # blocks in the intermediate combine level
+
+
+def _partial_topk(t: pa.Table, k: int) -> pa.Table:
+    """Per-query top-k WITHIN one table of (query_id, neighbor_id, sim)
+    candidate rows. Top-k with the (sim desc, neighbor_id asc) tie-break is
+    associative and each neighbor appears at most once per query across the
+    whole candidate set (the vector table is partitioned), so applying this
+    at every tree level is exact regardless of how rows are distributed."""
+    cap_worker_threads()
+    if t.num_rows == 0:
+        return _CAND_SCHEMA.empty_table()
+    qids = t.column("query_id").to_numpy(zero_copy_only=False)
+    nids = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+    sims = t.column("sim").to_numpy(zero_copy_only=False)
+    order = np.lexsort((nids, -sims, qids))
+    qs, ns, ss = qids[order], nids[order], sims[order]
+    new = np.empty(len(qs), bool)
+    new[0] = True
+    new[1:] = qs[1:] != qs[:-1]
+    starts = np.flatnonzero(new)
+    pos = np.arange(len(qs)) - np.repeat(starts, np.diff(np.append(starts, len(qs))))
+    keep = pos < k
     return pa.table(
         {
-            "query_id": pa.array(np.full(len(d), qids[0]), pa.int64()),
-            "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int32), pa.int32()),
-            "neighbor_id": pa.array(d, pa.int64()),
-            "sim": pa.array(np.asarray(round6(s), dtype=np.float64), pa.float64()),
+            "query_id": pa.array(qs[keep], pa.int64()),
+            "neighbor_id": pa.array(ns[keep], pa.int64()),
+            "sim": pa.array(ss[keep], pa.float64()),
         }
     )
 
 
 def _distributed_merge(cands: rd.Dataset, k: int) -> rd.Dataset:
-    """Candidate rows -> per-query distributed reduce -> deterministic
-    (query_id, rank) order. Replaces the former driver-side .to_pandas()
-    merge (round-2 verdict: scale-killer at ~10^6 blocks)."""
+    """Candidate rows -> tree-combine per-query top-k -> deterministic
+    (query_id, rank) order. Replaces (a) the round-2 driver-side
+    .to_pandas() merge (scale-killer at ~10^6 blocks) and (b) the first
+    round-3 groupby(query_id)+sort version, whose two all-to-all exchanges
+    cost ~6 s of fixed overhead at sf0.1 for a merge of a few thousand
+    rows. Shape: repartition to _MERGE_FANIN blocks, reduce each to q*k
+    rows (associative partial top-k — see _partial_topk), coalesce to one
+    block of <= _MERGE_FANIN*q*k rows, final rank. No shuffle of keyed
+    data at any level; every stage's input is candidate-sized (n_blocks *
+    q * k rows max), never vector data."""
+
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("rank", pa.int32()),
+            ("neighbor_id", pa.int64()),
+            ("sim", pa.float64()),
+        ]
+    )
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = _partial_topk(t, k)
+        qids = t.column("query_id").to_numpy(zero_copy_only=False)
+        sims = t.column("sim").to_numpy(zero_copy_only=False)
+        # _partial_topk emits groups already (sim desc, neighbor asc)
+        # within query and query-ascending overall
+        new = np.empty(len(qids), bool)
+        new[0] = True
+        new[1:] = qids[1:] != qids[:-1]
+        starts = np.flatnonzero(new)
+        rank = (
+            np.arange(len(qids)) - np.repeat(starts, np.diff(np.append(starts, len(qids)))) + 1
+        )
+        return pa.table(
+            {
+                "query_id": t.column("query_id"),
+                "rank": pa.array(rank.astype(np.int32), pa.int32()),
+                "neighbor_id": t.column("neighbor_id"),
+                "sim": pa.array(
+                    np.asarray(round6(sims), dtype=np.float64), pa.float64()
+                ),
+            }
+        )
+
     return (
-        cands.groupby("query_id")
-        .map_groups(lambda g: _group_topk(g, k), batch_format="pyarrow")
-        .sort(["query_id", "rank"])
+        cands.repartition(_MERGE_FANIN)
+        .map_batches(
+            lambda t: _partial_topk(t, k), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(1)
+        # batch_size=None: the whole (single) block as ONE batch — a split
+        # batch would rank each fragment independently
+        .map_batches(
+            final_rank, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
     )
 
 
@@ -190,9 +266,15 @@ def _ivf_centroids(
     broadcast centroids) + partial sums, then a driver-side reduce of the
     n_lists x dim partials (tiny; the DATA never leaves the map tasks).
     Empty lists keep their previous centroid."""
+    import pyarrow.parquet as pq
+
+    # small side input: predicate-pushdown point read (see _load_queries)
     init = (
-        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-        .filter(expr=f"vec_id < {n_lists}")
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", n_lists)],
+        )
         .to_pandas()
         .sort_values("vec_id")
     )

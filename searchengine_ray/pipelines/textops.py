@@ -416,6 +416,46 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
     )
 
 
+def sample_weighted(sf_dir: str, full_tokens: int = 64) -> rd.Dataset:
+    """(doc_id, weight) — deterministic Bernoulli subsample with per-doc
+    keep probability proportional to length quality:
+    weight = round6(min(1, n_kept_tokens / full_tokens)); a doc is kept iff
+    md5frac(doc_id) < weight (the split_assign hash contract, so the keep
+    decision is reproducible at any scale / cluster size / insertion order
+    AND recomputable in SQL). The CCNet/GPT-3-style quality-reweighting
+    primitive: short boilerplate is downsampled, full-length docs always
+    kept. Pure map_batches — no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        parents, _tokens = tokenize_flat(t.column("text").combine_chunks())
+        n_tok = np.bincount(parents, minlength=t.num_rows).astype(np.float64)
+        w = round6(np.minimum(1.0, n_tok / full_tokens))
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        frac = (
+            np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[:8], "big")
+                    for d in did
+                ),
+                dtype=np.uint64,
+                count=len(did),
+            ).astype(np.float64)
+            / 2.0**64
+        )
+        keep = frac < w
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "weight": pa.array(w[keep], pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def length_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> rd.Dataset:
     """(lang, p50, p90, p99) — EXACT discrete quantiles of n_chars per lang
     (percentile_disc semantics: the value at 1-based sorted index
