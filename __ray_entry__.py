@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality-weighted Bernoulli subsample (CCNet-style reweighting):
         # keep iff md5frac(doc_id) < min(1, n_tokens/64)
         "sample_weighted": lambda sf: textops.sample_weighted(sf),
+        # per-domain cap: the stratified sampler grouped by source
+        "cap_per_source": lambda sf: textops.sample_stratified(
+            sf, k=50, group_col="source"
+        ),
         "length_quantiles": lambda sf: textops.length_quantiles(sf),
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
@@ -914,6 +918,14 @@ SELECT lang, doc_id, rn::BIGINT AS sample_rank FROM (
          row_number() OVER (PARTITION BY lang
                             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
   FROM documents) WHERE rn <= 20
+""",
+        # same sampler, grouped by source: the per-domain cap
+        "cap_per_source": """
+SELECT source, doc_id, rn::BIGINT AS sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents) WHERE rn <= 50
 """,
         "topk_per_group": """
 SELECT lang, source, rn::BIGINT AS rank, doc_id, n_chars FROM (

@@ -335,9 +335,11 @@ def topk_per_group(sf_dir: str, k: int = 5) -> rd.Dataset:
     )
 
 
-def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
-    """(lang, doc_id, sample_rank) — a deterministic k-per-lang sample:
-    docs ranked by (md5(doc_id-as-string) hex, doc_id) within each lang,
+def sample_stratified(sf_dir: str, k: int = 20, group_col: str = "lang") -> rd.Dataset:
+    """(group_col, doc_id, sample_rank) — a deterministic k-per-group sample
+    (default per lang; group_col="source" gives the per-domain CAP a crawl
+    pipeline applies): docs ranked by (md5(doc_id-as-string) hex, doc_id)
+    within each group,
     first k kept. The hash order is a fixed pseudo-random permutation, so
     the sample is stable across runs/cluster sizes AND recomputable in SQL
     (md5 contract, like the dedup ops) — the property a reproducible
@@ -352,7 +354,7 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
         if t.num_rows == 0:
             return pa.table(
                 {
-                    "lang": pa.array([], pa.string()),
+                    group_col: pa.array([], pa.string()),
                     "doc_id": pa.array([], pa.int64()),
                     "h": pa.array([], pa.string()),
                 }
@@ -362,7 +364,7 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
             [hashlib.md5(str(d).encode()).hexdigest() for d in did], dtype=object
         )
         _, lcode = np.unique(
-            np.asarray(t.column("lang").to_pylist(), dtype=object), return_inverse=True
+            np.asarray(t.column(group_col).to_pylist(), dtype=object), return_inverse=True
         )
         order = np.lexsort((did, hs, lcode))
         lc = lcode[order]
@@ -375,7 +377,7 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
         keep.sort()
         return pa.table(
             {
-                "lang": t.column("lang").take(pa.array(keep)),
+                group_col: t.column(group_col).take(pa.array(keep)),
                 "doc_id": pa.array(did[keep], pa.int64()),
                 "h": pa.array(hs[keep], pa.string()),
             }
@@ -386,7 +388,7 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
         if group.num_rows == 0:
             return pa.table(
                 {
-                    "lang": pa.array([], pa.string()),
+                    group_col: pa.array([], pa.string()),
                     "doc_id": pa.array([], pa.int64()),
                     "sample_rank": pa.array([], pa.int64()),
                 }
@@ -397,7 +399,7 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
         g = group.take(pa.array(order))
         return pa.table(
             {
-                "lang": g.column("lang"),
+                group_col: g.column(group_col),
                 "doc_id": g.column("doc_id"),
                 "sample_rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
             }
@@ -408,10 +410,10 @@ def sample_stratified(sf_dir: str, k: int = 20) -> rd.Dataset:
     # avoid empty schema-less sort blocks (groups << blocks), same as
     # length_quantiles below.
     return (
-        read_documents(sf_dir, columns=["doc_id", "lang"])
+        read_documents(sf_dir, columns=["doc_id", group_col])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(1)
-        .groupby("lang")
+        .groupby(group_col)
         .map_groups(finalize, batch_format="pyarrow")
     )
 
