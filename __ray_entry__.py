@@ -307,6 +307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": lambda sf: dedup_ops.simhash(sf),
         "dedup_components": lambda sf: dedup_ops.dedup_components(sf),
         "dedup_embedding": lambda sf: dedup_ops.embedding_dup_pairs(sf, threshold=0.4),
+        # duplicated-substring measurement (Lee et al. 2021 shape): frac of
+        # token-5-gram windows occurring >= 2x corpus-wide, per doc
+        "dedup_window_stats": lambda sf: dedup_ops.dup_window_stats(sf),
         # similarity search
         "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
         "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
@@ -693,6 +696,27 @@ WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.ee, b.ee) >= 0.4
 WITH {sh_ctes},
 {_ngram_body()}
 SELECT da AS doc_a, db AS doc_b, {_r6('j')} AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+    # per-position 5-gram duplication stats: same rolling-FNV contract as
+    # the Jaccard shingles (k=5, multiplicity kept — no DISTINCT)
+    _dw_terms = [_u64(f"t[s.i+{j}]") for j in range(1, 6)]
+    _dw_expr = _dw_terms[0]
+    for _t in _dw_terms[1:]:
+        _dw_expr = f"(({_dw_expr} * {_FNV} + {_t}) % {_W})"
+    dup_windows = f"""
+WITH tokd AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id, {_dw_expr} AS su
+       FROM tokd, LATERAL (SELECT unnest(range(len(t) - 4)) AS i) s
+       WHERE len(t) >= 5),
+tot AS (SELECT su, count(*) c FROM sh GROUP BY 1),
+per AS (SELECT doc_id, count(*)::BIGINT nw,
+               sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT nd
+        FROM sh JOIN tot USING (su) GROUP BY 1)
+SELECT d.doc_id, coalesce(nw, 0)::BIGINT AS n_windows,
+       coalesce(nd, 0)::BIGINT AS n_dup_windows,
+       coalesce({_r6('nd * 1.0 / nw')}, 0) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
 """
 
     simhash_sql = f"""
@@ -1109,6 +1133,7 @@ SELECT doc_id,
 FROM f
 """,
         "dedup_ngram_jaccard": ngram,
+        "dedup_window_stats": dup_windows,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_pairs": minhash,
         "dedup_components": components,

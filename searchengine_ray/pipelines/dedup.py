@@ -892,3 +892,176 @@ def _embedding_pairs_bucketed(
     # a pair meets in up to `planes + 1` probe buckets -> coarse-bucketed
     # vectorized dedup (NOT one map_groups call per distinct pair)
     return coarse_pair_dedup(pairs, "id_a", "id_b", "sim")
+
+
+DUP_WINDOW_K = 5  # token-window length for substring-duplication stats
+
+
+def dup_window_stats(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
+    """(doc_id, n_windows, n_dup_windows, dup_frac) — per-document
+    duplicated-substring statistics at token-`k`-gram granularity: a window
+    position is DUPLICATED iff its k-gram occurs >= 2 times in the whole
+    corpus (any doc, including the same one). dup_frac = round6(dup / n),
+    0 for docs with no windows. This is the measurement half of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better") at fixed window length — the
+    policy half (strip the spans) composes with clean_corpus.
+
+    Scale shape (the postings discipline): stage 1 emits ONE row per
+    distinct (window_hash, doc) — the combiner — plus one (doc, n_windows)
+    row per doc; the only shuffle co-locates equal hashes via a coarse
+    bucket (hash % N_COARSE_BUCKETS) where a vectorized run scan marks
+    hashes whose total multiplicity >= 2; a final doc_id groupby sums the
+    two partial columns. Nothing driver-side, no per-pair fan-out (unlike
+    the Jaccard join, duplication here needs only per-hash totals, so a
+    df cap is unnecessary — a 10^6-occurrence boilerplate k-gram is one
+    run-sum, not 10^12 pairs).
+
+    Hash contract: the same rolling-FNV-over-md5 combine as the Jaccard
+    shingles (_doc_shingle_hashes), k=5, multiplicity KEPT — recomputed
+    bit-exactly by the SQL oracle. 64-bit collisions (~1e-10 at bench
+    scale) are the documented exactness caveat, as for ngram_jaccard."""
+
+    _P = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("h", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("nw_p", pa.int64()),
+            ("dup_p", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        rows, hashes = _doc_shingle_hashes(t, k)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # per-doc window counts (every doc, even 0 windows) — these rows
+        # skip the hash bucket stage semantically; bucket them by doc so
+        # the run scan forwards them untouched
+        nw = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
+        doc_rows = pa.table(
+            {
+                "bucket": pa.array(
+                    (did.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32),
+                    pa.int32(),
+                ),
+                "h": pa.array(np.zeros(len(did), np.int64), pa.int64()),
+                "doc_id": pa.array(did, pa.int64()),
+                "nw_p": pa.array(nw, pa.int64()),
+                "dup_p": pa.array(np.zeros(len(did), np.int64), pa.int64()),
+            }
+        )
+        if len(hashes) == 0:
+            return doc_rows
+        # combiner: one row per distinct (hash, doc) with its multiplicity
+        order = np.lexsort((rows, hashes))
+        hs, rs = hashes[order], rows[order]
+        new = np.empty(len(hs), bool)
+        new[0] = True
+        new[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        starts = np.flatnonzero(new)
+        mult = np.diff(np.append(starts, len(hs))).astype(np.int64)
+        hu, ru = hs[starts], rs[starts]
+        hash_rows = pa.table(
+            {
+                "bucket": pa.array(
+                    (hu.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32),
+                    pa.int32(),
+                ),
+                "h": pa.array(hu, pa.int64()),
+                "doc_id": pa.array(did[ru], pa.int64()),
+                "nw_p": pa.array(np.zeros(len(hu), np.int64), pa.int64()),
+                "dup_p": pa.array(mult, pa.int64()),
+            }
+        )
+        return pa.concat_tables([doc_rows, hash_rows]).cast(_P)
+
+    _D = pa.schema([("doc_id", pa.int64()), ("nw_p", pa.int64()), ("dup_p", pa.int64())])
+
+    def mark_dups(group: pa.Table) -> pa.Table:
+        # one coarse bucket: doc rows (dup_p carries 0) pass through;
+        # hash rows with per-hash total multiplicity >= 2 contribute their
+        # own multiplicity as duplicated windows, else 0
+        if group.num_rows == 0:
+            return _D.empty_table()
+        nw = group.column("nw_p").to_numpy(zero_copy_only=False)
+        mult = group.column("dup_p").to_numpy(zero_copy_only=False)
+        is_doc = nw > 0
+        is_hash = mult > 0
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        out_doc = pa.table(
+            {
+                "doc_id": pa.array(did[is_doc], pa.int64()),
+                "nw_p": pa.array(nw[is_doc], pa.int64()),
+                "dup_p": pa.array(np.zeros(int(is_doc.sum()), np.int64), pa.int64()),
+            }
+        )
+        # zero-window docs: emit them too (nw == 0 and mult == 0 rows)
+        is_zero = ~is_doc & ~is_hash
+        out_zero = pa.table(
+            {
+                "doc_id": pa.array(did[is_zero], pa.int64()),
+                "nw_p": pa.array(np.zeros(int(is_zero.sum()), np.int64), pa.int64()),
+                "dup_p": pa.array(np.zeros(int(is_zero.sum()), np.int64), pa.int64()),
+            }
+        )
+        hh, dd, mm = h[is_hash], did[is_hash], mult[is_hash]
+        if len(hh):
+            order = np.argsort(hh, kind="stable")
+            hh, dd, mm = hh[order], dd[order], mm[order]
+            new = np.empty(len(hh), bool)
+            new[0] = True
+            new[1:] = hh[1:] != hh[:-1]
+            run_id = np.cumsum(new) - 1
+            totals = np.bincount(run_id, weights=mm).astype(np.int64)
+            dup = totals[run_id] >= 2
+            out_hash = pa.table(
+                {
+                    "doc_id": pa.array(dd[dup], pa.int64()),
+                    "nw_p": pa.array(np.zeros(int(dup.sum()), np.int64), pa.int64()),
+                    "dup_p": pa.array(mm[dup], pa.int64()),
+                }
+            )
+        else:
+            out_hash = _D.empty_table()
+        return pa.concat_tables([out_doc, out_zero, out_hash]).cast(_D)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(mark_dups, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("nw_p", alias_name="n_windows"), Sum("dup_p", alias_name="n_dup_windows"))
+    )
+
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_windows", pa.int64()),
+            ("n_dup_windows", pa.int64()),
+            ("dup_frac", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _O.empty_table()
+        nw = t.column("n_windows").to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = t.column("n_dup_windows").to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.zeros(len(nw), np.float64)
+        has = nw > 0
+        frac[has] = nd[has] / nw[has]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_windows": t.column("n_windows"),
+                "n_dup_windows": t.column("n_dup_windows"),
+                "dup_frac": pa.array(round6(frac), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -222,3 +222,40 @@ def test_skewed_duplicate_mass_capped(tmp_path, ray_session):
     # every doc inside the capped prefix clusters to 0; fillers are singletons
     assert (comp.loc[range(capped)] == 0).all()
     assert (comp.loc[range(n_same, n_same + 20)] == list(range(n_same, n_same + 20))).all()
+
+
+def test_dup_window_stats_crafted(tmp_path, ray_session):
+    """Window duplication at 5-gram granularity: hand-computable cases."""
+    rows = [
+        # 1 and 2 identical, 8 tokens -> 4 windows each, all duplicated
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        # shares ONE 5-gram with 1/2 (first five tokens), rest unique
+        (3, "alpha beta gamma delta epsilon quux corge grault"),
+        # internal repetition only: "x y x y x y x y" has windows
+        # (xyxyx, yxyxy, xyxyx, yxyxy) -> every window duplicated IN-DOC
+        (4, "x y x y x y x y"),
+        # too short for any window
+        (5, "just four tokens here"),
+        (6, ""),
+        # unique 5 tokens -> 1 window, not duplicated
+        (7, "uno dos tres cuatro cinco"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = dd.dup_window_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [4, 4, 1.0]
+    assert out.loc[2].tolist() == [4, 4, 1.0]
+    assert out.loc[3].tolist() == [4, 1, 0.25]
+    assert out.loc[4].tolist() == [4, 4, 1.0]
+    assert out.loc[5].tolist() == [0, 0, 0.0]
+    assert out.loc[6].tolist() == [0, 0, 0.0]
+    assert out.loc[7].tolist() == [1, 0, 0.0]
