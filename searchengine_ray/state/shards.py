@@ -964,6 +964,39 @@ def make_term_specs_from_counts(
     return specs
 
 
+_SCOPE_TO_FIELD = {"title": FIELD_TITLE, "body": FIELD_BODY}
+
+
+def make_term_specs_scoped(
+    scoped: "Counter[tuple[str, str]]",
+    lexicon: Lexicon,
+    n_docs: float,
+    fields: tuple[int, ...],
+    mode: str,
+) -> list[TermSpec]:
+    """Scoped counts {(scope, word): qtf} -> TermSpecs. scope '' means the
+    engine's default field set; 'title'/'body' restrict the word to that
+    single field, INTERSECTED with the served fields (scoping to a field
+    the engine doesn't serve contributes nothing — same contract as an
+    OOV word). The rebuild extension behind `title:word` query syntax;
+    the reference query language has no operators (Engine.cs:127-139)."""
+    specs: list[TermSpec] = []
+    for (scope, word), qtf in scoped.items():
+        fs = (
+            fields
+            if not scope
+            else tuple(f for f in fields if f == _SCOPE_TO_FIELD[scope])
+        )
+        if not fs:
+            continue
+        specs.extend(
+            make_term_specs_from_counts(
+                Counter({word: qtf}), lexicon, n_docs, fs, mode
+            )
+        )
+    return specs
+
+
 def with_ref_cutoffs(
     specs: list[TermSpec],
     candidates_fn,
@@ -1047,12 +1080,18 @@ class SearchEngine:
         return tfs, docs
 
     def _resolve_specs(
-        self, query: str, fields=None, counts: Counter[str] | None = None
+        self, query: str, fields=None, counts: Counter[str] | None = None,
+        scoped: "Counter[tuple[str, str]] | None" = None,
     ) -> list[TermSpec]:
-        specs = make_term_specs_from_counts(
-            parse_query(query) if counts is None else counts,
-            self.lexicon, self.n_docs, fields or self.fields, self.mode,
-        )
+        if scoped is not None:
+            specs = make_term_specs_scoped(
+                scoped, self.lexicon, self.n_docs, fields or self.fields, self.mode
+            )
+        else:
+            specs = make_term_specs_from_counts(
+                parse_query(query) if counts is None else counts,
+                self.lexicon, self.n_docs, fields or self.fields, self.mode,
+            )
         if specs and self.mode == "reference":
             if not hasattr(self, "_cutoff_cache"):
                 self._cutoff_cache: dict = {}
@@ -1063,19 +1102,28 @@ class SearchEngine:
 
     def _ops_counts(
         self, query: str
-    ) -> tuple[Counter[str], Counter[str] | None]:
+    ) -> tuple["Counter[tuple[str, str]]", Counter[str] | None]:
         """syntax='ops' parsing: `-word` excludes, `word*` prefix-expands
-        (term-strings sidecar, MAX_EXPAND cap). Returns (positive counts,
-        exclusion counts or None). Negated prefixes are not expanded."""
+        (term-strings sidecar, MAX_EXPAND cap), `title:word` / `body:word`
+        scope a positive literal to one field. Returns (scoped positive
+        counts keyed (scope, word) with scope '' = default fields,
+        exclusion counts or None). Negated/prefix terms are not scoped."""
         lit, pre, neg = parse_query_ops(query)
-        counts = Counter(lit)
+        scoped: Counter[tuple[str, str]] = Counter()
+        for w, qtf in lit.items():
+            scope = ""
+            if ":" in w:
+                p, rest = w.split(":", 1)
+                if p in _SCOPE_TO_FIELD and rest:
+                    scope, w = p, rest
+            scoped[(scope, w)] += qtf
         if pre:
             if not hasattr(self, "_term_strings"):
                 self._term_strings = TermStrings(self.index_dir)
             for p, qtf in pre.items():
                 for t in self._term_strings.prefix_terms(p, MAX_EXPAND):
-                    counts[t] += qtf
-        return counts, (Counter(neg) if neg else None)
+                    scoped[("", t)] += qtf
+        return scoped, (Counter(neg) if neg else None)
 
     def shutdown(self) -> None:
         """Kill the shard (and lexicon-shard) actors. Each actor reserves a
@@ -1102,8 +1150,8 @@ class SearchEngine:
         expansion (rebuild extensions; see _ops_counts)."""
         exclude = None
         if syntax == "ops":
-            counts, excl_counts = self._ops_counts(query)
-            specs = self._resolve_specs(query, counts=counts)
+            scoped, excl_counts = self._ops_counts(query)
+            specs = self._resolve_specs(query, scoped=scoped)
             if excl_counts:
                 exclude = make_term_specs_from_counts(
                     excl_counts, self.lexicon, self.n_docs, self.fields, self.mode
@@ -1185,7 +1233,10 @@ class SearchEngine:
         if not self._docmap or not doc_ids:
             return {}
         if syntax == "ops":
-            counts, _excl = self._ops_counts(query)
+            scoped, _excl = self._ops_counts(query)
+            counts = Counter()
+            for (_s, w), qtf in scoped.items():
+                counts[w] += qtf
         else:
             counts = parse_query(query)
         specs = make_term_specs_from_counts(
@@ -1267,7 +1318,9 @@ class SearchEngine:
         """Batched scatter-gather: one round trip per shard for ALL queries."""
         if syntax == "ops":
             parsed = [self._ops_counts(q) for q in queries]
-            word_lists = [list(c) + list(e or ()) for c, e in parsed]
+            word_lists = [
+                [w for _s, w in c] + list(e or ()) for c, e in parsed
+            ]
         else:
             parsed = None
             word_lists = [list(parse_query(q)) for q in queries]
@@ -1278,7 +1331,7 @@ class SearchEngine:
             )
         if parsed is not None:
             spec_lists = [
-                self._resolve_specs(q, counts=c) for q, (c, _e) in zip(queries, parsed)
+                self._resolve_specs(q, scoped=c) for q, (c, _e) in zip(queries, parsed)
             ]
             exclude_lists = [
                 make_term_specs_from_counts(

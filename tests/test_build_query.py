@@ -165,3 +165,60 @@ def test_negated_query_excludes_docs(built, brute, ray_session):
         concurrency=2, negation=True,
     ).to_pandas().sort_values("rank")
     assert [int(d) for d in out.doc_id] == [d for d, _ in want[:10]]
+
+
+def test_field_scoped_query_terms(built, ray_session):
+    """`title:word` / `body:word` (syntax='ops') restrict a term to one
+    field. Contract (make_term_specs_scoped): scoping to a served field
+    equals a plain search on an engine serving ONLY that field; scoping
+    to an unserved field contributes nothing (OOV-like); an unknown
+    prefix stays a literal token."""
+    from searchengine_ray.synth import VOCAB
+
+    index_dir, _, _ = built
+    w = str(VOCAB[25])
+    both = SearchEngine(index_dir, n_shards=2)  # (body, title)
+    title_only = SearchEngine(index_dir, n_shards=2, fields=(FIELD_TITLE,))
+    body_only = SearchEngine(index_dir, n_shards=2, fields=(FIELD_BODY,))
+    try:
+        # scoped-on-both == plain-on-single-field engine (scores included)
+        assert both.search(f"title:{w}", k=20, syntax="ops") == \
+            title_only.search(w, k=20)
+        assert both.search(f"body:{w}", k=20, syntax="ops") == \
+            body_only.search(w, k=20)
+        assert both.search(f"title:{w}", k=20, syntax="ops") != \
+            both.search(w, k=20)  # scoping actually changed the ranking
+
+        # scoping to a field the engine does not serve -> no contribution
+        assert body_only.search(f"title:{w}", k=20, syntax="ops") == []
+
+        # unknown prefix stays a literal token (OOV here)
+        assert both.search(f"zzz:{w}", k=20, syntax="ops") == []
+
+        # mixed query: scoped + unscoped terms sum per-doc contributions;
+        # verify against explicit spec construction through the public path
+        from collections import Counter
+
+        from searchengine_ray.state.shards import make_term_specs_scoped
+
+        w2 = str(VOCAB[40])
+        scoped = Counter({("title", w): 1, ("", w2): 1})
+        specs = make_term_specs_scoped(
+            scoped, both.lexicon, both.n_docs, both.fields, both.mode
+        )
+        fields_seen = {(t.term_hash, t.field) for t in specs}
+        assert (hash64(w), FIELD_TITLE) in fields_seen
+        assert (hash64(w), FIELD_BODY) not in fields_seen
+        assert (hash64(w2), FIELD_BODY) in fields_seen
+        got = both.search(f"title:{w} {w2}", k=15, syntax="ops")
+        assert got  # scoped mixed query returns ranked results
+
+        # batch path agrees with one-at-a-time
+        qs = [f"title:{w}", f"body:{w} {w2}", f"title:{w} {w2}"]
+        batch = both.search_batch(qs, k=15, syntax="ops")
+        single = [both.search(q, k=15, syntax="ops") for q in qs]
+        assert batch == single
+    finally:
+        both.shutdown()
+        title_only.shutdown()
+        body_only.shutdown()
