@@ -72,7 +72,8 @@ from searchengine_ray.pipelines import multimodal as mm_ops
 from searchengine_ray.pipelines import textops
 from searchengine_ray.pipelines.build import BuildConfig, build_index
 from searchengine_ray.pipelines.query import evaluate_queries
-from searchengine_ray.schemas import FIELD_BODY
+from searchengine_ray.schemas import FIELD_BODY, FIELD_TITLE
+from searchengine_ray.state.shards import parse_scoped_counts
 
 # ---------------------------------------------------------------------------
 # Reference query set over the testdata `documents` vocabulary: head terms,
@@ -126,6 +127,25 @@ DOC_PREFIX_QUERIES: list[str] = [
     "w* window",
     "qu* scan",
     "t*",
+]
+
+# Field-scoped query set: `title:w` / `body:w` restrict a word to one
+# field (documents builds carry a synthetic title = each doc's first
+# TITLE_TOKENS kept tokens, BuildConfig.doc_title_tokens). Unscoped words
+# hit BOTH served fields. Covers: scoped+unscoped mix, title-only,
+# same-word-both-scopes (contributions sum), scoped OOV, unknown scope
+# prefix (stays a literal token), and scoped/unscoped overlap of one word.
+TITLE_TOKENS = 8
+DOC_SCOPED_QUERIES: list[str] = [
+    "title:join hash",
+    "title:dup",
+    "body:spark window",
+    "title:the body:the",
+    "dup title:dup",
+    "title:zzznotaword merge",
+    "zzz:query",
+    "body:merge title:sort merge",
+    "title:a the",
 ]
 
 # Phrase query set (consecutive kept tokens; ranked by the bm25 spec sum)
@@ -194,6 +214,22 @@ def _prefix_query_values() -> tuple[str, str]:
     return ", ".join(pat_rows), ", ".join(lit_rows)
 
 
+def _scoped_query_values() -> str:
+    """(query_id, field, term, qtf) VALUES rows for DOC_SCOPED_QUERIES —
+    from the SAME scoped parser the engine uses (parse_scoped_counts);
+    scope '' expands to every served field, a named scope to its one
+    field (make_term_specs_scoped contract)."""
+    scope_field = {"title": FIELD_TITLE, "body": FIELD_BODY}
+    rows = []
+    for qid, q in enumerate(DOC_SCOPED_QUERIES):
+        for (scope, term), qtf in sorted(parse_scoped_counts(q).items()):
+            flds = (FIELD_BODY, FIELD_TITLE) if not scope else (scope_field[scope],)
+            esc = term.replace("'", "''")
+            for f in flds:
+                rows.append(f"({qid}, {f}, '{esc}', {qtf}.0)")
+    return ", ".join(rows)
+
+
 def _index_dir_for(sf_dir: str) -> str:
     safe = sf_dir.strip("/").replace("/", "_")
     return os.path.join("/tmp", "seray_index_cache", safe)
@@ -206,6 +242,7 @@ def _ensure_index(sf_dir: str) -> str:
     cfg = BuildConfig(
         num_partitions=8, block_size=128, lang_filter=None, store_positions=True,
         term_strings=True,  # prefix expansion + explain need the sidecar
+        doc_title_tokens=TITLE_TOKENS,  # synthetic title field (scoped queries)
     )
     build_index(sf_dir, index_dir, cfg, source="documents")
     return index_dir
@@ -236,6 +273,8 @@ def _topk_pipeline(
     query_set: list[str] | None = None,
     negation: bool = False,
     prefix: bool = False,
+    scoping: bool = False,
+    fields: tuple[int, ...] = (FIELD_BODY,),
 ) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data as rd
@@ -253,11 +292,12 @@ def _topk_pipeline(
         rd.from_arrow(q_tbl),
         index_dir,
         mode=mode,
-        fields=(FIELD_BODY,),
+        fields=fields,
         concurrency=2,
         conjunctive=conjunctive,
         negation=negation,
         prefix=prefix,
+        scoping=scoping,
     ).to_pandas()
     return _rerank(res, "score", "doc_id", TOPK)
 
@@ -298,6 +338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "bm25_prefix_topk": lambda sf: _topk_pipeline(
             sf, mode="bm25", query_set=DOC_PREFIX_QUERIES, prefix=True
+        ),
+        "bm25_scoped_topk": lambda sf: _topk_pipeline(
+            sf, mode="bm25", query_set=DOC_SCOPED_QUERIES, scoping=True,
+            fields=(FIELD_BODY, FIELD_TITLE),
         ),
         "phrase_topk": lambda sf: _phrase_pipeline(sf),
         # dedup suite
@@ -470,6 +514,44 @@ contrib AS (
   FROM q JOIN tf ON q.term = tf.term
        JOIN df ON df.term = q.term
        JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    # two-field BM25 (body=0 + synthetic title=1, title = first
+    # TITLE_TOKENS kept tokens — BuildConfig.doc_title_tokens contract);
+    # per-field dl/avgdl/df, idf over global n_docs, contributions summed
+    # across (field, term) query rows from _scoped_query_values
+    bm25_scoped = f"""
+WITH tl AS (SELECT doc_id, {toks} AS tl FROM documents),
+tokf AS (
+  SELECT doc_id, {FIELD_BODY} AS field, unnest(tl) AS term FROM tl
+  UNION ALL
+  SELECT doc_id, {FIELD_TITLE} AS field,
+         unnest(list_slice(tl, 1, {TITLE_TOKENS})) AS term FROM tl
+),
+tf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM tokf GROUP BY 1, 2, 3),
+dl AS (SELECT field, doc_id, count(*)::DOUBLE AS dl FROM tokf GROUP BY 1, 2),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+avg AS (SELECT field, count(*)::DOUBLE
+                 / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        FROM tokf GROUP BY 1),
+df AS (SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+q(query_id, field, term, qtf) AS (VALUES {_scoped_query_values()}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) *
+         (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / a.avgdl)))) AS c
+  FROM q JOIN tf ON q.term = tf.term AND q.field = tf.field
+       JOIN df ON df.term = q.term AND df.field = q.field
+       JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+       JOIN avg a ON a.field = q.field
        CROSS JOIN stats s),
 scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
 ranked AS (SELECT query_id, doc_id, score,
@@ -895,6 +977,7 @@ SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_conjunctive_topk": bm25_and,
         "bm25_not_topk": bm25_not,
         "bm25_prefix_topk": bm25_prefix,
+        "bm25_scoped_topk": bm25_scoped,
         "phrase_topk": phrase,
         "dedup_exact": """
 SELECT doc_id,

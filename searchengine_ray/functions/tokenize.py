@@ -114,6 +114,7 @@ def encode_group_positions(
 def count_postings_hashed(
     texts: pa.Array | pa.ChunkedArray,
     with_positions: bool = False,
+    token_limit: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | tuple[
     np.ndarray, np.ndarray, np.ndarray, np.ndarray, pa.LargeBinaryArray
 ]:
@@ -127,9 +128,21 @@ def count_postings_hashed(
     and, with_positions=True, additionally a large_binary array of
     per-posting varbyte-encoded token positions (delta-coded, first value
     absolute; position = token index within the row's kept-token stream).
+
+    token_limit=K keeps only each row's FIRST K kept tokens (the synthetic
+    title-field contract for sources without a real title: title = first K
+    tokens of the body stream; SQL mirror is list_slice(toks, 1, K)).
     """
     parents, tokens = tokenize_flat(texts)
     n_rows = len(texts)
+    if token_limit is not None and len(parents):
+        full_dl = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(full_dl, out=starts[1:])
+        pos_in_row = np.arange(len(parents), dtype=np.int64) - starts[parents]
+        keep_first = pos_in_row < token_limit
+        parents = parents[keep_first]
+        tokens = tokens.filter(pa.array(keep_first))
     dl = np.bincount(parents, minlength=n_rows).astype(np.uint32)
     if len(parents) == 0:
         empty = (

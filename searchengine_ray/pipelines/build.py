@@ -115,6 +115,11 @@ class BuildConfig:
     # (enables serving-time snippets/highlighting via DocMapShardActor point
     # reads; costs the docs stage a full html read + extract for the pages
     # source instead of the ~1% url/lang column read)
+    doc_title_tokens: int | None = None  # documents source: ALSO index a
+    # synthetic FIELD_TITLE = each doc's first K kept tokens (documents
+    # have no real title column; per-field dl/avgdl/df follow normally, so
+    # field-scoped queries work on a documents-built index). SQL-mirrorable
+    # contract: title tokens == list_slice(body_tokens, 1, K).
 
 
 def _fingerprint(input_path: str, cfg: BuildConfig, source: str) -> str:
@@ -134,18 +139,24 @@ def _fingerprint(input_path: str, cfg: BuildConfig, source: str) -> str:
 
 def _postings_table(
     doc_ids: np.ndarray,
-    texts_by_field: list[tuple[int, pa.Array]],
+    texts_by_field: list[tuple],
     num_partitions: int,
     store_positions: bool = False,
 ) -> pa.Table:
-    """Tokenize one batch's docs (per field) into flat POSTINGS rows."""
+    """Tokenize one batch's docs (per field) into flat POSTINGS rows.
+    Entries are (field_code, texts) or (field_code, texts, token_limit);
+    a limit keeps only each row's first K kept tokens (synthetic title)."""
     schema = POSTINGS_POS if store_positions else POSTINGS
     parts_out: list[pa.Table] = []
-    for field_code, texts in texts_by_field:
+    for entry in texts_by_field:
+        field_code, texts = entry[0], entry[1]
+        limit = entry[2] if len(entry) > 2 else None
         if store_positions:
-            th, rows, tf, dl, positions = count_postings_hashed(texts, with_positions=True)
+            th, rows, tf, dl, positions = count_postings_hashed(
+                texts, with_positions=True, token_limit=limit
+            )
         else:
-            th, rows, tf, dl = count_postings_hashed(texts)
+            th, rows, tf, dl = count_postings_hashed(texts, token_limit=limit)
         if len(rows) == 0:
             continue
         did = doc_ids[rows]
@@ -206,9 +217,14 @@ def make_documents_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = fr
         if t.num_rows == 0:
             return POSTINGS.empty_table()
         doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        text_col = t.column("text").combine_chunks()
+        fields: list[tuple] = [(FIELD_BODY, text_col)]
+        if cfg.doc_title_tokens:
+            # synthetic title field: first K kept tokens of the body stream
+            fields.append((FIELD_TITLE, text_col, cfg.doc_title_tokens))
         out = _postings_table(
             doc_ids,
-            [(FIELD_BODY, t.column("text").combine_chunks())],
+            fields,
             cfg.num_partitions,
             cfg.store_positions,
         )

@@ -28,6 +28,8 @@ from ..state.shards import (
     TermStrings,
     make_term_specs,
     make_term_specs_from_counts,
+    make_term_specs_scoped,
+    parse_scoped_counts,
     with_ref_cutoffs,
 )
 
@@ -44,6 +46,7 @@ class QueryEvalActor:
         conjunctive: bool = False,
         negation: bool = False,
         prefix: bool = False,
+        scoping: bool = False,
     ):
         cap_worker_threads()
         self.index = LocalIndex(index_dir)
@@ -59,6 +62,10 @@ class QueryEvalActor:
         # prefix=True parses `word*` as a vocabulary prefix expansion (up
         # to MAX_EXPAND terms, ascending — needs the term-strings sidecar)
         self.prefix = prefix
+        # scoping=True parses `title:word` / `body:word` as a single-field
+        # restriction (make_term_specs_scoped contract: intersect with the
+        # served fields; unknown prefixes stay literal tokens)
+        self.scoping = scoping
         if prefix:
             self.term_strings = TermStrings(index_dir)
         self._cutoff_cache: dict = {}  # reference-mode truncation memo
@@ -100,6 +107,11 @@ class QueryEvalActor:
                         Counter(neg), self.lexicon, self.index.n_docs,
                         self.fields, self.mode,
                     )
+            elif self.scoping:
+                specs = make_term_specs_scoped(
+                    parse_scoped_counts(query), self.lexicon,
+                    self.index.n_docs, self.fields, self.mode,
+                )
             else:
                 specs = make_term_specs(
                     query, self.lexicon, self.index.n_docs, self.fields, self.mode
@@ -141,6 +153,7 @@ def evaluate_queries(
     conjunctive: bool = False,
     negation: bool = False,
     prefix: bool = False,
+    scoping: bool = False,
 ) -> rd.Dataset:
     return queries_ds.map_batches(
         QueryEvalActor,
@@ -151,6 +164,7 @@ def evaluate_queries(
             "conjunctive": conjunctive,
             "negation": negation,
             "prefix": prefix,
+            "scoping": scoping,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -967,6 +967,28 @@ def make_term_specs_from_counts(
 _SCOPE_TO_FIELD = {"title": FIELD_TITLE, "body": FIELD_BODY}
 
 
+def _split_scope(w: str) -> tuple[str, str]:
+    """'title:word' -> ('title', 'word'); unknown prefixes (or a bare
+    'title:') stay literal: ('', w)."""
+    if ":" in w:
+        p, rest = w.split(":", 1)
+        if p in _SCOPE_TO_FIELD and rest:
+            return p, rest
+    return "", w
+
+
+def parse_scoped_counts(query: str) -> "Counter[tuple[str, str]]":
+    """parse_query plus field scoping: each space-separated word may carry
+    a `title:` / `body:` prefix restricting it to that field; scope ''
+    means the engine's default field set. Batch-pipeline counterpart of
+    the online `syntax='ops'` scoping (SearchEngine._ops_counts)."""
+    scoped: Counter[tuple[str, str]] = Counter()
+    for w in query.split(" "):
+        if w:
+            scoped[_split_scope(w.lower())] += 1
+    return scoped
+
+
 def make_term_specs_scoped(
     scoped: "Counter[tuple[str, str]]",
     lexicon: Lexicon,
@@ -1111,12 +1133,7 @@ class SearchEngine:
         lit, pre, neg = parse_query_ops(query)
         scoped: Counter[tuple[str, str]] = Counter()
         for w, qtf in lit.items():
-            scope = ""
-            if ":" in w:
-                p, rest = w.split(":", 1)
-                if p in _SCOPE_TO_FIELD and rest:
-                    scope, w = p, rest
-            scoped[(scope, w)] += qtf
+            scoped[_split_scope(w)] += qtf
         if pre:
             if not hasattr(self, "_term_strings"):
                 self._term_strings = TermStrings(self.index_dir)

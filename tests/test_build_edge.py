@@ -109,3 +109,66 @@ def test_auto_num_partitions_floor_and_scaling(tmp_path, ray_session):
     idx = str(tmp_path / "idx_auto")
     m = build_index(d, idx, BuildConfig(num_partitions=None), source="pages")
     assert m["config"]["num_partitions"] == floor  # resolved value recorded
+
+
+def test_doc_title_tokens_synthetic_field(ray_session, tmp_path_factory):
+    """BuildConfig.doc_title_tokens=K on the documents source: FIELD_TITLE
+    postings are each doc's first K kept tokens (SQL-mirrorable contract
+    list_slice(toks, 1, K)); per-field dl/avgdl follow; body postings are
+    byte-identical to a build without the title field."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.functions.tokenize import count_postings_hashed, tokenize_py
+    from searchengine_ray.pipelines.build import BuildConfig, build_index
+    from searchengine_ray.schemas import FIELD_TITLE
+    from searchengine_ray.state.shards import LocalIndex
+
+    sf = "/root/testdata/sf0.001"
+    K = 4
+    d = str(tmp_path_factory.mktemp("idx_title"))
+    build_index(
+        sf, d, BuildConfig(num_partitions=4, lang_filter=None, doc_title_tokens=K),
+        source="documents",
+    )
+    with open(os.path.join(d, "stats.json")) as fh:
+        stats = json.load(fh)
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(i): tokenize_py(t)
+        for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    }
+    want_total_title = sum(min(len(v), K) for v in toks.values())
+    assert stats["total_len_title"] == want_total_title
+    assert stats["avgdl_title"] == want_total_title / stats["n_docs"]
+
+    # the kernel contract: token_limit=K == pure-python first-K slice
+    th, rows, tf, dl = count_postings_hashed(tbl.column("text"), token_limit=K)
+    assert dl.max() <= K
+    from collections import Counter
+
+    from searchengine_ray.functions.hashing import hash64
+
+    texts = tbl.column("text").to_pylist()
+    for r in {int(rows[0]), int(rows[len(rows) // 2]), int(rows[-1])}:
+        want = Counter(hash64(w) for w in tokenize_py(texts[r])[:K])
+        got = {int(h): int(c) for h, c, rr in zip(th, tf, rows) if rr == r}
+        assert got == dict(want)
+
+    # a title-scoped engine search over the built index returns results
+    # (end-to-end scoped parity vs DuckDB is tests/test_contract.py::
+    # test_query_matches_oracle[bm25_scoped_topk])
+    from searchengine_ray.state.shards import SearchEngine
+
+    eng = SearchEngine(d, n_shards=1)
+    try:
+        w = next(w for w in toks[int(tbl.column("doc_id")[0].as_py())][:K])
+        assert eng.search(f"title:{w}", k=5, syntax="ops")
+        title_df = eng.lexicon.get(FIELD_TITLE, hash64(w))
+        body_df = eng.lexicon.get(0, hash64(w))
+        assert title_df is not None and body_df is not None
+        assert title_df[0] <= body_df[0]  # title df can never exceed body df
+    finally:
+        eng.shutdown()
