@@ -417,6 +417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # false positives are part of the deterministic contract (the SQL
         # oracle recomputes the same filter bit-for-bit)
         "join_bloom_semi": lambda sf: join_ops.bloom_semi_join(sf),
+        # scan-aggregate / having-join-back report shapes (Q1/Q18 analogs)
+        "pricing_summary": lambda sf: join_ops.pricing_summary(sf),
+        "large_volume_orders": lambda sf: join_ops.large_volume_orders(sf),
         # corpus statistics (round 3): Gopher-style repetition signals,
         # LM-style n-gram counting, PMI collocations, per-doc TF-IDF —
         # shuffle-free per-doc passes + vocab-sized partial-count groupbys
@@ -1275,6 +1278,46 @@ probe AS (SELECT l_orderkey, n_items, count(*) AS hits
           JOIN bits b ON CAST((lh.hv >> (16 * j)) % 65536 AS BIGINT) = b.bit
           GROUP BY 1, 2)
 SELECT l_orderkey, n_items FROM probe WHERE hits = 4
+""",
+        # Q1 pricing-summary shape: integer-cent exact sums (disc_price in
+        # 1e-4-dollar units, charge in 1e-6); avgs round6 over the exact
+        # integer sums — mirrors joins.pricing_summary op-for-op
+        "pricing_summary": f"""
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS base,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d100,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t100
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(qty)::BIGINT AS sum_qty,
+         SUM(base)::BIGINT AS sum_base_cents,
+         SUM(base * (100 - d100))::BIGINT AS sum_disc_e4,
+         SUM(base * (100 - d100) * (100 + t100))::BIGINT AS sum_charge_e6,
+         SUM(d100)::BIGINT AS sum_disc100,
+         COUNT(*)::BIGINT AS count_order
+  FROM b GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_e4,
+       sum_charge_e6,
+       {_r6('sum_qty::DOUBLE / count_order')} AS avg_qty,
+       {_r6('sum_base_cents::DOUBLE / (100.0 * count_order)')} AS avg_price,
+       {_r6('sum_disc100::DOUBLE / (100.0 * count_order)')} AS avg_disc,
+       count_order
+FROM s
+""",
+        # Q18 shape: HAVING on the fact-table rollup, join back through
+        # orders to customer (threshold mirrors joins.large_volume_orders)
+        "large_volume_orders": """
+WITH q AS (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+           FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+SELECT c.c_name, c.c_custkey::BIGINT AS c_custkey,
+       o.o_orderkey::BIGINT AS o_orderkey, q.total_qty,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
+FROM q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
 """,
         # weighted Bernoulli keep: weight = round6(min(1, n_tokens/64)),
         # keep iff md5-u64-frac(doc_id) < weight (split_assign hash family)

@@ -447,3 +447,205 @@ def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
         .groupby("bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic scan-aggregate / having-join-back report shapes (TPC-H Q1 / Q18
+# analogs over the testdata tables). The reference engine has no relational
+# layer at all; these are the wide-aggregate shapes a data engine serves.
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """(l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_e4,
+    sum_charge_e6, avg_qty, avg_price, avg_disc, count_order) — the Q1
+    pricing-summary shape: full lineitem scan, derived money expressions,
+    multi-aggregate rollup to a handful of groups.
+
+    Money is exact integer arithmetic end-to-end (cents; the discount /
+    tax factors are integer percents, so disc_price lands in 1e-4-dollar
+    units and charge in 1e-6) — bit-deterministic under any add order.
+    Overflow headroom: |charge_e6| < 1e11 per row, so int64 partials hold
+    to ~1e7 rows/batch and the final Python-int merge is unbounded.
+    Per-batch combiners collapse each block to <= |flag x status| (~4)
+    rows; the groupby exchange moves ~4 rows per block."""
+    from datetime import datetime
+
+    cut = datetime.fromisoformat(cutoff)
+    _P = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty", pa.int64()),
+            ("sum_base_cents", pa.int64()),
+            ("sum_disc_e4", pa.int64()),
+            ("sum_charge_e6", pa.int64()),
+            ("sum_disc100", pa.int64()),
+            ("count_order", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(cut)))
+        if t.num_rows == 0:
+            return _P.empty_table()
+        key = pc.binary_join_element_wise(
+            t.column("l_returnflag"), t.column("l_linestatus"), "|"
+        )
+        dic = pc.dictionary_encode(key)
+        inv = dic.combine_chunks().indices.to_numpy(zero_copy_only=False)
+        labels = dic.combine_chunks().dictionary.to_pylist()
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        base = _cents(t.column("l_extendedprice"))
+        d100 = _cents(t.column("l_discount"))  # discount as integer percent
+        t100 = _cents(t.column("l_tax"))
+        disc_e4 = base * (100 - d100)
+        charge_e6 = disc_e4 * (100 + t100)
+        n = len(labels)
+        flags, statuses = zip(*(s.split("|") for s in labels))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "l_linestatus": pa.array(statuses, pa.string()),
+                "sum_qty": pa.array(np.bincount(inv, weights=qty, minlength=n).astype(np.int64)),
+                "sum_base_cents": pa.array(np.bincount(inv, weights=base, minlength=n).astype(np.int64)),
+                "sum_disc_e4": pa.array(np.bincount(inv, weights=disc_e4, minlength=n).astype(np.int64)),
+                "sum_charge_e6": pa.array(np.bincount(inv, weights=charge_e6, minlength=n).astype(np.int64)),
+                "sum_disc100": pa.array(np.bincount(inv, weights=d100, minlength=n).astype(np.int64)),
+                "count_order": pa.array(np.bincount(inv, minlength=n).astype(np.int64)),
+            }
+        )
+
+    _O = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty", pa.int64()),
+            ("sum_base_cents", pa.int64()),
+            ("sum_disc_e4", pa.int64()),
+            ("sum_charge_e6", pa.int64()),
+            ("avg_qty", pa.float64()),
+            ("avg_price", pa.float64()),
+            ("avg_disc", pa.float64()),
+            ("count_order", pa.int64()),
+        ]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        from ..functions.scoring import round6
+
+        s = {
+            c: int(group.column(c).to_numpy(zero_copy_only=False).sum())
+            for c in (
+                "sum_qty", "sum_base_cents", "sum_disc_e4", "sum_charge_e6",
+                "sum_disc100", "count_order",
+            )
+        }
+        n = s["count_order"]
+        return pa.table(
+            {
+                "l_returnflag": pa.array([group.column("l_returnflag")[0].as_py()]),
+                "l_linestatus": pa.array([group.column("l_linestatus")[0].as_py()]),
+                "sum_qty": pa.array([s["sum_qty"]], pa.int64()),
+                "sum_base_cents": pa.array([s["sum_base_cents"]], pa.int64()),
+                "sum_disc_e4": pa.array([s["sum_disc_e4"]], pa.int64()),
+                "sum_charge_e6": pa.array([s["sum_charge_e6"]], pa.int64()),
+                "avg_qty": pa.array([float(round6(np.float64(s["sum_qty"] / n)))]),
+                "avg_price": pa.array([float(round6(np.float64(s["sum_base_cents"] / (100.0 * n))))]),
+                "avg_disc": pa.array([float(round6(np.float64(s["sum_disc100"] / (100.0 * n))))]),
+                "count_order": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # partials are ~4 rows/block: keep the groupby tiny
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def large_volume_orders(sf_dir: str, threshold: int = 300) -> rd.Dataset:
+    """(c_name, c_custkey, o_orderkey, total_qty, totalprice_cents) — the
+    Q18 shape: GROUP BY ... HAVING on the big fact table, then join the
+    (small) surviving keys back through orders to customer.
+
+    lineitem -> per-batch partial qty sums per orderkey (lines of an order
+    cluster in files, so partials shrink the exchange) -> native Sum
+    aggregate (vectorized, no per-group Python) -> threshold filter. The
+    survivors JOIN orders uses the native hash-shuffle join (no driver
+    materialization at any point); customer resolves via broadcast_lookup."""
+    from ray.data.aggregate import Sum
+
+    _Q = pa.schema([("l_orderkey", pa.int64()), ("qty", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _Q.empty_table()
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(u, pa.int64()),
+                "qty": pa.array(np.bincount(inv, weights=q).astype(np.int64), pa.int64()),
+            }
+        )
+
+    heavy = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("total_qty"), threshold)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # the native Aggregate emits SCHEMA-LESS empty blocks; feeding those
+        # into Dataset.join fails with "No match for FieldRef" inside acero
+        # (same root cause as the pre-groupby coalesce elsewhere). The
+        # HAVING survivors are output-sized, so one block is right-sized;
+        # at a scale where they aren't, coalesce to ceil(rows/block) instead
+        .repartition(1)
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    joined = heavy.join(
+        orders,
+        "inner",
+        num_partitions=JOIN_PARTITIONS,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    import pyarrow.parquet as pq
+
+    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    out = broadcast_lookup(joined, customer, "o_custkey", "c_custkey", ["c_name"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        return pa.table(
+            {
+                "c_name": t.column("c_name"),
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "total_qty": pc.cast(t.column("total_qty"), pa.int64()),
+                "totalprice_cents": pa.array(_cents(t.column("o_totalprice")), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
