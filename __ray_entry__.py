@@ -354,6 +354,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duplicated-substring measurement (Lee et al. 2021 shape): frac of
         # token-5-gram windows occurring >= 2x corpus-wide, per doc
         "dedup_window_stats": lambda sf: dedup_ops.dup_window_stats(sf),
+        # benchmark decontamination: flag training docs sharing any token
+        # 5-gram with the (deterministic doc_id%97) benchmark subset
+        "decontaminate": lambda sf: dedup_ops.decontaminate(sf),
+        # perplexity-style quality signal: mean unigram NLL per doc under
+        # the corpus's own unigram LM (integer-1e-6-nat exact sums)
+        "unigram_logprob": lambda sf: corpus_ops.unigram_logprob(sf),
         # similarity search
         "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
         "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
@@ -804,6 +810,41 @@ SELECT d.doc_id, coalesce(nw, 0)::BIGINT AS n_windows,
 FROM documents d LEFT JOIN per USING (doc_id)
 """
 
+    # decontamination: same k=5 rolling-FNV shingles; benchmark = docs with
+    # doc_id % 97 == 0 (nonnegative ids in testdata, so SQL % == numpy %)
+    decontam = f"""
+WITH tokd AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id, {_dw_expr} AS su
+       FROM tokd, LATERAL (SELECT unnest(range(len(t) - 4)) AS i) s
+       WHERE len(t) >= 5),
+shd AS (SELECT DISTINCT doc_id, su FROM sh),
+bench AS (SELECT DISTINCT su FROM shd WHERE doc_id % 97 = 0),
+per AS (SELECT doc_id, count(*)::BIGINT AS ns,
+               sum(CASE WHEN su IN (SELECT su FROM bench) THEN 1 ELSE 0 END)::BIGINT AS nov
+        FROM shd GROUP BY 1)
+SELECT d.doc_id, coalesce(ns, 0)::BIGINT AS n_shingles,
+       coalesce(nov, 0)::BIGINT AS n_overlap,
+       (coalesce(nov, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+    # per-token NLL integerized to 1e-6 nats before the doc sum (order-
+    # independent integer adds; mirrors corpus.unigram_logprob op-for-op)
+    uni_nll = f"""
+WITH tok AS ({tok}),
+cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+nu AS (SELECT count(*)::DOUBLE AS n FROM tok),
+nll AS (SELECT term,
+        CAST(floor(ln((SELECT n FROM nu) / c::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS e6
+        FROM cf),
+per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens, SUM(nll.e6)::BIGINT AS s
+        FROM tok t JOIN nll USING (term) GROUP BY 1)
+SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce({_r6('per.s / (1000000.0 * per.n_tokens)')}, 0) AS avg_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
     simhash_sql = f"""
 WITH tok AS ({tok}),
 th AS (SELECT doc_id,
@@ -1220,6 +1261,8 @@ FROM f
 """,
         "dedup_ngram_jaccard": ngram,
         "dedup_window_stats": dup_windows,
+        "decontaminate": decontam,
+        "unigram_logprob": uni_nll,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_pairs": minhash,
         "dedup_components": components,

@@ -362,3 +362,88 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, avg_nll) — mean unigram negative log-likelihood
+    of each doc under the corpus's OWN unigram distribution (the
+    CCNet/Gopher-family perplexity quality signal, with the corpus itself
+    standing in for the LM; swap the broadcast table for a reference-corpus
+    LM to get the production filter — the Ray shape is identical).
+
+    Determinism contract: each token's NLL is integerized to 1e-6 nats,
+    e6 = floor(ln(NU/cf) * 1e6 + 0.5), BEFORE summation — doc sums are
+    integer adds (order-independent) and the SQL oracle recomputes them
+    bit-exactly. avg_nll = round6(sum_e6 / (1e6 * n_tokens)), 0 for empty
+    docs. Every token is in-vocabulary by construction.
+
+    Scale shape: the unigram table is vocabulary-sized -> broadcast via
+    ray.put keyed by md5-u64 hash (sorted searchsorted probe; shards like
+    the lexicon at 10^12 docs); the per-doc pass is one shuffle-free
+    map_batches. 64-bit hash collisions are the documented caveat (~1e-10
+    at bench scale), as for the shingle ops."""
+    from ..functions.hashing import md5h64_array
+
+    def unigram_partials(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        _, tokens = tokenize_flat(t.column("text").combine_chunks())
+        if len(tokens) == 0:
+            return pa.schema([("term", pa.string()), ("c_p", pa.int64())]).empty_table()
+        agg = pa.table({"term": tokens}).group_by("term").aggregate([([], "count_all")])
+        return pa.table(
+            {"term": agg.column("term"), "c_p": agg.column("count_all").cast(pa.int64())}
+        )
+
+    uni = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(unigram_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c_p", alias_name="cf"))
+        .to_pandas()  # vocabulary-sized small side (broadcast, not shuffled)
+    )
+    cfs = uni["cf"].to_numpy().astype(np.int64)
+    hashes = md5h64_array(list(uni["term"]))
+    nu = float(cfs.sum())
+    e6 = np.floor(np.log(nu / cfs.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+    order = np.argsort(hashes)
+    ref = ray.put((hashes[order], e6[order]))
+
+    _O = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("avg_nll", pa.float64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        n = t.num_rows
+        if len(parents) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc, pa.int64()),
+                    "n_tokens": pa.array(np.zeros(n, np.int64)),
+                    "avg_nll": pa.array(np.zeros(n, np.float64)),
+                }
+            )
+        hs, es = ray.get(ref)
+        th = md5h64_array(tokens)
+        tok_e6 = es[np.searchsorted(hs, th)]
+        n_tok = np.bincount(parents, minlength=n).astype(np.int64)
+        # int64 magnitudes fit float64 weights exactly (< 2^53 per doc)
+        sums = np.bincount(parents, weights=tok_e6.astype(np.float64), minlength=n)
+        avg = np.zeros(n, np.float64)
+        nz = n_tok > 0
+        avg[nz] = round6(sums[nz] / (1e6 * n_tok[nz]))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "avg_nll": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1065,3 +1065,108 @@ def dup_window_stats(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 / The Pile style): flag training docs
+# sharing any token-k-gram with a held-out benchmark/eval set.
+
+EVAL_MOD = 97  # deterministic benchmark membership: doc_id % EVAL_MOD == 0
+# (~1% of the corpus stands in for the eval set; real deployments pass the
+# actual benchmark shingle set — the broadcast shape is identical)
+
+
+def decontaminate(
+    sf_dir: str, k: int = DUP_WINDOW_K, eval_mod: int = EVAL_MOD
+) -> rd.Dataset:
+    """(doc_id, n_shingles, n_overlap, contaminated) per TRAINING doc —
+    training-set decontamination against a benchmark set: a doc is
+    contaminated iff any of its distinct token-k-grams appears in the
+    benchmark's shingle set (the n-gram-overlap rule of GPT-3 appendix C /
+    The Pile; window k here = DUP_WINDOW_K to share the rolling-FNV-over-
+    md5 hash contract of dup_window_stats, recomputed bit-exactly in SQL).
+
+    Scale shape: the benchmark side is EVAL-SIZED (benchmarks are MBs even
+    when the corpus is 100 TB), so its distinct-shingle set is collected
+    once and broadcast via ray.put (sorted int64 array; searchsorted probe
+    per batch) — a shuffle-free semi-join, the right regime per
+    joins.broadcast_lookup. The training scan is one map_batches pass, no
+    shuffle at all. Docs with < k tokens have no shingles -> clean.
+    """
+    bench_sh: list[np.ndarray] = []
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = doc % eval_mod == 0
+        t2 = t.filter(pa.array(keep))
+        if t2.num_rows == 0:
+            return pa.table({"shingle": pa.array([], pa.int64())})
+        rows, sh = _doc_shingle_hashes(t2, k=k)
+        return pa.table({"shingle": pa.array(np.unique(sh), pa.int64())})
+
+    # eval-sized by construction: collect + dedup on the driver, broadcast
+    parts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(bench_shingles, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    bench = np.unique(
+        np.fromiter((p["shingle"] for p in parts), dtype=np.int64, count=len(parts))
+    )
+    ref = ray.put(bench)
+
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_shingles", pa.int64()),
+            ("n_overlap", pa.int64()),
+            ("contaminated", pa.bool_()),
+        ]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        train = doc % eval_mod != 0
+        t2 = t.filter(pa.array(train))
+        if t2.num_rows == 0:
+            return _O.empty_table()
+        doc2 = t2.column("doc_id").to_numpy(zero_copy_only=False)
+        rows, sh = _doc_shingle_hashes(t2, k=k)
+        n = t2.num_rows
+        if len(sh) == 0:
+            z = np.zeros(n, np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc2, pa.int64()),
+                    "n_shingles": pa.array(z, pa.int64()),
+                    "n_overlap": pa.array(z, pa.int64()),
+                    "contaminated": pa.array(np.zeros(n, bool)),
+                }
+            )
+        # distinct (row, shingle)
+        order = np.lexsort((sh, rows))
+        r_s, s_s = rows[order], sh[order]
+        first = np.empty(len(r_s), dtype=bool)
+        first[0] = True
+        first[1:] = (r_s[1:] != r_s[:-1]) | (s_s[1:] != s_s[:-1])
+        r_u, s_u = r_s[first], s_s[first]
+        b = ray.get(ref)
+        pos = np.searchsorted(b, s_u)
+        pos_c = np.minimum(pos, max(len(b) - 1, 0))
+        hit = (len(b) > 0) & (b[pos_c] == s_u) if len(b) else np.zeros(len(s_u), bool)
+        n_sh = np.bincount(r_u, minlength=n).astype(np.int64)
+        n_ov = np.bincount(r_u, weights=hit.astype(np.float64), minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc2, pa.int64()),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "n_overlap": pa.array(n_ov, pa.int64()),
+                "contaminated": pa.array(n_ov > 0),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

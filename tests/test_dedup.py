@@ -259,3 +259,35 @@ def test_dup_window_stats_crafted(tmp_path, ray_session):
     assert out.loc[5].tolist() == [0, 0, 0.0]
     assert out.loc[6].tolist() == [0, 0, 0.0]
     assert out.loc[7].tolist() == [1, 0, 0.0]
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session, tmp_path):
+    """A training doc copying a benchmark doc's text (doc_id % 97 == 0) is
+    contaminated; an unrelated doc is not; benchmark docs are excluded
+    from the output; short (<5-token) docs are clean by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    bench_text,  # benchmark (0 % 97 == 0)
+                    "totally different words here nothing shared at all",
+                    "prefix words then " + bench_text,  # contains bench 5-grams
+                    "tiny doc",  # < 5 tokens -> no shingles
+                ]
+            ),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    out = decontaminate(d).to_pandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3]  # benchmark doc excluded
+    assert not out.loc[1, "contaminated"]
+    assert out.loc[2, "contaminated"] and out.loc[2, "n_overlap"] == 3
+    assert out.loc[3, "n_shingles"] == 0 and not out.loc[3, "contaminated"]
