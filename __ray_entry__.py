@@ -369,10 +369,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: ann_ops.ann_ivf_topk(
             sf, n_queries=ANN_QUERIES, k=TOPK, n_lists=16, nprobe=4, train_iters=0
         ),
+        # embedding-space outlier pruning: top-5 farthest-from-centroid
+        # vectors per label (exact integer micro-unit contract)
+        "embedding_outliers": lambda sf: ann_ops.embedding_outliers(sf, k=5),
         # event-stream windowed shapes (events table)
         "events_windowed": lambda sf: event_ops.windowed_counts(sf),
         "events_sessions": lambda sf: event_ops.sessionize(sf),
         "events_asof_join": lambda sf: event_ops.asof_join(sf),
+        # ordered view->click->purchase conversion chain per user
+        "events_funnel": lambda sf: event_ops.funnel(sf),
         # text analysis
         "quality_scores": lambda sf: textops.quality_scores(sf),
         "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
@@ -772,6 +777,26 @@ FROM e a CROSS JOIN e b
 WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.ee, b.ee) >= 0.4
 """
 
+    # centroid-distance outliers: exact micro-unit integer contract
+    # (ann.embedding_outliers): v_e6 half-up per element, c_e6 half-up of
+    # the integer-sum mean, dist2 an integer sum of squares
+    emb_outliers = f"""
+WITH v AS (SELECT vec_id, label::BIGINT AS label, s.i AS i,
+                  CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000 + 0.5)
+                       AS BIGINT) AS e6
+           FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i) s),
+c AS (SELECT label, i,
+             CAST(floor(SUM(e6) / COUNT(*) + 0.5) AS BIGINT) AS c6
+      FROM v GROUP BY 1, 2),
+d AS (SELECT vec_id, v.label, SUM((e6 - c6) * (e6 - c6))::BIGINT AS dist2_e12
+      FROM v JOIN c ON v.label = c.label AND v.i = c.i GROUP BY 1, 2),
+r AS (SELECT label, vec_id, dist2_e12,
+             row_number() OVER (PARTITION BY label
+               ORDER BY dist2_e12 DESC, vec_id ASC) AS rank
+      FROM d)
+SELECT label, rank::INT AS rank, vec_id, dist2_e12 FROM r WHERE rank <= 5
+"""
+
     sh_ctes = _shingle_ctes(toks)
     # ORACLE-CORPUS PRECONDITION: the engine caps per-shingle pair fan-out
     # at dedup.MAX_SHINGLE_DF (=256) distinct docs — a deliberate,
@@ -1029,6 +1054,7 @@ SELECT doc_id,
 FROM documents
 """,
         "dedup_embedding": emb_dup,
+        "embedding_outliers": emb_outliers,
         "ann_brute_topk": ann,
         # composed cleaning pipeline: reason precedence mirrors
         # pipelines/clean.py (lang > short > alpha > stopword > dup);
@@ -1122,6 +1148,26 @@ SELECT window_id, event_type, count(*)::BIGINT AS n_events,
        (sum(cents) / 100.0) AS sum_value,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM w GROUP BY 1, 2
+""",
+        # ordered funnel: t_{i+1} = earliest stage-(i+1) event STRICTLY
+        # after t_i (events.funnel); missing stages -> -1
+        "events_funnel": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+SELECT u.user_id,
+       (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS steps_completed,
+       coalesce(t1, -1)::BIGINT AS t1_us,
+       coalesce(t2, -1)::BIGINT AS t2_us,
+       coalesce(t3, -1)::BIGINT AS t3_us
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
 """,
         "events_sessions": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

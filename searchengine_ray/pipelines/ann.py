@@ -370,3 +370,132 @@ def ann_ivf_topk(
         local_topk, batch_format="pyarrow", zero_copy_batch=True
     )
     return _distributed_merge(cands, k)
+
+
+def embedding_outliers(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """(label, rank, vec_id, dist2_e12) — the `k` vectors FARTHEST from
+    their label's centroid, per label (embedding-space outlier pruning, the
+    centroid-distance curation filter for embedding-labeled corpora).
+
+    Exact integer contract (bit-equal to the SQL oracle, no float-sum
+    order sensitivity anywhere):
+      v_e6       = floor(float64(v) * 1e6 + 0.5)            per element
+      c_e6       = floor(sum(v_e6) / n + 0.5)               per (label, dim)
+      dist2_e12  = sum_dims (v_e6 - c_e6)^2                 int64
+    rank = (dist2_e12 desc, vec_id asc), kept while rank <= k.
+    Magnitudes: |v| <= ~2 -> |v_e6| <= ~2e6, dist2_e12 <= 64 * 1.6e13
+    ~= 1e15; centroid sums stay < 2^53 to ~4e9 vectors/label.
+
+    Scale shape: stage 1 is a per-batch combiner (one (label, sum-vector,
+    count) row per label per block) into a label-cardinality groupby;
+    centroids broadcast via ray.put; stage 2 is one shuffle-free scan with
+    per-(block, label) local top-k, merged by a label groupby whose input
+    is <= n_blocks * k rows per label."""
+    _P = pa.schema(
+        [("label", pa.int64()), ("n_p", pa.int64()), ("sums", pa.list_(pa.int64()))]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _P.empty_table()
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t.column("embedding").combine_chunks()
+        m = np.asarray(
+            emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(lab), -1)
+        e6 = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(u), e6.shape[1]), np.int64)
+        np.add.at(sums, inv, e6)
+        return pa.table(
+            {
+                "label": pa.array(u, pa.int64()),
+                "n_p": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.int64())),
+            }
+        )
+
+    # label-cardinality-sized partials -> driver merge -> broadcast
+    parts = (
+        read_embeddings(sf_dir, columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    labels = np.sort(parts["label"].unique()).astype(np.int64)
+    cent = {}
+    for lb in labels:
+        g = parts[parts["label"] == lb]
+        n = int(g["n_p"].sum())
+        s = np.sum(np.stack(g["sums"].to_numpy()), axis=0)
+        cent[int(lb)] = np.floor(s / n + 0.5).astype(np.int64)
+    c_mat = np.stack([cent[int(lb)] for lb in labels])
+    ref = ray.put((labels, c_mat))
+
+    _O = pa.schema(
+        [("label", pa.int64()), ("vec_id", pa.int64()), ("dist2_e12", pa.int64())]
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        labs, c = ray.get(ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t.column("embedding").combine_chunks()
+        m = np.asarray(
+            emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(ids), -1)
+        e6 = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        d = e6 - c[np.searchsorted(labs, lab)]
+        dist2 = np.sum(d * d, axis=1)
+        # local per-label top-k caps the merge exchange at k rows/label/block
+        order = np.lexsort((ids, -dist2, lab))
+        lab_s, ids_s, d_s = lab[order], ids[order], dist2[order]
+        pos_in_label = np.arange(len(lab_s)) - np.maximum.accumulate(
+            np.where(np.r_[True, lab_s[1:] != lab_s[:-1]], np.arange(len(lab_s)), 0)
+        )
+        keep = pos_in_label < k
+        return pa.table(
+            {
+                "label": pa.array(lab_s[keep], pa.int64()),
+                "vec_id": pa.array(ids_s[keep], pa.int64()),
+                "dist2_e12": pa.array(d_s[keep], pa.int64()),
+            }
+        )
+
+    _R = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("rank", pa.int32()),
+            ("vec_id", pa.int64()),
+            ("dist2_e12", pa.int64()),
+        ]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _R.empty_table()
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        d2 = group.column("dist2_e12").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -d2))[:k]
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.full(len(order), group.column("label")[0].as_py(), np.int64)
+                ),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "dist2_e12": pa.array(d2[order], pa.int64()),
+            }
+        )
+
+    return (
+        read_embeddings(sf_dir, columns=["vec_id", "label", "embedding"])
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # <= n_blocks*k*|labels| rows: one block, clean groupby
+        .groupby("label")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -798,3 +798,69 @@ def pivot_event_counts(
         .groupby("bucket")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS) -> rd.Dataset:
+    """(user_id, steps_completed, t1_us, t2_us, t3_us) — classic ordered
+    conversion funnel: t1 = user's earliest step-1 event; t_{i+1} = earliest
+    step-(i+1) event STRICTLY AFTER t_i. steps_completed counts defined
+    stages; missing stages report -1. Every user with >= 1 event appears.
+
+    Scale shape: one coarse user-bucket shuffle (same discipline as
+    sessionize); inside a bucket the chain is fully vectorized — one
+    np.minimum.at pass per funnel stage over the bucket's events, no
+    per-user Python."""
+    assert len(steps) == 3  # output schema is fixed at 3 stages
+    _F = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("steps_completed", pa.int64()),
+            ("t1_us", pa.int64()),
+            ("t2_us", pa.int64()),
+            ("t3_us", pa.int64()),
+        ]
+    )
+    NONE = np.int64(np.iinfo(np.int64).max)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _F.empty_table()
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        typ = group.column("event_type").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(user, return_inverse=True)
+        n = len(uu)
+        ts_stage = []
+        prev = np.full(n, np.int64(-1))  # stage-0 sentinel: strictly-after -inf
+        for s in steps:
+            cur = np.full(n, NONE)
+            m = (typ == s) & (us > prev[inv])
+            np.minimum.at(cur, inv[m], us[m])
+            ts_stage.append(cur)
+            prev = cur
+        done = np.sum([t != NONE for t in ts_stage], axis=0).astype(np.int64)
+        out = {
+            "user_id": pa.array(uu.astype(np.int64), pa.int64()),
+            "steps_completed": pa.array(done, pa.int64()),
+        }
+        for i, t in enumerate(ts_stage, start=1):
+            out[f"t{i}_us"] = pa.array(np.where(t == NONE, np.int64(-1), t), pa.int64())
+        return pa.table(out)
+
+    def coarse(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        read_events(sf_dir, columns=["user_id", "ts", "event_type"])
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
