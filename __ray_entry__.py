@@ -357,6 +357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination: flag training docs sharing any token
         # 5-gram with the (deterministic doc_id%97) benchmark subset
         "decontaminate": lambda sf: dedup_ops.decontaminate(sf),
+        # the POLICY half of substring dedup: strip every token covered by
+        # a corpus-duplicated 5-gram window (ExactSubstr rule)
+        "strip_dup_spans": lambda sf: dedup_ops.strip_dup_spans(sf),
         # perplexity-style quality signal: mean unigram NLL per doc under
         # the corpus's own unigram LM (integer-1e-6-nat exact sums)
         "unigram_logprob": lambda sf: corpus_ops.unigram_logprob(sf),
@@ -378,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": lambda sf: event_ops.asof_join(sf),
         # ordered view->click->purchase conversion chain per user
         "events_funnel": lambda sf: event_ops.funnel(sf),
+        # top-20 per-session event-type paths (path analysis)
+        "events_journeys": lambda sf: event_ops.journeys(sf),
         # text analysis
         "quality_scores": lambda sf: textops.quality_scores(sf),
         "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
@@ -835,6 +840,33 @@ SELECT d.doc_id, coalesce(nw, 0)::BIGINT AS n_windows,
 FROM documents d LEFT JOIN per USING (doc_id)
 """
 
+    # span stripping: a token position p is removed iff some duplicated
+    # (corpus multiplicity >= 2) 5-gram window starts in [p-4, p];
+    # text_clean = kept tokens joined by ' ' (canonical tokenizer stream)
+    strip_spans = f"""
+WITH tokd AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id, s.i AS i, {_dw_expr} AS su
+       FROM tokd, LATERAL (SELECT unnest(range(len(t) - 4)) AS i) s
+       WHERE len(t) >= 5),
+tot AS (SELECT su, count(*) AS c FROM sh GROUP BY 1),
+dup AS (SELECT doc_id, i FROM sh JOIN tot USING (su) WHERE c >= 2),
+cov AS (SELECT DISTINCT doc_id, i + o.o AS p
+        FROM dup, LATERAL (SELECT unnest(range(5)) AS o) o),
+tokpos AS (SELECT doc_id, s.i AS p, t[s.i + 1] AS tok
+           FROM tokd, LATERAL (SELECT unnest(range(len(t))) AS i) s),
+kept AS (SELECT tp.doc_id, tp.p, tp.tok
+         FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+         WHERE cov.p IS NULL),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS text_clean
+        FROM kept GROUP BY 1),
+base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM tokd)
+SELECT b.doc_id, b.n_tokens,
+       (b.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.text_clean, '') AS text_clean
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
     # decontamination: same k=5 rolling-FNV shingles; benchmark = docs with
     # doc_id % 97 == 0 (nonnegative ids in testdata, so SQL % == numpy %)
     decontam = f"""
@@ -1169,6 +1201,28 @@ SELECT u.user_id,
 FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
        LEFT JOIN s3 USING (user_id)
 """,
+        # per-session '>'-joined event paths, top-20 by (count desc, path
+        # asc); session = sessionize gap rule; in-session order (ts,
+        # event_id) mirrors events.journeys
+        "events_journeys": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+o AS (SELECT user_id, event_id, us, event_type,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT user_id, event_id, us, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+j AS (SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS journey
+      FROM s GROUP BY 1, 2),
+c AS (SELECT journey, count(*)::BIGINT AS n_sessions FROM j GROUP BY 1),
+r AS (SELECT journey, n_sessions,
+             row_number() OVER (ORDER BY n_sessions DESC, journey ASC) AS rk
+      FROM c)
+SELECT journey, n_sessions FROM r WHERE rk <= 20
+""",
         "events_sessions": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 o AS (SELECT user_id, us,
@@ -1308,6 +1362,7 @@ FROM f
         "dedup_ngram_jaccard": ngram,
         "dedup_window_stats": dup_windows,
         "decontaminate": decontam,
+        "strip_dup_spans": strip_spans,
         "unigram_logprob": uni_nll,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_pairs": minhash,

@@ -33,6 +33,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -1170,3 +1171,219 @@ def decontaminate(
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
+    """(doc_id, n_tokens, n_removed, text_clean) — the POLICY half of
+    substring deduplication (Lee et al. 2021): remove every token covered
+    by a corpus-duplicated k-gram window (multiplicity >= 2 corpus-wide,
+    counting all copies; both/all occurrences are stripped, the paper's
+    ExactSubstr rule). `text_clean` is the canonical kept-token stream
+    (lowercased tokenizer output joined by single spaces) — the form a
+    training-data pipeline feeds downstream; dup_window_stats is the
+    measurement half of the same contract (shared rolling-FNV hashes).
+
+    Scale shape — three bounded exchanges, nothing driver-side:
+      1. per-batch combiner rows (hash-bucket, h, doc, packed positions),
+         one row per DISTINCT (h, doc) — the dup_window_stats discipline,
+         positions ride along as a list column;
+      2. hash-bucket groupby: per-hash total multiplicity via a run scan;
+         only rows of DUPLICATED hashes survive (re-bucketed by doc);
+      3. doc-bucket groupby packs each doc's duplicated window starts into
+         one row; a native hash join brings the (doc_id, starts) side to
+         the documents scan (left_outer: clean docs pass through), and a
+         final vectorized kernel strips coverage with a diff-array cumsum
+         and reassembles text via Arrow binary_join (no per-row Python).
+    """
+    k_ = int(k)
+    _P1 = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("h", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("mult", pa.int64()),
+            ("pos", pa.list_(pa.int32())),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        rows, hashes = _doc_shingle_hashes(t, k_)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(hashes) == 0:
+            return _P1.empty_table()
+        # window position within its row: windows of a row are consecutive
+        # and in order in the (rows, hashes) stream
+        first_of_row = np.r_[True, rows[1:] != rows[:-1]]
+        row_first_idx = np.maximum.accumulate(
+            np.where(first_of_row, np.arange(len(rows)), 0)
+        )
+        pos = (np.arange(len(rows)) - row_first_idx).astype(np.int32)
+        # one row per distinct (h, doc): positions packed as a list
+        order = np.lexsort((pos, rows, hashes))
+        hs, rs, ps = hashes[order], rows[order], pos[order]
+        new = np.r_[True, (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(hs)))
+        offsets = np.zeros(len(starts) + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        pos_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(ps, pa.int32())
+        )
+        hu = hs[starts]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (hu.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32),
+                    pa.int32(),
+                ),
+                "h": pa.array(hu, pa.int64()),
+                "doc_id": pa.array(did[rs[starts]], pa.int64()),
+                "mult": pa.array(counts.astype(np.int64), pa.int64()),
+                "pos": pos_list,
+            }
+        )
+
+    _P2 = pa.schema(
+        [("dbucket", pa.int32()), ("doc_id", pa.int64()), ("pos", pa.list_(pa.int32()))]
+    )
+
+    def keep_dup_rows(group: pa.Table) -> pa.Table:
+        # per-hash total multiplicity inside this hash bucket (complete by
+        # construction); survivors re-bucket by doc for the pack stage
+        if group.num_rows == 0:
+            return _P2.empty_table()
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        mult = group.column("mult").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        new = np.r_[True, h_s[1:] != h_s[:-1]]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=mult[order].astype(np.float64))
+        dup_sorted = tot[gid] >= 2
+        dup = np.empty(len(h), bool)
+        dup[order] = dup_sorted
+        t2 = group.filter(pa.array(dup))
+        did = t2.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dbucket": pa.array(
+                    (did.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32),
+                    pa.int32(),
+                ),
+                "doc_id": t2.column("doc_id"),
+                "pos": t2.column("pos"),
+            }
+        )
+
+    # starts travel as raw little-endian int32 BYTES: Arrow's hash join
+    # rejects list-typed non-key fields, binary passes through untouched
+    _P3 = pa.schema([("doc_id", pa.int64()), ("starts", pa.large_binary())])
+
+    def pack_per_doc(group: pa.Table) -> pa.Table:
+        # one (doc_id, starts) row per doc: concat the doc's position lists
+        if group.num_rows == 0:
+            return _P3.empty_table()
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").combine_chunks()
+        parent = pc.list_parent_indices(pos).to_numpy(zero_copy_only=False)
+        flat = pos.flatten().to_numpy(zero_copy_only=False)
+        order = np.lexsort((flat, did[parent]))
+        d_s, f_s = did[parent][order], flat[order].astype("<i4")
+        new = np.r_[True, d_s[1:] != d_s[:-1]]
+        starts_idx = np.flatnonzero(new)
+        counts = np.diff(np.append(starts_idx, len(d_s)))
+        byte_off = np.zeros(len(starts_idx) + 1, np.int64)
+        np.cumsum(counts * 4, out=byte_off[1:])
+        starts_bin = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            len(starts_idx),
+            [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(f_s.tobytes())],
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[starts_idx], pa.int64()),
+                "starts": starts_bin,
+            }
+        )
+
+    dup_starts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(keep_dup_rows, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(pack_per_doc, batch_format="pyarrow")
+        # the groupby exchange emits SCHEMA-LESS empty blocks for empty
+        # partitions; acero's join rejects them ("No match for FieldRef") —
+        # coalesce like large_volume_orders (at a scale where one block is
+        # too small, coalesce to ceil(rows/block) instead)
+        .repartition(1)
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    joined = docs.join(
+        dup_starts,
+        "left_outer",
+        num_partitions=16,
+        on=("doc_id",),
+    )
+
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("text_clean", pa.string()),
+        ]
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        n = t.num_rows
+        n_tok = np.bincount(parents, minlength=n).astype(np.int64)
+        row_starts = np.zeros(n + 1, np.int64)
+        np.cumsum(n_tok, out=row_starts[1:])
+        total = int(row_starts[-1])
+        starts_col = t.column("starts").combine_chunks()
+        # vectorized binary decode: one frombuffer over the flat value
+        # buffer, per-row counts from the offset diffs — no per-row loop.
+        # (Null slots from the left_outer join have empty extents, so the
+        # value buffer is the in-order concat of the non-null rows.)
+        valid = pc.is_valid(starts_col).to_numpy(zero_copy_only=False)
+        cov = np.zeros(total + k_ + 1, np.int64)
+        if valid.any():
+            bufs = starts_col.buffers()
+            off_all = np.frombuffer(bufs[1], dtype=np.int64)
+            offs = off_all[starts_col.offset : starts_col.offset + len(starts_col) + 1]
+            allv = np.frombuffer(bufs[2], dtype="<i4") if bufs[2] is not None else np.zeros(0, "<i4")
+            counts = (offs[1:] - offs[:-1]) // 4
+            sp = np.repeat(np.arange(len(starts_col)), counts)
+            sf = allv[offs[0] // 4 : offs[-1] // 4].astype(np.int64)
+            gs = row_starts[sp] + sf
+            np.add.at(cov, gs, 1)
+            np.add.at(cov, gs + k_, -1)
+        covered = np.cumsum(cov[:total]) > 0
+        kept = ~covered
+        kept_tokens = tokens.filter(pa.array(kept))
+        kept_per_row = np.bincount(parents[kept], minlength=n).astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(kept_per_row, out=offsets[1:])
+        if isinstance(kept_tokens, pa.ChunkedArray):
+            kept_tokens = kept_tokens.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_tokens
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_removed": pa.array(n_tok - kept_per_row, pa.int64()),
+                "text_clean": pc.binary_join(lists, " "),
+            }
+        )
+
+    return joined.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)

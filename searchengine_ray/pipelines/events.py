@@ -864,3 +864,87 @@ def funnel(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def journeys(sf_dir: str, k: int = 20, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
+    """(journey, n_sessions) — the `k` most common per-session event-type
+    paths (the '>'-joined sequence of a session's events in (ts, event_id)
+    order; sessions are the sessionize() gap definition). Path analysis:
+    which journeys dominate the event stream.
+
+    Total order inside a session is (ts, event_id) — event_id breaks ts
+    ties, so the string is deterministic (and the SQL oracle's
+    string_agg(... ORDER BY ts, event_id) reproduces it exactly).
+
+    Scale shape: one coarse user-bucket shuffle builds per-session strings
+    (a user's events co-locate, so bucket-local sessions are global
+    sessions); each bucket emits only its DISTINCT (journey, count)
+    partials; a journey groupby sums them; per-block local top-k caps the
+    final sort at k x n_blocks rows. The per-session ''.join is string
+    assembly, not scoring (same class as the md5-per-row fingerprints)."""
+    from ray.data.aggregate import Sum
+
+    gap_us = np.int64(gap_s) * np.int64(1_000_000)
+    _P = pa.schema([("journey", pa.string()), ("c_p", pa.int64())])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _P.empty_table()
+        user = group.column("user_id").to_numpy(zero_copy_only=False)
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        typ = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, us, user))
+        user, us, typ = user[order], us[order], typ[order]
+        brk = np.empty(len(us), dtype=bool)
+        brk[0] = True
+        brk[1:] = (user[1:] != user[:-1]) | (us[1:] - us[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(us))
+        js = np.fromiter(
+            (">".join(typ[s:e]) for s, e in zip(starts, ends)),
+            dtype=object,
+            count=len(starts),
+        )
+        u, c = np.unique(js, return_counts=True)
+        return pa.table(
+            {
+                "journey": pa.array(u, pa.string()),
+                "c_p": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("journey", pa.string()), ("n_sessions", pa.int64())]
+            ).empty_table()
+        c = t.column("n_sessions").to_numpy(zero_copy_only=False)
+        g = np.asarray(t.column("journey").to_pylist(), dtype=object)
+        order = np.lexsort((g, -c))[:k]
+        return pa.table(
+            {
+                "journey": pa.array(g[order], pa.string()),
+                "n_sessions": pa.array(c[order], pa.int64()),
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("journey")
+        .aggregate(Sum("c_p", alias_name="n_sessions"))
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["n_sessions", "journey"], descending=[True, False])
+        .limit(k)
+    )

@@ -291,3 +291,41 @@ def test_decontaminate_flags_benchmark_overlap(ray_session, tmp_path):
     assert not out.loc[1, "contaminated"]
     assert out.loc[2, "contaminated"] and out.loc[2, "n_overlap"] == 3
     assert out.loc[3, "n_shingles"] == 0 and not out.loc[3, "contaminated"]
+
+
+def test_strip_dup_spans_crafted(ray_session, tmp_path):
+    """ExactSubstr policy semantics on crafted docs: (a) two docs sharing a
+    5-gram lose BOTH copies plus every position the window covers; (b) a
+    doc with no duplicated window is untouched; (c) a doc shorter than the
+    window passes through; (d) in-doc repetition (same 5-gram twice in one
+    doc) strips both occurrences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.dedup import strip_dup_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    f"one two {shared} three four",
+                    f"five six {shared} seven eight",
+                    "nothing duplicated in here at all really truly",
+                    "tiny doc",
+                    f"{shared} pad {shared}",  # in-doc repeat
+                ]
+            ),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    out = strip_dup_spans(d).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "text_clean"] == "one two three four"
+    assert out.loc[1, "n_removed"] == 5
+    assert out.loc[2, "text_clean"] == "five six seven eight"
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "text_clean"] == "nothing duplicated in here at all really truly"
+    assert out.loc[4, "text_clean"] == "tiny doc" and out.loc[4, "n_removed"] == 0
+    assert out.loc[5, "text_clean"] == "pad" and out.loc[5, "n_removed"] == 10
