@@ -207,6 +207,22 @@ def run_once() -> dict:
     clean_ops.clean_corpus(SF_DIR).to_pandas()
     queries["clean_corpus"] = round(time.perf_counter() - t0, 3)
 
+    # round-3 LLM-data ops: substring-dedup policy strip, benchmark
+    # decontamination, unigram-LM quality scoring
+    t0 = time.perf_counter()
+    dedup_ops.strip_dup_spans(SF_DIR).to_pandas()
+    queries["strip_dup_spans"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dedup_ops.decontaminate(SF_DIR).to_pandas()
+    queries["decontaminate"] = round(time.perf_counter() - t0, 3)
+
+    from searchengine_ray.pipelines import corpus as corpus_ops
+
+    t0 = time.perf_counter()
+    corpus_ops.unigram_logprob(SF_DIR).to_pandas()
+    queries["unigram_logprob"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "index_build_sec",
         "value": round(build_s, 3),
