@@ -383,6 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: event_ops.funnel(sf),
         # top-20 per-session event-type paths (path analysis)
         "events_journeys": lambda sf: event_ops.journeys(sf),
+        # semi-structured extraction: JSON props.k aggregated per type
+        "events_props_stats": lambda sf: event_ops.props_stats(sf),
         # text analysis
         "quality_scores": lambda sf: textops.quality_scores(sf),
         "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
@@ -436,6 +438,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scan-aggregate / having-join-back report shapes (Q1/Q18 analogs)
         "pricing_summary": lambda sf: join_ops.pricing_summary(sf),
         "large_volume_orders": lambda sf: join_ops.large_volume_orders(sf),
+        # cumulative window frame per customer (SUM OVER ... ROWS UNBOUNDED)
+        "running_totals": lambda sf: join_ops.running_totals(sf),
+        # exact COUNT(DISTINCT) per group via pair-combiner rows
+        "distinct_users_per_type": lambda sf: join_ops.distinct_users_per_type(sf),
         # corpus statistics (round 3): Gopher-style repetition signals,
         # LM-style n-gram counting, PMI collocations, per-doc TF-IDF —
         # shuffle-free per-doc passes + vocab-sized partial-count groupbys
@@ -1462,6 +1468,29 @@ SELECT c.c_name, c.c_custkey::BIGINT AS c_custkey,
 FROM q
 JOIN orders o ON o.o_orderkey = q.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+        # per-customer cumulative order-value window, (orderdate, orderkey)
+        # order, integer cents (joins.running_totals)
+        "running_totals": """
+SELECT o_custkey::BIGINT AS o_custkey, o_orderkey::BIGINT AS o_orderkey,
+       epoch_us(o_orderdate)::BIGINT AS o_orderdate_us,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents
+FROM orders
+""",
+        # strict-JSON parse of props.k (engine uses a verified vectorized
+        # regex shortcut); avg from exact integer sums
+        "events_props_stats": f"""
+SELECT event_type, count(*)::BIGINT AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       {_r6("SUM(CAST(json_extract(props, '$.k') AS BIGINT))::DOUBLE / count(*)")} AS avg_k
+FROM events GROUP BY 1
+""",
+        "distinct_users_per_type": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
 """,
         # weighted Bernoulli keep: weight = round6(min(1, n_tokens/64)),
         # keep iff md5-u64-frac(doc_id) < weight (split_assign hash family)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.runtime import cap_worker_threads
@@ -947,4 +948,73 @@ def journeys(sf_dir: str, k: int = 20, gap_s: int = SESSION_GAP_S) -> rd.Dataset
         .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
         .sort(key=["n_sessions", "journey"], descending=[True, False])
         .limit(k)
+    )
+
+
+def props_stats(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, sum_k, avg_k) — semi-structured extraction: pull the
+    integer `k` field out of the JSON `props` column and aggregate it per
+    event type. The extraction is a VECTORIZED Arrow regex kernel
+    (pc.extract_regex), not a per-row json.loads — the schema contract
+    (props = single-level object with integer k) is asserted by the
+    match count; the SQL oracle parses with real JSON functions, so the
+    regex shortcut is verified against a strict parser. avg_k =
+    round6(sum_k / n) from exact integer sums."""
+    from ..functions.scoring import round6
+
+    _P = pa.schema(
+        [("event_type", pa.string()), ("n_p", pa.int64()), ("sum_p", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _P.empty_table()
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        ks = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        assert ks.null_count == 0, "props row without an integer k field"
+        k = ks.to_numpy(zero_copy_only=False)
+        dic = pc.dictionary_encode(t.column("event_type").combine_chunks())
+        inv = dic.indices.to_numpy(zero_copy_only=False)
+        labels = dic.dictionary.to_pylist()
+        return pa.table(
+            {
+                "event_type": pa.array(labels, pa.string()),
+                "n_p": pa.array(np.bincount(inv, minlength=len(labels)).astype(np.int64)),
+                "sum_p": pa.array(
+                    np.bincount(inv, weights=k, minlength=len(labels)).astype(np.int64)
+                ),
+            }
+        )
+
+    _O = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("sum_k", pa.int64()),
+            ("avg_k", pa.float64()),
+        ]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        n = int(group.column("n_p").to_numpy(zero_copy_only=False).sum())
+        s = int(group.column("sum_p").to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "n": pa.array([n], pa.int64()),
+                "sum_k": pa.array([s], pa.int64()),
+                "avg_k": pa.array([float(round6(np.float64(s / n)))], pa.float64()),
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # |types| rows per block: tiny by construction
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
     )

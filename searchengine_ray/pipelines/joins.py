@@ -649,3 +649,122 @@ def large_volume_orders(sf_dir: str, threshold: int = 300) -> rd.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def running_totals(sf_dir: str) -> rd.Dataset:
+    """(o_custkey, o_orderkey, o_orderdate_us, running_cents) — per-customer
+    running order-value total in (o_orderdate, o_orderkey) order: the
+    cumulative-sum window frame (SUM() OVER (PARTITION BY ... ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)) as a distributed op.
+
+    Scale shape: one coarse custkey-bucket shuffle (a customer's orders
+    co-locate); inside a bucket one lexsort + segmented cumsum over integer
+    cents — vectorized, order-deterministic, no per-customer Python."""
+    _O = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate_us", pa.int64()),
+            ("running_cents", pa.int64()),
+        ]
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        ck = group.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(group.column("o_totalprice"))
+        order = np.lexsort((ok, ts, ck))
+        ck, ok, ts, cents = ck[order], ok[order], ts[order], cents[order]
+        csum = np.cumsum(cents)
+        # segmented cumsum: subtract the prefix total at each customer start
+        new = np.r_[True, ck[1:] != ck[:-1]]
+        base = np.where(new, csum - cents, 0)
+        running = csum - np.maximum.accumulate(base)
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_orderdate_us": pa.array(ts, pa.int64()),
+                "running_cents": pa.array(running, pa.int64()),
+            }
+        )
+
+    def coarse(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket",
+            pa.array((ck.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_users, n_events) — exact COUNT(DISTINCT user_id) plus
+    plain COUNT per event type.
+
+    Scale shape: per-batch combiner to DISTINCT (event_type, user_id)
+    rows carrying partial event counts -> one groupby co-locating each
+    pair -> vectorized run scan counts distinct users and sums events per
+    type -> tiny final groupby (|types| rows). The exchange moves one row
+    per (type, user, batch), never one per event."""
+    from ray.data.aggregate import Sum
+
+    _P = pa.schema(
+        [("event_type", pa.string()), ("user_id", pa.int64()), ("n_p", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _P.empty_table()
+        agg = (
+            t.select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": agg.column("event_type"),
+                "user_id": agg.column("user_id"),
+                "n_p": agg.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    _O = pa.schema(
+        [("event_type", pa.string()), ("n_users", pa.int64()), ("n_events", pa.int64())]
+    )
+
+    def per_type(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        c = group.column("n_p").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "n_users": pa.array([int(len(np.unique(u)))], pa.int64()),
+                "n_events": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # |types| x |users| partial rows: tiny by construction
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pyarrow")
+    )
