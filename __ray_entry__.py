@@ -438,6 +438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scan-aggregate / having-join-back report shapes (Q1/Q18 analogs)
         "pricing_summary": lambda sf: join_ops.pricing_summary(sf),
         "large_volume_orders": lambda sf: join_ops.large_volume_orders(sf),
+        # GROUPING SETS / ROLLUP over the Q1 aggregate (detail + per-flag
+        # subtotals + grand total from one combiner pass)
+        "pricing_rollup": lambda sf: join_ops.pricing_rollup(sf),
         # cumulative window frame per customer (SUM OVER ... ROWS UNBOUNDED)
         "running_totals": lambda sf: join_ops.running_totals(sf),
         # exact COUNT(DISTINCT) per group via pair-combiner rows
@@ -1468,6 +1471,19 @@ SELECT c.c_name, c.c_custkey::BIGINT AS c_custkey,
 FROM q
 JOIN orders o ON o.o_orderkey = q.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+        # ROLLUP levels marked with 'ALL' sentinels (joins.pricing_rollup)
+        "pricing_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))::BIGINT
+         AS sum_charge_e6,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         # per-customer cumulative order-value window, (orderdate, orderkey)
         # order, integer cents (joins.running_totals)

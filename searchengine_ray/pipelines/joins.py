@@ -455,40 +455,37 @@ def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
 # layer at all; these are the wide-aggregate shapes a data engine serves.
 
 
-def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
-    """(l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_e4,
-    sum_charge_e6, avg_qty, avg_price, avg_disc, count_order) — the Q1
-    pricing-summary shape: full lineitem scan, derived money expressions,
-    multi-aggregate rollup to a handful of groups.
+_Q1_P = pa.schema(
+    [
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("sum_qty", pa.int64()),
+        ("sum_base_cents", pa.int64()),
+        ("sum_disc_e4", pa.int64()),
+        ("sum_charge_e6", pa.int64()),
+        ("sum_disc100", pa.int64()),
+        ("count_order", pa.int64()),
+    ]
+)
 
-    Money is exact integer arithmetic end-to-end (cents; the discount /
-    tax factors are integer percents, so disc_price lands in 1e-4-dollar
-    units and charge in 1e-6) — bit-deterministic under any add order.
-    Overflow headroom: |charge_e6| < 1e11 per row, so int64 partials hold
-    to ~1e7 rows/batch and the final Python-int merge is unbounded.
-    Per-batch combiners collapse each block to <= |flag x status| (~4)
-    rows; the groupby exchange moves ~4 rows per block."""
+_Q1_SUM_COLS = (
+    "sum_qty", "sum_base_cents", "sum_disc_e4", "sum_charge_e6",
+    "sum_disc100", "count_order",
+)
+
+
+def _q1_partials(sf_dir: str, cutoff: str) -> rd.Dataset:
+    """Per-batch Q1 combiner: <= |flag x status| (~4) exact-integer rows
+    per block (shared by pricing_summary and pricing_rollup)."""
     from datetime import datetime
 
     cut = datetime.fromisoformat(cutoff)
-    _P = pa.schema(
-        [
-            ("l_returnflag", pa.string()),
-            ("l_linestatus", pa.string()),
-            ("sum_qty", pa.int64()),
-            ("sum_base_cents", pa.int64()),
-            ("sum_disc_e4", pa.int64()),
-            ("sum_charge_e6", pa.int64()),
-            ("sum_disc100", pa.int64()),
-            ("count_order", pa.int64()),
-        ]
-    )
 
     def partial(t: pa.Table) -> pa.Table:
         cap_worker_threads()
         t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(cut)))
         if t.num_rows == 0:
-            return _P.empty_table()
+            return _Q1_P.empty_table()
         key = pc.binary_join_element_wise(
             t.column("l_returnflag"), t.column("l_linestatus"), "|"
         )
@@ -515,6 +512,29 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
                 "count_order": pa.array(np.bincount(inv, minlength=n).astype(np.int64)),
             }
         )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """(l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_e4,
+    sum_charge_e6, avg_qty, avg_price, avg_disc, count_order) — the Q1
+    pricing-summary shape: full lineitem scan, derived money expressions,
+    multi-aggregate rollup to a handful of groups.
+
+    Money is exact integer arithmetic end-to-end (cents; the discount /
+    tax factors are integer percents, so disc_price lands in 1e-4-dollar
+    units and charge in 1e-6) — bit-deterministic under any add order.
+    Overflow headroom: |charge_e6| < 1e11 per row, so int64 partials hold
+    to ~1e7 rows/batch and the final Python-int merge is unbounded.
+    Per-batch combiners collapse each block to <= |flag x status| (~4)
+    rows; the groupby exchange moves ~4 rows per block."""
 
     _O = pa.schema(
         [
@@ -561,17 +581,62 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
         )
 
     return (
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=[
-                "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-                "l_discount", "l_tax", "l_shipdate",
-            ],
-        )
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        _q1_partials(sf_dir, cutoff)
         .repartition(1)  # partials are ~4 rows/block: keep the groupby tiny
         .groupby(["l_returnflag", "l_linestatus"])
         .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def pricing_rollup(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """(l_returnflag, l_linestatus, sum_qty, sum_charge_e6, count_order) —
+    the GROUPING SETS / ROLLUP shape over the Q1 aggregate: detail rows
+    per (flag, status), subtotals per flag (linestatus = 'ALL'), and the
+    grand total ('ALL', 'ALL'). All levels derive from the SAME exact
+    integer partials in one final one-block pass — no extra scan, no
+    second shuffle (a rollup is re-aggregation of the combiner output,
+    which is group-cardinality-sized by construction)."""
+
+    def rollup(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        import pandas as pd
+
+        df = t.to_pandas()
+        levels = []
+        detail = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["sum_qty", "sum_charge_e6", "count_order"]
+            ].sum()
+        )
+        levels.append(detail)
+        sub = detail.groupby("l_returnflag", as_index=False)[
+            ["sum_qty", "sum_charge_e6", "count_order"]
+        ].sum()
+        sub.insert(1, "l_linestatus", "ALL")
+        levels.append(sub)
+        tot = detail[["sum_qty", "sum_charge_e6", "count_order"]].sum().to_frame().T
+        tot.insert(0, "l_returnflag", "ALL")
+        tot.insert(1, "l_linestatus", "ALL")
+        levels.append(tot)
+        out = pd.concat(levels, ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+                "sum_qty": pa.array(out["sum_qty"].astype("int64")),
+                "sum_charge_e6": pa.array(out["sum_charge_e6"].astype("int64")),
+                "count_order": pa.array(out["count_order"].astype("int64")),
+            }
+        )
+
+    return (
+        _q1_partials(sf_dir, cutoff)
+        .repartition(1)  # combiner output is ~4 rows/block
+        # batch_size=None: the single coalesced block IS the batch, so the
+        # rollup sees every partial at once
+        .map_batches(
+            rollup, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
     )
 
 
