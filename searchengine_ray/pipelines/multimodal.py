@@ -384,3 +384,61 @@ def synth_media_dataset(n: int = 200, seed: int = 99) -> rd.Dataset:
             {"media_id": pa.array(rows_id, pa.int64()), "payload": pa.array(rows_payload, pa.binary())}
         )
     )
+
+
+class ImagePhashStage:
+    """Actor-pool stage: PNG payload -> 64-bit average-hash (aHash) via the
+    REAL decode. Integer-exact contract (no float means): with integer
+    luma_e3(p) = 299*R + 587*G + 114*B per pixel, 8x8 cell of pixel (r, c)
+    = (r*8//h)*8 + (c*8//w), bit_i is set iff
+        cell_sum_i * n_pixels > total_sum * n_cell_i
+    (cross-multiplied mean comparison — exact in int64; |sums| < 2^40 for
+    any image under 2^20 pixels). phash = sum(2^i over set bits) with
+    int64 wrap (the dedup hash convention, SQL-mirrorable via HUGEINT %)."""
+
+    def __init__(self):
+        cap_worker_threads()
+        self.codecs = _media_codecs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        hashes = []
+        for p in t.column("payload").to_pylist():
+            px = self.codecs.decode_png(p).astype(np.int64)
+            h, w, _c = px.shape
+            luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+            r = np.repeat(np.arange(h), w)
+            c = np.tile(np.arange(w), h)
+            cell = (r * 8 // h) * 8 + (c * 8 // w)
+            cell_sum = np.bincount(cell, weights=luma.ravel(), minlength=64).astype(np.int64)
+            n_cell = np.bincount(cell, minlength=64).astype(np.int64)
+            total = int(luma.sum())
+            n_px = h * w
+            bits = cell_sum * n_px > total * n_cell
+            ph = np.int64(0)
+            with np.errstate(over="ignore"):
+                for i in np.flatnonzero(bits):
+                    ph = np.int64(ph + np.int64((1 << int(i)) - (1 << 64 if i == 63 else 0)))
+            hashes.append(int(ph))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def media_phash(sf_dir: str, concurrency: int = 2, batch_size: int = 64) -> rd.Dataset:
+    """(media_id, phash) — perceptual average-hash of each doc's formula
+    PNG through the REAL decode path; the SQL oracle recomputes the hash
+    from doc_id alone (pixel rule of png_dataset_from_documents), so
+    decode + hash are verified bit-exactly. Group equal phashes to find
+    perceptual near-duplicate images (exact-dup images hash equal by
+    construction; visually-similar ones collide in high probability)."""
+    return png_dataset_from_documents(sf_dir).map_batches(
+        ImagePhashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
