@@ -416,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer pixel stats from doc_id alone, so a hash match proves
         # the pixel-level decode, not just header plumbing
         "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
+        # perceptual average-hash via the real PNG decode (integer-exact)
+        "media_phash": lambda sf: mm_ops.media_phash(sf),
         # event ops (round 3, batch 2): banded range join, sliding windows,
         # HyperLogLog distinct sketch (bit-exact deterministic contract)
         "events_range_join": lambda sf: event_ops.range_join(sf),
@@ -1044,6 +1046,34 @@ FROM m, LATERAL (SELECT unnest(range(0, nf, 10)) AS j) s
     # pixel rule (multimodal.png_dataset_from_documents): flat RGB byte j
     # of doc d is (d + 31*j) % 256, w = 4 + d%13, h = 4 + (d//13)%11;
     # integer luma/byte sums over the DECODED pixels match bit-for-bit
+    # integer-exact aHash of the decoded formula PNGs: cell mean vs global
+    # mean by cross-multiplication; 2^64 wrap to signed BIGINT (the dedup
+    # hash convention). Mirrors multimodal.ImagePhashStage bit-for-bit.
+    media_phash_sql = """
+WITH m AS (SELECT doc_id AS media_id,
+  4 + doc_id % 13 AS w, 4 + (doc_id // 13) % 11 AS h FROM documents),
+px AS (SELECT media_id, w, h, s.p AS p,
+  299 * ((media_id + 31 * (3 * s.p)) % 256)
+  + 587 * ((media_id + 31 * (3 * s.p + 1)) % 256)
+  + 114 * ((media_id + 31 * (3 * s.p + 2)) % 256) AS luma
+  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS p) s),
+cells AS (SELECT media_id,
+  ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS cell, luma FROM px),
+cs AS (SELECT media_id, cell, sum(luma)::BIGINT AS cell_sum,
+              count(*)::BIGINT AS n_cell FROM cells GROUP BY 1, 2),
+tot AS (SELECT media_id, sum(cell_sum)::BIGINT AS total,
+               sum(n_cell)::BIGINT AS n_px FROM cs GROUP BY 1),
+ph AS (SELECT cs.media_id,
+              sum(CASE WHEN cs.cell_sum * tot.n_px > tot.total * cs.n_cell
+                       THEN (1::HUGEINT << cs.cell) ELSE 0::HUGEINT END) AS v
+       FROM cs JOIN tot ON cs.media_id = tot.media_id GROUP BY 1)
+SELECT m.media_id,
+       (CASE WHEN coalesce(v, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+             THEN coalesce(v, 0::HUGEINT) - 18446744073709551616::HUGEINT
+             ELSE coalesce(v, 0::HUGEINT) END)::BIGINT AS phash
+FROM m LEFT JOIN ph ON m.media_id = ph.media_id
+"""
+
     media_image_stats_sql = """
 WITH m AS (SELECT doc_id AS media_id,
   4 + doc_id % 13 AS w, 4 + (doc_id // 13) % 11 AS h FROM documents),
@@ -1381,6 +1411,7 @@ FROM f
         "media_meta": media_meta_sql,
         "media_frames": media_frames_sql,
         "media_image_stats": media_image_stats_sql,
+        "media_phash": media_phash_sql,
         # relational joins — integer-cent / 1e-4-unit money contract
         # (pipelines/joins.py): floor(x*100+0.5) mirrors joins._cents
         "join_revenue_by_nation": """

@@ -415,11 +415,10 @@ class ImagePhashStage:
             total = int(luma.sum())
             n_px = h * w
             bits = cell_sum * n_px > total * n_cell
-            ph = np.int64(0)
-            with np.errstate(over="ignore"):
-                for i in np.flatnonzero(bits):
-                    ph = np.int64(ph + np.int64((1 << int(i)) - (1 << 64 if i == 63 else 0)))
-            hashes.append(int(ph))
+            v = 0
+            for i in np.flatnonzero(bits):
+                v |= 1 << int(i)
+            hashes.append(v - ((1 << 64) if v >= (1 << 63) else 0))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
