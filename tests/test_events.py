@@ -218,3 +218,51 @@ def test_split_assign_stable_and_proportional(ray_session):
     merged = small.merge(df, on="doc_id", suffixes=("_s", "_l"))
     assert len(merged) > 0
     assert (merged["split_s"] == merged["split_l"]).all()
+
+
+def test_funnel_strictly_after_semantics(ray_session, tmp_path):
+    """Crafted chains: same-timestamp stage-2 events do NOT count
+    (strictly-after); out-of-order stages don't either; the earliest
+    valid chain is picked per user."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.events import funnel
+
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # user 1: full chain view(0) -> click(10) -> purchase(20)
+        (1, 1, base + 0, "view"),
+        (2, 1, base + 10, "click"),
+        (3, 1, base + 20, "purchase"),
+        # user 2: click at SAME ts as view -> stops at step 1
+        (4, 2, base + 0, "view"),
+        (5, 2, base + 0, "click"),
+        # user 3: purchase BEFORE click -> steps 2 (view, click) only
+        (6, 3, base + 0, "view"),
+        (7, 3, base + 5, "purchase"),
+        (8, 3, base + 9, "click"),
+        # user 4: two views; chain must start at the EARLIEST view, and a
+        # click between them still counts (strictly after view#1)
+        (9, 4, base + 0, "view"),
+        (10, 4, base + 3, "click"),
+        (11, 4, base + 6, "view"),
+        # user 5: no view at all -> 0 steps
+        (12, 5, base + 0, "click"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/events.parquet")
+    out = funnel(d).to_pandas().set_index("user_id").sort_index()
+    assert out.loc[1, "steps_completed"] == 3 and out.loc[1, "t3_us"] == base + 20
+    assert out.loc[2, "steps_completed"] == 1 and out.loc[2, "t2_us"] == -1
+    assert out.loc[3, "steps_completed"] == 2 and out.loc[3, "t3_us"] == -1
+    assert out.loc[4, "steps_completed"] == 2 and out.loc[4, "t1_us"] == base + 0
+    assert out.loc[5, "steps_completed"] == 0 and out.loc[5, "t1_us"] == -1
