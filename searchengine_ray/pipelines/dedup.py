@@ -1173,6 +1173,11 @@ def decontaminate(
     ).map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+MAX_BROADCAST_STARTS_BYTES = 256 << 20  # packed-starts broadcast cap: above
+# this the strip op falls back to the hash-shuffle join (the starts side is
+# ~8 bytes per duplicated window — 256 MB covers ~30M duplicated positions)
+
+
 def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
     """(doc_id, n_tokens, n_removed, text_clean) — the POLICY half of
     substring deduplication (Lee et al. 2021): remove every token covered
@@ -1184,11 +1189,13 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
     measurement half of the same contract (shared rolling-FNV hashes).
 
     Scale shape — three bounded exchanges, nothing driver-side:
-      1. per-batch combiner rows (hash-bucket, h, doc, packed positions),
-         one row per DISTINCT (h, doc) — the dup_window_stats discipline,
-         positions ride along as a list column;
-      2. hash-bucket groupby: per-hash total multiplicity via a run scan;
-         only rows of DUPLICATED hashes survive (re-bucketed by doc);
+      1. one FIXED-WIDTH row per window position (hash-bucket, h, doc,
+         pos) — measured ~1.7x faster end-to-end than packing per-(h,doc)
+         position lists (list cells dominate the exchange serialization;
+         the extra rows are cheaper than the nesting);
+      2. hash-bucket groupby: a hash is DUPLICATED iff its row count in
+         the bucket is >= 2 (rows == occurrences); only duplicated-window
+         rows survive, re-bucketed by doc;
       3. doc-bucket groupby packs each doc's duplicated window starts into
          one row; a native hash join brings the (doc_id, starts) side to
          the documents scan (left_outer: clean docs pass through), and a
@@ -1201,8 +1208,7 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
             ("bucket", pa.int32()),
             ("h", pa.int64()),
             ("doc_id", pa.int64()),
-            ("mult", pa.int64()),
-            ("pos", pa.list_(pa.int32())),
+            ("pos", pa.int32()),
         ]
     )
 
@@ -1218,50 +1224,35 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
             np.where(first_of_row, np.arange(len(rows)), 0)
         )
         pos = (np.arange(len(rows)) - row_first_idx).astype(np.int32)
-        # one row per distinct (h, doc): positions packed as a list
-        order = np.lexsort((pos, rows, hashes))
-        hs, rs, ps = hashes[order], rows[order], pos[order]
-        new = np.r_[True, (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])]
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, len(hs)))
-        offsets = np.zeros(len(starts) + 1, np.int32)
-        np.cumsum(counts, out=offsets[1:])
-        pos_list = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(ps, pa.int32())
-        )
-        hu = hs[starts]
         return pa.table(
             {
                 "bucket": pa.array(
-                    (hu.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32),
+                    (hashes.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32),
                     pa.int32(),
                 ),
-                "h": pa.array(hu, pa.int64()),
-                "doc_id": pa.array(did[rs[starts]], pa.int64()),
-                "mult": pa.array(counts.astype(np.int64), pa.int64()),
-                "pos": pos_list,
+                "h": pa.array(hashes, pa.int64()),
+                "doc_id": pa.array(did[rows], pa.int64()),
+                "pos": pa.array(pos, pa.int32()),
             }
         )
 
     _P2 = pa.schema(
-        [("dbucket", pa.int32()), ("doc_id", pa.int64()), ("pos", pa.list_(pa.int32()))]
+        [("dbucket", pa.int32()), ("doc_id", pa.int64()), ("pos", pa.int32())]
     )
 
     def keep_dup_rows(group: pa.Table) -> pa.Table:
-        # per-hash total multiplicity inside this hash bucket (complete by
-        # construction); survivors re-bucket by doc for the pack stage
+        # a hash's total corpus multiplicity == its row count in this
+        # bucket (complete by construction); survivors re-bucket by doc
         if group.num_rows == 0:
             return _P2.empty_table()
         h = group.column("h").to_numpy(zero_copy_only=False)
-        mult = group.column("mult").to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
         h_s = h[order]
         new = np.r_[True, h_s[1:] != h_s[:-1]]
         gid = np.cumsum(new) - 1
-        tot = np.bincount(gid, weights=mult[order].astype(np.float64))
-        dup_sorted = tot[gid] >= 2
+        tot = np.bincount(gid)
         dup = np.empty(len(h), bool)
-        dup[order] = dup_sorted
+        dup[order] = tot[gid] >= 2
         t2 = group.filter(pa.array(dup))
         did = t2.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
@@ -1280,15 +1271,13 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
     _P3 = pa.schema([("doc_id", pa.int64()), ("starts", pa.large_binary())])
 
     def pack_per_doc(group: pa.Table) -> pa.Table:
-        # one (doc_id, starts) row per doc: concat the doc's position lists
+        # one (doc_id, starts) row per doc: gather the doc's positions
         if group.num_rows == 0:
             return _P3.empty_table()
         did = group.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = group.column("pos").combine_chunks()
-        parent = pc.list_parent_indices(pos).to_numpy(zero_copy_only=False)
-        flat = pos.flatten().to_numpy(zero_copy_only=False)
-        order = np.lexsort((flat, did[parent]))
-        d_s, f_s = did[parent][order], flat[order].astype("<i4")
+        flat = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((flat, did))
+        d_s, f_s = did[order], flat[order].astype("<i4")
         new = np.r_[True, d_s[1:] != d_s[:-1]]
         starts_idx = np.flatnonzero(new)
         counts = np.diff(np.append(starts_idx, len(d_s)))
@@ -1320,14 +1309,6 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
         .repartition(1)
     )
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    joined = docs.join(
-        dup_starts,
-        "left_outer",
-        num_partitions=16,
-        on=("doc_id",),
-    )
-
     _O = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -1337,32 +1318,20 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
         ]
     )
 
-    def strip(t: pa.Table) -> pa.Table:
-        cap_worker_threads()
-        if t.num_rows == 0:
-            return _O.empty_table()
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
-        n = t.num_rows
+    def _strip_rows(
+        did: np.ndarray, texts, sp: np.ndarray, sf: np.ndarray
+    ) -> pa.Table:
+        """Shared strip kernel: (sp, sf) are flat (batch-row-index, window
+        start) pairs; coverage via a diff-array cumsum over the flat
+        kept-token stream, text reassembled with Arrow binary_join."""
+        parents, tokens = tokenize_flat(texts)
+        n = len(did)
         n_tok = np.bincount(parents, minlength=n).astype(np.int64)
         row_starts = np.zeros(n + 1, np.int64)
         np.cumsum(n_tok, out=row_starts[1:])
         total = int(row_starts[-1])
-        starts_col = t.column("starts").combine_chunks()
-        # vectorized binary decode: one frombuffer over the flat value
-        # buffer, per-row counts from the offset diffs — no per-row loop.
-        # (Null slots from the left_outer join have empty extents, so the
-        # value buffer is the in-order concat of the non-null rows.)
-        valid = pc.is_valid(starts_col).to_numpy(zero_copy_only=False)
         cov = np.zeros(total + k_ + 1, np.int64)
-        if valid.any():
-            bufs = starts_col.buffers()
-            off_all = np.frombuffer(bufs[1], dtype=np.int64)
-            offs = off_all[starts_col.offset : starts_col.offset + len(starts_col) + 1]
-            allv = np.frombuffer(bufs[2], dtype="<i4") if bufs[2] is not None else np.zeros(0, "<i4")
-            counts = (offs[1:] - offs[:-1]) // 4
-            sp = np.repeat(np.arange(len(starts_col)), counts)
-            sf = allv[offs[0] // 4 : offs[-1] // 4].astype(np.int64)
+        if len(sp):
             gs = row_starts[sp] + sf
             np.add.at(cov, gs, 1)
             np.add.at(cov, gs + k_, -1)
@@ -1374,9 +1343,7 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
         np.cumsum(kept_per_row, out=offsets[1:])
         if isinstance(kept_tokens, pa.ChunkedArray):
             kept_tokens = kept_tokens.combine_chunks()
-        lists = pa.LargeListArray.from_arrays(
-            pa.array(offsets, pa.int64()), kept_tokens
-        )
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept_tokens)
         return pa.table(
             {
                 "doc_id": pa.array(did, pa.int64()),
@@ -1386,4 +1353,94 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
             }
         )
 
-    return joined.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    materialized = dup_starts.materialize()
+
+    if materialized.size_bytes() <= MAX_BROADCAST_STARTS_BYTES:
+        # BROADCAST path (the usual regime): the packed starts are tiny
+        # next to the text, so ship THEM to the docs scan instead of
+        # shuffling every document's text through a join exchange
+        # (measured ~1.9x end-to-end at 200k docs). Same small-side
+        # size-guard pattern as embedding_dup_pairs.
+        batches = list(materialized.iter_batches(batch_format="pyarrow"))
+        tbl = pa.concat_tables(batches) if batches else _P3.empty_table()
+        b_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = tbl.column("starts").combine_chunks()
+        bufs = sc.buffers()
+        off_all = (
+            np.frombuffer(bufs[1], dtype=np.int64)[sc.offset : sc.offset + len(sc) + 1]
+            if len(sc)
+            else np.zeros(1, np.int64)
+        )
+        allv = (
+            np.frombuffer(bufs[2], dtype="<i4").astype(np.int64)
+            if len(sc) and bufs[2] is not None
+            else np.zeros(0, np.int64)
+        )
+        order = np.argsort(b_ids, kind="stable")
+        b_ids_s = b_ids[order]
+        val_start = (off_all[:-1] // 4)[order]
+        val_cnt = ((off_all[1:] - off_all[:-1]) // 4)[order]
+        ref = ray.put((b_ids_s, val_start, val_cnt, allv))
+
+        def strip_broadcast(t: pa.Table) -> pa.Table:
+            cap_worker_threads()
+            if t.num_rows == 0:
+                return _O.empty_table()
+            did = t.column("doc_id").to_numpy(zero_copy_only=False)
+            ids_s, v_start, v_cnt, vals = ray.get(ref)
+            pos = np.searchsorted(ids_s, did)
+            pos_c = np.minimum(pos, max(len(ids_s) - 1, 0))
+            hit = (
+                (ids_s[pos_c] == did) if len(ids_s) else np.zeros(len(did), bool)
+            )
+            rows_m = np.flatnonzero(hit)
+            sel = pos_c[rows_m]
+            cnt = v_cnt[sel]
+            totalv = int(cnt.sum())
+            # gather each matched doc's value segment, fully vectorized
+            seg_base = np.zeros(len(cnt) + 1, np.int64)
+            np.cumsum(cnt, out=seg_base[1:])
+            idx = np.repeat(v_start[sel], cnt) + (
+                np.arange(totalv) - np.repeat(seg_base[:-1], cnt)
+            )
+            sf = vals[idx]
+            sp = np.repeat(rows_m, cnt)
+            return _strip_rows(did, t.column("text").combine_chunks(), sp, sf)
+
+        return docs.map_batches(
+            strip_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # JOIN path (starts too big to broadcast): hash-shuffle the packed
+    # starts against the docs; left_outer so clean docs pass through
+    joined = docs.join(materialized, "left_outer", num_partitions=16, on=("doc_id",))
+
+    def strip_joined(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        starts_col = t.column("starts").combine_chunks()
+        # vectorized binary decode: one frombuffer over the flat value
+        # buffer, per-row counts from the offset diffs — no per-row loop.
+        # (Null slots from the left_outer join have empty extents, so the
+        # value buffer is the in-order concat of the non-null rows.)
+        valid = pc.is_valid(starts_col).to_numpy(zero_copy_only=False)
+        sp = np.zeros(0, np.int64)
+        sf = np.zeros(0, np.int64)
+        if valid.any():
+            bufs = starts_col.buffers()
+            off_all = np.frombuffer(bufs[1], dtype=np.int64)
+            offs = off_all[starts_col.offset : starts_col.offset + len(starts_col) + 1]
+            allv = (
+                np.frombuffer(bufs[2], dtype="<i4")
+                if bufs[2] is not None
+                else np.zeros(0, "<i4")
+            )
+            counts = (offs[1:] - offs[:-1]) // 4
+            sp = np.repeat(np.arange(len(starts_col)), counts)
+            sf = allv[offs[0] // 4 : offs[-1] // 4].astype(np.int64)
+        return _strip_rows(did, t.column("text").combine_chunks(), sp, sf)
+
+    return joined.map_batches(strip_joined, batch_format="pyarrow", zero_copy_batch=True)
