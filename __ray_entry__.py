@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the POLICY half of substring dedup: strip every token covered by
         # a corpus-duplicated 5-gram window (ExactSubstr rule)
         "strip_dup_spans": lambda sf: dedup_ops.strip_dup_spans(sf),
+        # similar-document retrieval: top-5 by distinct-3-gram Jaccard for
+        # the doc_id%101 query set (search-side twin of the dedup pairs)
+        "similar_docs": lambda sf: dedup_ops.similar_docs(sf),
         # perplexity-style quality signal: mean unigram NLL per doc under
         # the corpus's own unigram LM (integer-1e-6-nat exact sums)
         "unigram_logprob": lambda sf: corpus_ops.unigram_logprob(sf),
@@ -1402,6 +1405,22 @@ FROM f
         "dedup_window_stats": dup_windows,
         "decontaminate": decontam,
         "strip_dup_spans": strip_spans,
+        "similar_docs": f"""
+WITH {_shingle_ctes(toks)},
+sz AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+q AS (SELECT doc_id AS qid, su FROM shd WHERE doc_id % {dedup_ops.QUERY_MOD} = 0),
+ix AS (SELECT q.qid, shd.doc_id AS did, count(*)::BIGINT AS i
+       FROM q JOIN shd ON q.su = shd.su AND shd.doc_id <> q.qid GROUP BY 1, 2),
+jac AS (SELECT qid, did, i * 1.0 / (sq.c + sd.c - i) AS j
+        FROM ix JOIN sz sq ON sq.doc_id = ix.qid
+                JOIN sz sd ON sd.doc_id = ix.did),
+r AS (SELECT qid, did, j,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY floor(j*1000000000 + 0.5) DESC, did ASC) AS rank
+      FROM jac)
+SELECT qid AS query_id, rank::INT AS rank, did AS doc_id, {_r6('j')} AS jaccard
+FROM r WHERE rank <= 5
+""",
         "unigram_logprob": uni_nll,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_pairs": minhash,

@@ -1444,3 +1444,139 @@ def strip_dup_spans(sf_dir: str, k: int = DUP_WINDOW_K) -> rd.Dataset:
         return _strip_rows(did, t.column("text").combine_chunks(), sp, sf)
 
     return joined.map_batches(strip_joined, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERY_MOD = 101  # deterministic similar-docs query set: doc_id % QUERY_MOD == 0
+
+
+def similar_docs(
+    sf_dir: str, k: int = 5, query_mod: int = QUERY_MOD
+) -> rd.Dataset:
+    """(query_id, rank, doc_id, jaccard) — top-`k` most similar documents
+    per query doc (query set = doc_id % query_mod == 0; self excluded) by
+    DISTINCT-3-gram Jaccard — similar-document retrieval, the search-side
+    twin of the dedup pair ops (same shingle/hash contract as
+    ngram_jaccard_pairs, so the SQL oracle recomputes it bit-exactly).
+
+    Rank: (floor(jaccard*1e9+0.5) desc, doc_id asc); jaccard reported
+    round6. Scale shape: query shingle sets are QUERY-SIZED -> broadcast
+    once via ray.put as one sorted array + aligned query ids (a shingle
+    shared by several queries repeats); candidates score in a single
+    shuffle-free scan (two searchsorted probes per distinct doc shingle,
+    pair counts via one np.unique over packed keys); per-(block, query)
+    local top-k caps the merge at k rows/query/block."""
+    import pyarrow.parquet as pq
+
+    # query shingle sets (driver-side: query-sized by construction)
+    qtab = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    qmask = (
+        qtab.column("doc_id").to_numpy(zero_copy_only=False) % query_mod == 0
+    )
+    qtab = qtab.filter(pa.array(qmask))
+    rows_q, sh_q = _doc_shingle_hashes(qtab)
+    q_ids_all = qtab.column("doc_id").to_numpy(zero_copy_only=False)
+    # distinct (query, shingle)
+    order = np.lexsort((sh_q, rows_q))
+    r_s, s_s = rows_q[order], sh_q[order]
+    first = np.r_[True, (r_s[1:] != r_s[:-1]) | (s_s[1:] != s_s[:-1])]
+    r_u, s_u = r_s[first], s_s[first]
+    sz_q = np.bincount(r_u, minlength=len(q_ids_all)).astype(np.int64)
+    # flat (shingle-sorted) probe table: shingle -> aligned query index
+    so = np.argsort(s_u, kind="stable")
+    probe_sh, probe_qrow = s_u[so], r_u[so]
+    ref = ray.put((probe_sh, probe_qrow, q_ids_all.astype(np.int64), sz_q))
+
+    _C = pa.schema(
+        [("query_id", pa.int64()), ("doc_id", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _C.empty_table()
+        p_sh, p_qrow, q_ids, q_sz = ray.get(ref)
+        rows, sh = _doc_shingle_hashes(t)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(sh) == 0 or len(p_sh) == 0:
+            return _C.empty_table()
+        # distinct (row, shingle)
+        order = np.lexsort((sh, rows))
+        r_s, s_s = rows[order], sh[order]
+        first = np.r_[True, (r_s[1:] != r_s[:-1]) | (s_s[1:] != s_s[:-1])]
+        r_u, s_u = r_s[first], s_s[first]
+        sz_d = np.bincount(r_u, minlength=t.num_rows).astype(np.int64)
+        lo = np.searchsorted(p_sh, s_u, side="left")
+        hi = np.searchsorted(p_sh, s_u, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            return _C.empty_table()
+        totalm = int(cnt[m].sum())
+        seg = np.zeros(m.sum() + 1, np.int64)
+        np.cumsum(cnt[m], out=seg[1:])
+        idx = np.repeat(lo[m], cnt[m]) + (np.arange(totalm) - np.repeat(seg[:-1], cnt[m]))
+        pair_row = np.repeat(r_u[m], cnt[m])
+        pair_q = p_qrow[idx]
+        key = pair_row.astype(np.int64) * len(q_ids) + pair_q
+        uk, common = np.unique(key, return_counts=True)
+        u_row = uk // len(q_ids)
+        u_q = uk % len(q_ids)
+        dids = did[u_row]
+        qids = q_ids[u_q]
+        keep = dids != qids  # self-match excluded
+        dids, qids, u_row2, u_q2, common = (
+            dids[keep], qids[keep], u_row[keep], u_q[keep], common[keep],
+        )
+        union = sz_d[u_row2] + q_sz[u_q2] - common
+        j = common / union
+        # local per-query top-k caps the merge exchange
+        j9 = np.floor(j * 1e9 + 0.5)
+        order2 = np.lexsort((dids, -j9, qids))
+        q_sorted = qids[order2]
+        run_start = np.maximum.accumulate(
+            np.where(np.r_[True, q_sorted[1:] != q_sorted[:-1]], np.arange(len(q_sorted)), 0)
+        )
+        keep2 = (np.arange(len(q_sorted)) - run_start) < k
+        sel = order2[keep2]
+        return pa.table(
+            {
+                "query_id": pa.array(qids[sel], pa.int64()),
+                "doc_id": pa.array(dids[sel], pa.int64()),
+                "jaccard": pa.array(j[sel], pa.float64()),
+            }
+        )
+
+    _R = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("rank", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _R.empty_table()
+        dids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        j = group.column("jaccard").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dids, -np.floor(j * 1e9 + 0.5)))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(len(order), group.column("query_id")[0].as_py(), np.int64)
+                ),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+                "doc_id": pa.array(dids[order], pa.int64()),
+                "jaccard": pa.array(round6(j[order]), pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # <= k x n_blocks x |queries| rows
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
