@@ -324,6 +324,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+
     return {
         # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
         "lexicon": lambda sf: textops.lexicon(sf),
@@ -392,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: textops.quality_scores(sf),
         "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
         "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
+        # composed flagship: clean -> decontaminate -> strip dup spans
+        "prepare_corpus": lambda sf: clean_ops.prepare_corpus(sf),
         "sample_stratified": lambda sf: textops.sample_stratified(sf, k=20),
         # quality-weighted Bernoulli subsample (CCNet-style reweighting):
         # keep iff md5frac(doc_id) < min(1, n_tokens/64)
@@ -1091,6 +1094,30 @@ SELECT media_id, any_value(w)::INT AS width, any_value(h)::INT AS height,
 FROM px GROUP BY media_id
 """
 
+    clean_sql = f"""
+WITH base AS (SELECT doc_id, text, lang, {toks} AS toks FROM documents),
+m AS (SELECT doc_id, text, lang, len(toks) AS n_tok,
+        len(list_filter(toks, x -> x IN ({stop_flat})))::DOUBLE
+          / greatest(len(toks), 1) AS stop_ratio,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1) AS alpha_ratio
+      FROM base),
+v AS (SELECT doc_id, text,
+        CASE WHEN lang <> '{clean_ops.KEEP_LANG}' THEN 'lang'
+             WHEN n_tok < {clean_ops.MIN_TOKENS} THEN 'short'
+             WHEN alpha_ratio < {clean_ops.MIN_ALPHA_RATIO} THEN 'alpha'
+             WHEN stop_ratio < {clean_ops.MIN_STOPWORD_RATIO} THEN 'stopword'
+             ELSE '' END AS reason
+      FROM m),
+canon AS (SELECT md5(text) AS h, min(doc_id) AS cid
+          FROM v WHERE reason = '' GROUP BY 1),
+final AS (SELECT v.doc_id,
+        CASE WHEN v.reason <> '' THEN v.reason
+             WHEN v.doc_id <> c.cid THEN 'dup' ELSE '' END AS reason
+        FROM v LEFT JOIN canon c ON v.reason = '' AND md5(v.text) = c.h)
+SELECT doc_id, (reason = '') AS keep, reason FROM final
+"""
+
     return {
         "lexicon": f"""
 WITH tok AS ({tok}),
@@ -1133,28 +1160,13 @@ FROM documents
         # composed cleaning pipeline: reason precedence mirrors
         # pipelines/clean.py (lang > short > alpha > stopword > dup);
         # dup canonicals resolved among quality-passing docs only
-        "clean_corpus": f"""
-WITH base AS (SELECT doc_id, text, lang, {toks} AS toks FROM documents),
-m AS (SELECT doc_id, text, lang, len(toks) AS n_tok,
-        len(list_filter(toks, x -> x IN ({stop_flat})))::DOUBLE
-          / greatest(len(toks), 1) AS stop_ratio,
-        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-          / greatest(length(text), 1) AS alpha_ratio
-      FROM base),
-v AS (SELECT doc_id, text,
-        CASE WHEN lang <> '{clean_ops.KEEP_LANG}' THEN 'lang'
-             WHEN n_tok < {clean_ops.MIN_TOKENS} THEN 'short'
-             WHEN alpha_ratio < {clean_ops.MIN_ALPHA_RATIO} THEN 'alpha'
-             WHEN stop_ratio < {clean_ops.MIN_STOPWORD_RATIO} THEN 'stopword'
-             ELSE '' END AS reason
-      FROM m),
-canon AS (SELECT md5(text) AS h, min(doc_id) AS cid
-          FROM v WHERE reason = '' GROUP BY 1),
-final AS (SELECT v.doc_id,
-        CASE WHEN v.reason <> '' THEN v.reason
-             WHEN v.doc_id <> c.cid THEN 'dup' ELSE '' END AS reason
-        FROM v LEFT JOIN canon c ON v.reason = '' AND md5(v.text) = c.h)
-SELECT doc_id, (reason = '') AS keep, reason FROM final
+        "clean_corpus": clean_sql,
+        # composed flagship: the three stage oracles nested verbatim
+        "prepare_corpus": f"""
+SELECT s.doc_id, s.n_tokens, s.n_removed, s.text_clean
+FROM ({strip_spans}) s
+JOIN ({clean_sql}) c ON c.doc_id = s.doc_id AND c.keep
+JOIN ({decontam}) d ON d.doc_id = s.doc_id AND NOT d.contaminated
 """,
         "length_quantiles": """
 SELECT lang,

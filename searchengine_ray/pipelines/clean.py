@@ -151,3 +151,47 @@ def clean_corpus(sf_dir: str) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def prepare_corpus(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, n_removed, text_clean) for every SURVIVING doc —
+    the composed training-data preparation flagship:
+
+      1. clean_corpus      lang / length / alpha / stopword / exact-dup
+      2. decontaminate     drop docs sharing a 5-gram with the benchmark
+                           subset (benchmark docs themselves are dropped)
+      3. strip_dup_spans   remove corpus-duplicated 5-gram spans from the
+                           survivors' text (ExactSubstr policy)
+
+    Every stage is the already-oracle-checked op; the composition wires
+    them with two native hash joins on doc_id (all sides are corpus-scale
+    map_batches outputs, schema-stable). The SQL oracle nests the three
+    stage oracles verbatim, so the composition is hash-checked end-to-end
+    too. Note the span-strip statistics are computed over the WHOLE corpus
+    (the measurement is corpus-global) while only survivors are emitted —
+    same contract as running the policy op before filtering."""
+    from . import dedup as dedup_ops  # runtime import: avoids module cycle
+
+    kept = clean_corpus(sf_dir).map_batches(
+        lambda t: t.filter(t.column("keep")).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    clean_train = dedup_ops.decontaminate(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.invert(t.column("contaminated"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    stripped = dedup_ops.strip_dup_spans(sf_dir)
+    survivors = kept.join(
+        clean_train, "inner", num_partitions=16, on=("doc_id",)
+    )
+    return stripped.join(
+        survivors, "inner", num_partitions=16, on=("doc_id",)
+    ).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "n_removed", "text_clean"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
