@@ -464,6 +464,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": lambda sf: corpus_ops.ngram_counts(sf, k=50),
         "bigram_pmi": lambda sf: corpus_ops.bigram_pmi(sf, min_count=5, k=50),
         "tfidf_topk": lambda sf: corpus_ops.tfidf_topk(sf, k=5),
+        # per-doc unigram entropy (boilerplate signal) — zero-shuffle
+        "doc_entropy": lambda sf: corpus_ops.doc_entropy(sf),
+        # concat-and-chunk sequence packing: a global ordered prefix-sum
+        # as a two-phase bucket scan (pipelines/export.pack_sequences)
+        "pack_sequences": lambda sf: export_ops.pack_sequences(sf, seq_len=512),
     }
 
 
@@ -1650,5 +1655,34 @@ r AS (SELECT doc_id, term, tfidf,
       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) rk
       FROM sc)
 SELECT doc_id, term, rk::BIGINT AS rank, tfidf FROM r WHERE rk <= 5
+""",
+        # per-distinct-term self-information integerized to 1e-6 nats BEFORE
+        # the tf-weighted doc sum (mirrors corpus.doc_entropy op-for-op)
+        "doc_entropy": f"""
+WITH tok AS ({_TOKENIZE_SQL}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+nd AS (SELECT doc_id, sum(tf)::BIGINT AS n, count(*)::BIGINT AS k FROM tf GROUP BY 1),
+per AS (SELECT tf.doc_id,
+        SUM(tf.tf * CAST(floor(ln(nd.n::DOUBLE / tf.tf::DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT))::BIGINT AS s
+        FROM tf JOIN nd USING (doc_id) GROUP BY 1)
+SELECT d.doc_id, coalesce(nd.n, 0)::BIGINT AS n_tokens,
+       coalesce(nd.k, 0)::BIGINT AS n_distinct,
+       coalesce({_r6('per.s / (1000000.0 * nd.n)')}, 0) AS entropy
+FROM documents d LEFT JOIN nd USING (doc_id) LEFT JOIN per USING (doc_id)
+""",
+        # the packing layout is a pure window cumsum in doc_id order;
+        # zero-token docs contribute no positions and are absent
+        "pack_sequences": f"""
+WITH tok AS ({_TOKENIZE_SQL}),
+n AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+c AS (SELECT doc_id, n,
+      (sum(n) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT AS tok_start
+      FROM n)
+SELECT doc_id, n AS n_tokens, tok_start,
+       (tok_start // 512)::BIGINT AS seq_first,
+       ((tok_start + n - 1) // 512)::BIGINT AS seq_last
+FROM c
 """,
     }

@@ -447,3 +447,67 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def doc_entropy(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, n_distinct, entropy) — per-doc unigram Shannon
+    entropy in nats plus the type count behind it (type/token ratio =
+    n_distinct/n_tokens). Low-entropy docs are boilerplate/template pages —
+    the within-doc complement of unigram_logprob's corpus-level signal.
+
+    Determinism contract (same family as unigram_logprob): each distinct
+    term's self-information is integerized FIRST, e6 = floor(ln(n/tf)*1e6
+    + 0.5), the doc sum is the integer Σ tf·e6 (order-independent), and
+    entropy = round6(sum / (1e6·n)). Empty docs report zeros.
+
+    Scale shape: zero shuffles — the whole statistic is within-row, one
+    map_batches pass with an Arrow C-speed (row, term) group-count inside
+    each batch. Embarrassingly parallel at 10^12 docs."""
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("entropy", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        n = t.num_rows
+        n_tok = np.zeros(n, np.int64)
+        n_dis = np.zeros(n, np.int64)
+        ent = np.zeros(n, np.float64)
+        if len(parents):
+            tf_tab = (
+                pa.table({"p": pa.array(parents, pa.int64()), "term": tokens})
+                .group_by(["p", "term"])
+                .aggregate([([], "count_all")])
+            )
+            p = tf_tab.column("p").to_numpy(zero_copy_only=False)
+            tf = tf_tab.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+            n_tok = np.bincount(parents, minlength=n).astype(np.int64)
+            n_dis = np.bincount(p, minlength=n).astype(np.int64)
+            e6 = np.floor(
+                np.log(n_tok[p].astype(np.float64) / tf.astype(np.float64)) * 1e6 + 0.5
+            ).astype(np.int64)
+            # tf·e6 < 2^53 per term at any real doc length: exact in float64
+            sums = np.bincount(p, weights=(tf * e6).astype(np.float64), minlength=n)
+            nz = n_tok > 0
+            ent[nz] = round6(sums[nz] / (1e6 * n_tok[nz]))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dis, pa.int64()),
+                "entropy": pa.array(ent, pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

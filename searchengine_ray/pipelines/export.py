@@ -176,3 +176,107 @@ def shard_stats(sf_dir: str, n_shards: int = 8) -> rd.Dataset:
         .groupby("shard")
         .aggregate(Sum("d_p", alias_name="n_docs"), Sum("c_p", alias_name="n_chars"))
     )
+
+
+_PACK_BUCKETS = 64
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512) -> rd.Dataset:
+    """(doc_id, n_tokens, tok_start, seq_first, seq_last) — concat-and-chunk
+    sequence packing: documents are concatenated in doc_id order and cut
+    into fixed seq_len training sequences; each doc reports its global
+    token offset and the [first, last] sequence index it lands in (a doc
+    spanning a boundary appears in both — the standard causal-LM loader
+    layout). Zero-token docs are absent (they contribute no positions).
+
+    This is a global ORDERED prefix-sum — the one shape groupby cannot
+    express directly — implemented as the classic two-phase scan:
+      1. one shuffle-free map_batches pass emits (doc_id, n_tokens);
+      2. monotone equal-width doc_id buckets (order-preserving, unlike a
+         hash); per-bucket token totals via groupby-sum (B rows) give the
+         driver an exclusive bucket-offset table, broadcast via ray.put;
+      3. per-bucket map_groups sorts by doc_id and does a vectorized
+         cumsum + bucket offset — every row's GLOBAL offset with only
+         B-row driver state.
+    At 10^12 docs the counts table is rebuilt per phase from a pruned read
+    (cheaper than holding it); here it is materialized once. Skew bound:
+    equal-width buckets over hash-distributed doc_ids are uniform; over
+    adversarial id clumps raise _PACK_BUCKETS or swap in sampled quantile
+    boundaries (sort()'s own strategy)."""
+    _C = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+
+    def count(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _C.empty_table()
+        from ..functions.tokenize import tokenize_flat
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, _ = tokenize_flat(t.column("text").combine_chunks())
+        n_tok = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        keep = n_tok > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # reused by both scan phases; 16 B/doc, not the corpus
+    )
+    lohi = counts.aggregate(rd.aggregate.Min("doc_id"), rd.aggregate.Max("doc_id"))
+    lo, hi = int(lohi["min(doc_id)"]), int(lohi["max(doc_id)"])
+    span = float(hi - lo) + 1.0
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        # float64 int64->double is monotone, so bucket order == doc_id order
+        b = np.floor((ids - lo).astype(np.float64) * (_PACK_BUCKETS / span))
+        return np.clip(b, 0, _PACK_BUCKETS - 1).astype(np.int64)
+
+    def tag(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(bucket_of(ids), pa.int64()))
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    totals = tagged.groupby("bucket").aggregate(Sum("n_tokens", alias_name="tot")).to_pandas()
+    off = np.zeros(_PACK_BUCKETS, np.int64)
+    tot = np.zeros(_PACK_BUCKETS, np.int64)
+    tot[totals["bucket"].to_numpy()] = totals["tot"].to_numpy()
+    off[1:] = np.cumsum(tot)[:-1]  # exclusive prefix: bucket b starts at off[b]
+    off_ref = ray.put(off)
+
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("tok_start", pa.int64()),
+            ("seq_first", pa.int64()),
+            ("seq_last", pa.int64()),
+        ]
+    )
+
+    def scan(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        base = int(ray.get(off_ref)[int(group.column("bucket")[0].as_py())])
+        start = base + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "tok_start": pa.array(start, pa.int64()),
+                "seq_first": pa.array(start // seq_len, pa.int64()),
+                "seq_last": pa.array((start + n - 1) // seq_len, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(scan, batch_format="pyarrow")

@@ -112,3 +112,25 @@ def test_tfidf_topk_crafted(tmp_path, ray_session):
     assert (out["rank"] <= 2).all()
     # idf=0 -> tfidf exactly 0 for 'common' regardless of tf
     assert (out.loc[out["term"] == "common", "tfidf"] == 0).all()
+
+
+def test_doc_entropy_crafted(tmp_path, ray_session):
+    import math
+
+    rows = [
+        (1, "a a a a"),  # single type: entropy exactly 0
+        (2, "a b c d"),  # uniform over 4 types: ln(4), integerized
+        (3, ""),  # empty: zeros
+        (4, "a a b"),  # H = (2*e6(ln 3/2) + 1*e6(ln 3)) / 3e6
+    ]
+    d = _write_documents(tmp_path, rows)
+    out = corpus.doc_entropy(d).to_pandas().sort_values("doc_id").set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 4 and out.loc[1, "n_distinct"] == 1
+    assert out.loc[1, "entropy"] == 0.0
+    e6_ln4 = math.floor(math.log(4.0) * 1e6 + 0.5)
+    assert out.loc[2, "entropy"] == math.floor((4 * e6_ln4) / (4 * 1e6) * 1e6 + 0.5) / 1e6
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "entropy"] == 0.0
+    e6_32 = math.floor(math.log(3 / 2) * 1e6 + 0.5)
+    e6_3 = math.floor(math.log(3.0) * 1e6 + 0.5)
+    want = math.floor((2 * e6_32 + e6_3) / (3 * 1e6) * 1e6 + 0.5) / 1e6
+    assert out.loc[4, "entropy"] == want

@@ -103,3 +103,42 @@ def test_shard_stats_matches_export(tmp_path, ray_session):
     assert stats["n_chars"].sum() == int(
         np.sum(src.column("n_chars").to_numpy())
     )
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_pack_sequences_crafted(tmp_path, ray_session):
+    # doc_id order (NOT insertion order) drives the layout; ids are sparse
+    # so multiple equal-width buckets are non-empty and the cross-bucket
+    # offset chain is exercised. seq_len=4.
+    rows = [
+        (900, "i j"),  # 2 tokens, starts at 10 -> seqs 2..2
+        (5, "a b c"),  # 3 tokens, starts at 0 -> seqs 0..0
+        (300, "d e f g h"),  # 5 tokens, starts at 3 -> spans seqs 0..1
+        (450, ""),  # zero tokens: absent from output
+        (700, "x x"),  # 2 tokens, starts at 8 -> seqs 2..2
+    ]
+    d = _write_docs(tmp_path, rows)
+    out = ex.pack_sequences(d, seq_len=4).to_pandas().sort_values("doc_id").set_index("doc_id")
+    assert list(out.index) == [5, 300, 700, 900]
+    assert list(out["tok_start"]) == [0, 3, 8, 10]
+    assert list(out["seq_first"]) == [0, 0, 2, 2]
+    assert list(out["seq_last"]) == [0, 1, 2, 2]
+    # contiguity invariant: offsets tile the token stream exactly
+    assert (out["tok_start"] + out["n_tokens"]).iloc[:-1].tolist() == out[
+        "tok_start"
+    ].iloc[1:].tolist()
