@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: dedup_ops.ngram_jaccard_pairs(sf, threshold=0.5),
         "dedup_simhash": lambda sf: dedup_ops.simhash(sf),
         "dedup_components": lambda sf: dedup_ops.dedup_components(sf),
+        # cluster -> canonical-representative policy (keep max-token doc,
+        # tie -> min doc_id): components + one doc_id join + coarse argmax
+        "dedup_canonical": lambda sf: dedup_ops.dedup_canonical(sf),
         "dedup_embedding": lambda sf: dedup_ops.embedding_dup_pairs(sf, threshold=0.4),
         # duplicated-substring measurement (Lee et al. 2021 shape): frac of
         # token-5-gram windows occurring >= 2x corpus-wide, per doc
@@ -975,6 +978,28 @@ walk(node, comp) AS (
 SELECT node AS doc_id, min(comp) AS component_id FROM walk GROUP BY node
 """
 
+    # components + per-doc kept-token counts (len of the tokd list) +
+    # argmax-per-component (n_tokens desc, doc_id asc) — mirrors
+    # dedup.dedup_canonical's join + coarse run-scan
+    canonical = f"""
+WITH RECURSIVE {sh_ctes},
+{_ngram_body()},
+pairs AS (SELECT da, db FROM jac WHERE j >= 0.5),
+edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node WHERE w.comp < e.b
+),
+comp AS (SELECT node AS doc_id, min(comp) AS component_id FROM walk GROUP BY node),
+tc AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM tokd),
+j2 AS (SELECT c.doc_id, c.component_id, coalesce(tc.n_tokens, 0)::BIGINT AS n_tokens
+       FROM comp c LEFT JOIN tc USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY component_id
+        ORDER BY n_tokens DESC, doc_id ASC) AS rk FROM j2)
+SELECT doc_id, component_id, n_tokens, (rk = 1) AS keep FROM r
+"""
+
     ann_lsh = f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < {ANN_QUERIES}),
@@ -1442,6 +1467,7 @@ FROM r WHERE rank <= 5
         "dedup_simhash": simhash_sql,
         "dedup_minhash_pairs": minhash,
         "dedup_components": components,
+        "dedup_canonical": canonical,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
         "media_meta": media_meta_sql,

@@ -1580,3 +1580,79 @@ def similar_docs(
         .groupby("query_id")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def dedup_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """(doc_id, component_id, n_tokens, keep) — the end-to-end dedup POLICY:
+    near-duplicate clusters (exact n-gram Jaccard graph, dedup_components)
+    plus the canonical-representative choice a training pipeline actually
+    applies: within each component KEEP the doc with the most kept tokens
+    (deterministic tie-break: smallest doc_id), drop the rest. Singletons
+    are kept trivially.
+
+    Scale shape: the component labels come from the fully distributed
+    propagate path; per-doc token counts are one shuffle-free map_batches
+    pass; the label<->count merge is ONE hash-shuffle join on doc_id; the
+    per-component argmax is the repo's coarse-bucket run-scan (bucket =
+    component_id % N_COARSE_BUCKETS, vectorized lexsort + run-first inside
+    each bucket) — never a per-component Python group."""
+    labels = dedup_components(sf_dir, threshold=threshold)
+
+    _C = pa.schema([("td", pa.int64()), ("n_tokens", pa.int64())])
+
+    def counts(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _C.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, _ = tokenize_flat(t.column("text").combine_chunks())
+        n_tok = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {"td": pa.array(ids, pa.int64()), "n_tokens": pa.array(n_tok, pa.int64())}
+        )
+
+    toks = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = labels.join(
+        toks, "inner", num_partitions=16, on=("doc_id",), right_on=("td",)
+    )
+
+    def cbucket(t: pa.Table) -> pa.Table:
+        comp = t.column("component_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (comp.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32)
+        return t.append_column("cbucket", pa.array(b, pa.int32()))
+
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("component_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = group.column("component_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -n, comp))  # comp asc, n desc, doc_id asc
+        ids, comp, n = ids[order], comp[order], n[order]
+        keep = np.r_[True, comp[1:] != comp[:-1]]  # run-first = the argmax
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "component_id": pa.array(comp, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return (
+        joined.map_batches(cbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cbucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -329,3 +329,20 @@ def test_strip_dup_spans_crafted(ray_session, tmp_path):
     assert out.loc[3, "text_clean"] == "nothing duplicated in here at all really truly"
     assert out.loc[4, "text_clean"] == "tiny doc" and out.loc[4, "n_removed"] == 0
     assert out.loc[5, "text_clean"] == "pad" and out.loc[5, "n_removed"] == 10
+
+
+def test_canonical_representatives(dup_dir, ray_session):
+    out = dd.dedup_canonical(dup_dir, threshold=0.5).to_pandas()
+    assert len(out) == out["doc_id"].nunique()  # one row per doc
+    # exactly one keeper per component
+    per = out.groupby("component_id")["keep"].sum()
+    assert (per == 1).all()
+    # within each component the keeper has the max token count, tie -> min id
+    for _, grp in out.groupby("component_id"):
+        grp = grp.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        keeper = grp.iloc[0]["doc_id"]
+        assert set(grp[grp["keep"]]["doc_id"]) == {keeper}
+    # singleton fillers are all kept
+    comp_sizes = out.groupby("component_id")["doc_id"].count()
+    singles = comp_sizes[comp_sizes == 1].index
+    assert out[out["component_id"].isin(singles)]["keep"].all()
