@@ -355,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tie -> min doc_id): components + one doc_id join + coarse argmax
         "dedup_canonical": lambda sf: dedup_ops.dedup_canonical(sf),
         "dedup_embedding": lambda sf: dedup_ops.embedding_dup_pairs(sf, threshold=0.4),
+        # incremental crawl-batch dedup vs an ingested corpus (fingerprints
+        # only cross the exchange; one coarse groupby)
+        "dedup_incremental": lambda sf: dedup_ops.dedup_incremental(sf),
         # duplicated-substring measurement (Lee et al. 2021 shape): frac of
         # token-5-gram windows occurring >= 2x corpus-wide, per doc
         "dedup_window_stats": lambda sf: dedup_ops.dup_window_stats(sf),
@@ -472,6 +475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # concat-and-chunk sequence packing: a global ordered prefix-sum
         # as a two-phase bucket scan (pipelines/export.pack_sequences)
         "pack_sequences": lambda sf: export_ops.pack_sequences(sf, seq_len=512),
+        # tokenizer export: frequency-ranked vocab ids with an
+        # order-sensitive positional checksum (full encoding pinned)
+        "tokenize_ids": lambda sf: export_ops.tokenize_ids(sf),
     }
 
 
@@ -1184,6 +1190,15 @@ SELECT doc_id,
        (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
 FROM documents
 """,
+        # new docs (doc_id % 2 <> 0) flagged when their md5 fingerprint
+        # exists among ingested docs (doc_id % 2 = 0)
+        "dedup_incremental": """
+WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+old AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0)
+SELECT f.doc_id, (old.fp IS NOT NULL) AS is_dup_of_corpus
+FROM f LEFT JOIN old USING (fp)
+WHERE f.doc_id % 2 <> 0
+""",
         "dedup_embedding": emb_dup,
         "embedding_outliers": emb_outliers,
         "ann_brute_topk": ann,
@@ -1710,5 +1725,24 @@ SELECT doc_id, n AS n_tokens, tok_start,
        (tok_start // 512)::BIGINT AS seq_first,
        ((tok_start + n - 1) // 512)::BIGINT AS seq_last
 FROM c
+""",
+        # vocab id = frequency rank (cf DESC, term ASC, 0-based); checksum
+        # = Σ pos·(id+1) mod 1e9+7 over 1-based in-doc positions (the mod is
+        # applied per term on both sides; DuckDB's HUGEINT sum then reduces)
+        "tokenize_ids": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_LIST_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, s.i + 1 AS pos, t[s.i + 1] AS term
+        FROM tokd, LATERAL (SELECT unnest(range(len(t))) AS i) s),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+vocab AS (SELECT term,
+          (row_number() OVER (ORDER BY cf DESC, term ASC) - 1)::BIGINT AS id
+          FROM cf),
+per AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+        (sum((pos % 1000000007) * ((v.id + 1) % 1000000007) % 1000000007)
+           % 1000000007)::BIGINT AS ids_checksum
+        FROM tok JOIN vocab v USING (term) GROUP BY 1)
+SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(per.ids_checksum, 0)::BIGINT AS ids_checksum
+FROM documents d LEFT JOIN per USING (doc_id)
 """,
     }

@@ -223,6 +223,14 @@ def run_once() -> dict:
     corpus_ops.unigram_logprob(SF_DIR).to_pandas()
     queries["unigram_logprob"] = round(time.perf_counter() - t0, 3)
 
+    # round-3: global ordered prefix-sum (two-phase bucket scan) for
+    # concat-and-chunk sequence packing
+    from searchengine_ray.pipelines import export as export_ops
+
+    t0 = time.perf_counter()
+    export_ops.pack_sequences(SF_DIR, seq_len=512).to_pandas()
+    queries["pack_sequences"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "index_build_sec",
         "value": round(build_s, 3),

@@ -1656,3 +1656,68 @@ def dedup_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         .groupby("cbucket")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def dedup_incremental(sf_dir: str, mod: int = 2) -> rd.Dataset:
+    """(doc_id, is_dup_of_corpus) for the NEW docs (doc_id % mod != 0):
+    flags each incoming doc whose exact text fingerprint already exists in
+    the INGESTED corpus (doc_id % mod == 0). The production incremental
+    shape: a crawl batch is deduped against an existing corpus without
+    re-clustering the corpus — only fingerprints move, never text.
+
+    Scale shape: same discipline as exact_duplicates — md5 fingerprints,
+    ONE coarse groupby on the hash-prefix bucket (equal fingerprints
+    co-locate), then a vectorized run scan marks new docs sharing a run
+    with >= 1 old doc. At 10^12 docs the corpus side would be a
+    pre-computed fingerprint table read instead of a re-hash; the exchange
+    shape is identical."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.column("text").to_pylist()
+        ]
+        bucket = np.fromiter((int(f[:2], 16) for f in fps), dtype=np.int32, count=len(fps))
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "text_md5": pa.array(fps, pa.string()),
+                "is_old": pa.array(ids % mod == 0, pa.bool_()),
+            }
+        )
+
+    _O = pa.schema([("doc_id", pa.int64()), ("is_dup_of_corpus", pa.bool_())])
+
+    def mark(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        old = group.column("is_old").to_numpy(zero_copy_only=False)
+        md5s = group.column("text_md5")
+        order = np.lexsort((ids, md5s.to_numpy(zero_copy_only=False)))
+        ids_s, old_s = ids[order], old[order]
+        md5_s = md5s.take(pa.array(order))
+        new_run = np.empty(len(ids_s), dtype=bool)
+        new_run[0] = True
+        neq = pc.not_equal(md5_s.slice(1), md5_s.slice(0, len(ids_s) - 1))
+        new_run[1:] = neq.to_numpy(zero_copy_only=False)
+        run_id = np.cumsum(new_run) - 1
+        # a run is "in corpus" iff any member is an old doc
+        run_has_old = np.bincount(run_id, weights=old_s.astype(np.float64)) > 0
+        keep = ~old_s  # report new docs only
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s[keep], pa.int64()),
+                "is_dup_of_corpus": pa.array(run_has_old[run_id[keep]], pa.bool_()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(mark, batch_format="pyarrow")
+    )

@@ -280,3 +280,74 @@ def pack_sequences(sf_dir: str, seq_len: int = 512) -> rd.Dataset:
         )
 
     return tagged.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+
+_CKSUM_MOD = 1_000_000_007  # checksum field, applied per term before the sum
+
+
+def tokenize_ids(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, ids_checksum) — the tokenizer-export step: encode
+    every doc into dense vocab ids (id = frequency rank: cf DESC, term ASC,
+    starting at 0) and prove the ORDER-SENSITIVE encoding with a positional
+    checksum, Σ pos·(id+1) mod 1e9+7 over 1-based positions. Two docs with
+    the same token multiset but different order get different checksums, so
+    the oracle pins the full (position → id) encoding, not just the bag.
+
+    Scale shape: the vocab is built by the lexicon's partial/combine
+    groupby, collected once (vocabulary-sized, the unigram_logprob
+    broadcast pattern: md5-u64-sorted probe table via ray.put — shard it
+    like the serving lexicon at 10^12 docs); the encode pass is one
+    shuffle-free map_batches. Per-term mod keeps every intermediate in
+    int64 regardless of doc length."""
+    from .textops import lexicon
+
+    from ..functions.hashing import md5h64_array
+    from ..functions.tokenize import tokenize_flat
+
+    vocab = lexicon(sf_dir).to_pandas()  # (term, df, cf): vocab-sized
+    order = np.lexsort(
+        (vocab["term"].to_numpy(), -vocab["cf"].to_numpy())
+    )  # cf desc, term asc (lowercase-ASCII terms: byte order == SQL ASC)
+    ids = np.empty(len(vocab), np.int64)
+    ids[order] = np.arange(len(vocab), dtype=np.int64)
+    hashes = md5h64_array(list(vocab["term"]))
+    horder = np.argsort(hashes)
+    ref = ray.put((hashes[horder], ids[horder]))
+
+    _O = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("ids_checksum", pa.int64())]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        n = t.num_rows
+        n_tok = np.zeros(n, np.int64)
+        cks = np.zeros(n, np.int64)
+        if len(parents):
+            hs, vids = ray.get(ref)
+            tid = vids[np.searchsorted(hs, md5h64_array(tokens))]
+            n_tok = np.bincount(parents, minlength=n).astype(np.int64)
+            # 1-based position within the doc: global index minus doc start
+            starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+            pos = np.arange(len(parents), dtype=np.int64) - starts[parents] + 1
+            term_c = (pos % _CKSUM_MOD) * ((tid + 1) % _CKSUM_MOD) % _CKSUM_MOD
+            # exact: per-term values < 1e9+7; float64 bincount would round,
+            # so sum in int64 via add.at-free segmented reduceat
+            csum = np.concatenate([[0], np.cumsum(term_c)])
+            ends = starts + n_tok
+            cks = (csum[ends] - csum[starts]) % _CKSUM_MOD
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "ids_checksum": pa.array(cks, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )

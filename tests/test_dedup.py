@@ -346,3 +346,27 @@ def test_canonical_representatives(dup_dir, ray_session):
     comp_sizes = out.groupby("component_id")["doc_id"].count()
     singles = comp_sizes[comp_sizes == 1].index
     assert out[out["component_id"].isin(singles)]["keep"].all()
+
+
+def test_incremental_flags_corpus_dups(dup_dir, ray_session):
+    out = (
+        dd.dedup_incremental(dup_dir, mod=2)
+        .to_pandas()
+        .set_index("doc_id")["is_dup_of_corpus"]
+    )
+    # only new (odd) docs are reported
+    assert all(i % 2 == 1 for i in out.index)
+    # each exact-dup pair (3j, 3j+1) spans the old/new split: whichever
+    # member is odd must be flagged as already-in-corpus
+    flagged = 0
+    for j in range(len(BASE_DOCS)):
+        for cand in (3 * j, 3 * j + 1):
+            if cand % 2 == 1:
+                assert out[cand], cand
+                flagged += 1
+    assert flagged >= len(BASE_DOCS)
+    # near-dups (one word changed) are NOT exact dups: never flagged
+    for j in range(len(BASE_DOCS)):
+        nd = 3 * j + 2
+        if nd % 2 == 1:
+            assert not out[nd]

@@ -142,3 +142,15 @@ def test_pack_sequences_crafted(tmp_path, ray_session):
     assert (out["tok_start"] + out["n_tokens"]).iloc[:-1].tolist() == out[
         "tok_start"
     ].iloc[1:].tolist()
+
+
+def test_tokenize_ids_order_sensitive(tmp_path, ray_session):
+    # cf: a=3, b=2 -> id(a)=0, id(b)=1; checksum = sum pos*(id+1)
+    rows = [(1, "b a"), (2, "a b"), (3, "a a b"), (4, "")]
+    d = _write_docs(tmp_path, rows)
+    out = ex.tokenize_ids(d).to_pandas().sort_values("doc_id").set_index("doc_id")
+    assert out.loc[1, "ids_checksum"] == 1 * 2 + 2 * 1  # b@1, a@2
+    assert out.loc[2, "ids_checksum"] == 1 * 1 + 2 * 2  # a@1, b@2
+    assert out.loc[1, "ids_checksum"] != out.loc[2, "ids_checksum"]  # order matters
+    assert out.loc[3, "ids_checksum"] == 1 + 2 + 3 * 2
+    assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "ids_checksum"] == 0
