@@ -67,6 +67,7 @@ from searchengine_ray.pipelines import corpus as corpus_ops
 from searchengine_ray.pipelines import dedup as dedup_ops
 from searchengine_ray.pipelines import events as event_ops
 from searchengine_ray.pipelines import export as export_ops
+from searchengine_ray.pipelines import graph as graph_ops
 from searchengine_ray.pipelines import joins as join_ops
 from searchengine_ray.pipelines import multimodal as mm_ops
 from searchengine_ray.pipelines import textops
@@ -478,6 +479,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer export: frequency-ranked vocab ids with an
         # order-sensitive positional checksum (full encoding pinned)
         "tokenize_ids": lambda sf: export_ops.tokenize_ids(sf),
+        # distributed PageRank (integer micro-units, derived link graph):
+        # one coarse exchange per power iteration, edges never stored
+        "pagerank": lambda sf: graph_ops.pagerank(sf, iters=3, k=4),
     }
 
 
@@ -1744,5 +1748,33 @@ per AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
 SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(per.ids_checksum, 0)::BIGINT AS ids_checksum
 FROM documents d LEFT JOIN per USING (doc_id)
+""",
+        # integer micro-unit PageRank, 3 unrolled power iterations over the
+        # derived graph v_j = (u*31 + j) % N, j = 1..4; edges to
+        # non-existent ids dropped, divisor always k (pipelines/graph.py)
+        "pagerank": """
+WITH nodes AS (SELECT doc_id FROM documents),
+n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT nodes.doc_id AS u,
+             ((nodes.doc_id * 31 + j.j) % (SELECT c FROM n)) AS v
+      FROM nodes, (SELECT unnest(range(1, 5)) AS j) j),
+ev AS (SELECT e.u, e.v FROM e JOIN nodes nv ON nv.doc_id = e.v),
+r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM nodes),
+r1 AS (SELECT nd.doc_id AS node,
+       (150000 + (85 * coalesce(s.c, 0)) // 100)::BIGINT AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT ev.v AS node, sum(r0.r // 4)::BIGINT AS c
+         FROM ev JOIN r0 ON r0.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id),
+r2 AS (SELECT nd.doc_id AS node,
+       (150000 + (85 * coalesce(s.c, 0)) // 100)::BIGINT AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT ev.v AS node, sum(r1.r // 4)::BIGINT AS c
+         FROM ev JOIN r1 ON r1.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id),
+r3 AS (SELECT nd.doc_id AS node,
+       (150000 + (85 * coalesce(s.c, 0)) // 100)::BIGINT AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT ev.v AS node, sum(r2.r // 4)::BIGINT AS c
+         FROM ev JOIN r2 ON r2.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id)
+SELECT node AS doc_id, r AS rank_micro FROM r3
 """,
     }

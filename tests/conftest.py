@@ -7,10 +7,15 @@ from ray.data import DataContext
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
-    """One Ray session for the whole pytest run (per project convention)."""
+    """One Ray session for the whole pytest run (per project convention).
+
+    8 CPUs, not 4: Ray's JoinOperator reserves ~2 CPUs of aggregator
+    actors per join, and composed pipelines (prepare_corpus) stack three
+    joins — at 4 CPUs the joins pin the whole cluster and the upstream
+    map/sort tasks deadlock (observed as a silent test_contract hang)."""
     ray.init(
         address="local",
-        num_cpus=4,
+        num_cpus=8,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",

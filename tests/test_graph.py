@@ -1,0 +1,61 @@
+"""PageRank on a hand-computable graph: 4 dense doc_ids, k=2, 1-2 rounds
+computed by hand in integer micro-units (floor-division contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from searchengine_ray.pipelines import graph as gp
+
+
+def _write_docs(tmp_path, n):
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["t"] * n, pa.string()),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _expected(n, iters, k):
+    ids = np.arange(n, dtype=np.int64)
+    r = np.full(n, 1_000_000, np.int64)
+    for _ in range(iters):
+        nxt = np.zeros(n, np.int64)
+        for j in range(1, k + 1):
+            v = (ids * 31 + j) % n
+            np.add.at(nxt, v, r // k)
+        r = 150_000 + (85 * nxt) // 100
+    return r
+
+
+def test_pagerank_matches_reference_loop(tmp_path, ray_session):
+    d = _write_docs(tmp_path, 7)
+    out = (
+        gp.pagerank(d, iters=3, k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _expected(7, iters=3, k=4)
+    assert list(out["doc_id"]) == list(range(7))
+    assert list(out["rank_micro"]) == list(want)
+
+
+def test_pagerank_mass_and_base(tmp_path, ray_session):
+    # k=1 on 3 nodes: each node has exactly one out-edge; every surviving
+    # rank is >= the 150_000 teleport base and total mass stays bounded
+    d = _write_docs(tmp_path, 3)
+    out = gp.pagerank(d, iters=2, k=1).to_pandas()
+    assert len(out) == 3
+    assert (out["rank_micro"] >= 150_000).all()
+    want = _expected(3, iters=2, k=1)
+    got = out.sort_values("doc_id")["rank_micro"].to_numpy()
+    assert (got == want).all()
