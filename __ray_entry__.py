@@ -1750,13 +1750,14 @@ SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN per USING (doc_id)
 """,
         # integer micro-unit PageRank, 3 unrolled power iterations over the
-        # derived graph v_j = (u*31 + j) % N, j = 1..4; edges to
-        # non-existent ids dropped, divisor always k (pipelines/graph.py)
+        # derived hub-skewed graph v_j = (h*(h+j)) % N, h = u % 1000003,
+        # j = 1..4; edges to non-existent ids dropped, divisor always k
         "pagerank": """
 WITH nodes AS (SELECT doc_id FROM documents),
 n AS (SELECT count(*)::BIGINT AS c FROM documents),
 e AS (SELECT nodes.doc_id AS u,
-             ((nodes.doc_id * 31 + j.j) % (SELECT c FROM n)) AS v
+             (((nodes.doc_id % 1000003) * ((nodes.doc_id % 1000003) + j.j))
+              % (SELECT c FROM n)) AS v
       FROM nodes, (SELECT unnest(range(1, 5)) AS j) j),
 ev AS (SELECT e.u, e.v FROM e JOIN nodes nv ON nv.doc_id = e.v),
 r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM nodes),

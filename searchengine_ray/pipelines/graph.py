@@ -5,9 +5,12 @@ Large-Scale Hypertextual Web Search Engine" (README.md:3-9); the paper's
 OTHER half is link analysis. The reference repo has no link table and the
 sandbox corpus has no html anchors, so the link graph is DERIVED
 deterministically from doc_ids (the same derived-payload contract as the
-media ops): node u has out-edges v_j = (u*31 + j) % n for j = 1..k, kept
+media ops): node u has out-edges v_j = (h*(h + j)) % n with
+h = u % 1000003, j = 1..k — the quadratic map is non-injective, so
+in-degrees are skewed (hubs), giving real rank diversity; edges are kept
 only when v_j is an existing doc_id (mass over dropped/dangling edges
-leaks, the standard simplification; divisor is always k).
+leaks, the standard simplification; divisor is always k). The prime
+reduction keeps h*(h+k) < ~1e12, safe in int64 for any doc_id.
 
 Determinism contract: ranks are integer MICRO-units. r_0 = 1_000_000;
 r_{t+1}(v) = 150_000 + (damping · Σ_{u→v} (r_t(u) // k)) // 100 with
@@ -58,7 +61,8 @@ def pagerank(sf_dir: str, iters: int = 3, k: int = 4) -> rd.Dataset:
         u = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         r = t.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
         share = r // k
-        vs = [(u * 31 + j) % n_docs for j in range(1, k + 1)]
+        h = u % 1000003
+        vs = [(h * (h + j)) % n_docs for j in range(1, k + 1)]
         return pa.table(
             {
                 "node": pa.array(np.concatenate([u] + vs), pa.int64()),

@@ -29,8 +29,9 @@ def _expected(n, iters, k):
     r = np.full(n, 1_000_000, np.int64)
     for _ in range(iters):
         nxt = np.zeros(n, np.int64)
+        h = ids % 1000003
         for j in range(1, k + 1):
-            v = (ids * 31 + j) % n
+            v = (h * (h + j)) % n
             np.add.at(nxt, v, r // k)
         r = 150_000 + (85 * nxt) // 100
     return r
