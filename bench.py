@@ -231,6 +231,13 @@ def run_once() -> dict:
     export_ops.pack_sequences(SF_DIR, seq_len=512).to_pandas()
     queries["pack_sequences"] = round(time.perf_counter() - t0, 3)
 
+    # round-3: iterative link analysis (one coarse exchange per round)
+    from searchengine_ray.pipelines import graph as graph_ops
+
+    t0 = time.perf_counter()
+    graph_ops.pagerank(SF_DIR, iters=3, k=4).to_pandas()
+    queries["pagerank"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "index_build_sec",
         "value": round(build_s, 3),
