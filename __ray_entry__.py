@@ -306,6 +306,65 @@ def _topk_pipeline(
 # ---------------------------------------------------------------------------
 
 
+FUSION_CAND_K = 100
+
+
+def _fused_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Two-stage ranking, the Anatomy paper's IR-score x link-rank fusion:
+    stage 1 retrieves the top-FUSION_CAND_K candidates per query by BM25
+    (the engine's normal exact top-k path), stage 2 re-ranks them by
+    fused = round6(bm25) * round6(ln(1 + pagerank_micro/1e6)) and cuts to
+    TOPK. Candidate rescoring over a bounded set is the standard
+    production two-stage ranker; only the q x K candidate rows and their
+    rank rows ever reach the driver — the PageRank table is FILTERED
+    distributively (broadcast candidate-id set, map_batches semi-join),
+    never collected."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from searchengine_ray.pipelines import graph as graph_ops
+
+    index_dir = _ensure_index(sf_dir)
+    qs = DOC_QUERIES
+    q_tbl = pa.table(
+        {
+            "query_id": pa.array(range(len(qs)), pa.int64()),
+            "query": pa.array(qs, pa.string()),
+            "k": pa.array([FUSION_CAND_K + 32] * len(qs), pa.int32()),
+        }
+    )
+    cand = evaluate_queries(
+        rd.from_arrow(q_tbl), index_dir, mode="bm25", fields=(FIELD_BODY,), concurrency=2
+    ).to_pandas()
+    cand = _rerank(cand, "score", "doc_id", FUSION_CAND_K)
+
+    ids = np.unique(cand["doc_id"].to_numpy().astype(np.int64))
+    ids_ref = ray.put(np.sort(ids))
+
+    def keep_candidates(t):
+        node = t.column("doc_id").to_numpy(zero_copy_only=False)
+        want = ray.get(ids_ref)
+        mask = np.zeros(len(node), bool)
+        pos = np.searchsorted(want, node)
+        inb = pos < len(want)
+        mask[inb] = want[pos[inb]] == node[inb]
+        return t.filter(pa.array(mask))
+
+    pr = (
+        graph_ops.pagerank(sf_dir, iters=3, k=4)
+        .map_batches(keep_candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # bounded: <= |queries| x FUSION_CAND_K rows
+    )
+    rank_of = dict(zip(pr["doc_id"].astype(np.int64), pr["rank_micro"].astype(np.int64)))
+    r = np.array([rank_of[int(d)] for d in cand["doc_id"]], dtype=np.int64)
+    boost = round6(np.log1p(r / 1e6))
+    cand = cand.assign(fused_score=cand["score"].to_numpy() * boost).drop(
+        columns=["score", "rank"]
+    )
+    return _rerank(cand, "fused_score", "doc_id", TOPK)
+
+
 def _phrase_pipeline(sf_dir: str) -> pd.DataFrame:
     from searchengine_ray.state.shards import SearchEngine
 
@@ -482,6 +541,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed PageRank (integer micro-units, derived link graph):
         # one coarse exchange per power iteration, edges never stored
         "pagerank": lambda sf: graph_ops.pagerank(sf, iters=3, k=4),
+        # two-stage ranking: BM25 top-100 candidates re-ranked by
+        # bm25 x ln(1 + pagerank) — the Anatomy fusion, candidates-bounded
+        "bm25_pagerank_topk": lambda sf: _fused_pipeline(sf),
     }
 
 
@@ -552,7 +614,7 @@ def oracle_sql() -> dict[str, str]:
     toks = _TOKS_LIST_SQL
     qvals = _query_values()
 
-    bm25 = f"""
+    bm25_ctes = f"""
 WITH tok AS ({tok}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
@@ -573,9 +635,52 @@ scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
-           FROM scores)
+           FROM scores)"""
+
+    bm25 = f"""{bm25_ctes}
 SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
 FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    # two-stage fusion: BM25 top-FUSION_CAND_K candidates (same floor-1e9
+    # contract cut), joined to the 3-iteration PageRank chain, re-ranked by
+    # round6(bm25) * round6(ln(1 + rank_micro/1e6)) — rounding BEFORE the
+    # multiply/rank on both sides so libm ULPs cannot flip orders
+    fused = f"""{bm25_ctes},
+cand AS (SELECT query_id, doc_id, {_r6('score')} AS s6
+         FROM ranked WHERE rank <= {FUSION_CAND_K}),
+nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT nodes.doc_id AS u,
+             (((nodes.doc_id % 1000003) * ((nodes.doc_id % 1000003) + j.j))
+              % (SELECT c FROM nn)) AS v
+      FROM nodes, (SELECT unnest(range(1, 5)) AS j) j),
+ev AS (SELECT e.u, e.v FROM e JOIN nodes nv ON nv.doc_id = e.v),
+r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM nodes),
+r1 AS (SELECT nd.doc_id AS node,
+       (150000 + (85 * coalesce(s.c, 0)) // 100)::BIGINT AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT ev.v AS node, sum(r0.r // 4)::BIGINT AS c
+         FROM ev JOIN r0 ON r0.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id),
+r2 AS (SELECT nd.doc_id AS node,
+       (150000 + (85 * coalesce(s.c, 0)) // 100)::BIGINT AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT ev.v AS node, sum(r1.r // 4)::BIGINT AS c
+         FROM ev JOIN r1 ON r1.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id),
+r3 AS (SELECT nd.doc_id AS node,
+       (150000 + (85 * coalesce(s.c, 0)) // 100)::BIGINT AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT ev.v AS node, sum(r2.r // 4)::BIGINT AS c
+         FROM ev JOIN r2 ON r2.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id),
+fz AS (SELECT c.query_id, c.doc_id,
+              c.s6 * {_r6('ln(1.0 + r3.r / 1000000.0)')} AS f
+       FROM cand c JOIN r3 ON r3.node = c.doc_id),
+rr AS (SELECT query_id, doc_id, f,
+       row_number() OVER (PARTITION BY query_id
+         ORDER BY floor(f*1000000000 + 0.5) DESC, doc_id ASC) AS rank
+       FROM fz)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('f')} AS fused_score
+FROM rr WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
     # two-field BM25 (body=0 + synthetic title=1, title = first
@@ -1183,6 +1288,7 @@ lex AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP
 SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
 """,
         "bm25_topk": bm25,
+        "bm25_pagerank_topk": fused,
         "reference_topk": ref,
         "bm25_conjunctive_topk": bm25_and,
         "bm25_not_topk": bm25_not,
