@@ -544,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-stage ranking: BM25 top-100 candidates re-ranked by
         # bm25 x ln(1 + pagerank) — the Anatomy fusion, candidates-bounded
         "bm25_pagerank_topk": lambda sf: _fused_pipeline(sf),
+        # query autocomplete: top-k lexicon completions per prefix by cf
+        "suggest_terms": lambda sf: textops.suggest_terms(sf),
     }
 
 
@@ -1883,5 +1885,18 @@ r3 AS (SELECT nd.doc_id AS node,
          SELECT ev.v AS node, sum(r2.r // 4)::BIGINT AS c
          FROM ev JOIN r2 ON r2.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id)
 SELECT node AS doc_id, r AS rank_micro FROM r3
+""",
+        # autocomplete: top-5 completions per fixed prefix by (cf desc,
+        # term asc) over the lexicon (pipelines/textops.suggest_terms)
+        "suggest_terms": f"""
+WITH tok AS ({_TOKENIZE_SQL}),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+p(prefix_id, pref) AS (VALUES (0,'qu'),(1,'me'),(2,'da'),(3,'s'),(4,'jo')),
+m AS (SELECT p.prefix_id, cf.term, cf.cf,
+      row_number() OVER (PARTITION BY p.prefix_id
+        ORDER BY cf.cf DESC, cf.term ASC) AS rk
+      FROM p JOIN cf ON cf.term LIKE p.pref || '%')
+SELECT prefix_id::BIGINT AS prefix_id, rk::BIGINT AS rank, term, cf
+FROM m WHERE rk <= 5
 """,
     }

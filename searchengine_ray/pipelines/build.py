@@ -450,7 +450,10 @@ def build_term_strings(
         for c in cols:
             _, toks = tokenize_flat(c)
             u = pc.unique(toks)
-            vocabs.append(u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u)
+            u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+            # title/body extractors may yield string vs large_string;
+            # concat_arrays requires identical types
+            vocabs.append(u.cast(pa.string()))
         vocab = pc.unique(pa.concat_arrays(vocabs))
         words = vocab.to_pylist()
         th = np.fromiter((hash64(w) for w in words), dtype=np.int64, count=len(words))

@@ -335,6 +335,84 @@ def topk_per_group(sf_dir: str, k: int = 5) -> rd.Dataset:
     )
 
 
+def suggest_terms(
+    sf_dir: str, prefixes: tuple[str, ...] = ("qu", "me", "da", "s", "jo"), k: int = 5
+) -> rd.Dataset:
+    """(prefix_id, rank, term, cf) — query autocomplete: the top-k lexicon
+    completions per prefix by collection frequency (cf desc, term asc).
+
+    Scale shape: rides the lexicon's partial/combine groupby; the prefix
+    probe is one vectorized pc.starts_with pass per block emitting at most
+    |prefixes| x k rows per block (local top-k BEFORE any movement), then a
+    single small repartition(1) merge — the suggestion table that reaches
+    the driver is bounded at |prefixes| x k."""
+    lex = lexicon(sf_dir)
+
+    _O = pa.schema(
+        [
+            ("prefix_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("term", pa.string()),
+            ("cf", pa.int64()),
+        ]
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        terms = t.column("term").combine_chunks()
+        cf = t.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_p, out_t, out_c = [], [], []
+        for pid, pref in enumerate(prefixes):
+            m = pc.starts_with(terms, pref).to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(m)
+            if len(idx) == 0:
+                continue
+            sub_t = terms.take(pa.array(idx))
+            sub_c = cf[idx]
+            order = np.lexsort((sub_t.to_numpy(zero_copy_only=False), -sub_c))[:k]
+            out_p.append(np.full(len(order), pid, np.int64))
+            out_t.append(sub_t.take(pa.array(order)))
+            out_c.append(sub_c[order])
+        if not out_p:
+            return _O.empty_table()
+        return pa.table(
+            {
+                "prefix_id": pa.array(np.concatenate(out_p), pa.int64()),
+                "rank": pa.array(np.zeros(sum(map(len, out_p)), np.int64)),
+                "term": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in out_t]
+                ),
+                "cf": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        pidv = group.column("prefix_id").to_numpy(zero_copy_only=False)
+        terms = group.column("term").combine_chunks()
+        cf = group.column("cf").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms.to_numpy(zero_copy_only=False), -cf))[:k]
+        return pa.table(
+            {
+                "prefix_id": pa.array(pidv[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "term": terms.take(pa.array(order)),
+                "cf": pa.array(cf[order], pa.int64()),
+            }
+        )
+
+    return (
+        lex.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # <= |prefixes| x k rows per upstream block
+        .groupby("prefix_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def sample_stratified(sf_dir: str, k: int = 20, group_col: str = "lang") -> rd.Dataset:
     """(group_col, doc_id, sample_rank) — a deterministic k-per-group sample
     (default per lang; group_col="source" gives the per-domain CAP a crawl

@@ -18,6 +18,8 @@ GET /search?q=...&snippets=1      -> adds a `snippet` field per result
 GET /search?q=<query>&format=html -> minimal HTML results page (F6 analog)
 GET /explain?q=<query>&k=10       -> JSON per-term score breakdown (the debug
                                      surface; contributions sum to each score)
+GET /suggest?p=<prefix>&k=5       -> JSON autocomplete {suggestions:
+                                     [{term, cf}]} by cf desc, term asc
 GET /healthz                      -> ok
 """
 
@@ -65,10 +67,31 @@ def make_handler(engine: SearchEngine):
             if u.path == "/healthz":
                 self._send(200, b"ok", "text/plain")
                 return
-            if u.path not in ("/search", "/explain"):
+            if u.path not in ("/search", "/explain", "/suggest"):
                 self._send(404, b"not found", "text/plain")
                 return
             qs = parse_qs(u.query)
+            if u.path == "/suggest":
+                prefix = (qs.get("p") or [""])[0]
+                try:
+                    sk = int((qs.get("k") or ["5"])[0])
+                except ValueError:
+                    self._send(400, b"invalid k", "text/plain")
+                    return
+                if not prefix or sk < 1:
+                    self._send(400, b"missing prefix or invalid k", "text/plain")
+                    return
+                t0 = time.perf_counter()
+                sug = engine.suggest(prefix, k=min(sk, MAX_K))
+                ms = round((time.perf_counter() - t0) * 1000, 2)
+                self._send(
+                    200,
+                    json.dumps(
+                        {"prefix": prefix, "took_ms": ms, "suggestions": sug}
+                    ).encode(),
+                    "application/json",
+                )
+                return
             query = (qs.get("q") or [""])[0]
             try:
                 k = int((qs.get("k") or ["10"])[0])

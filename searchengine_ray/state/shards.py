@@ -1324,6 +1324,29 @@ class SearchEngine:
             out.append({"doc_id": int(d), "score": float(score), "terms": terms})
         return out
 
+    def suggest(self, prefix: str, k: int = 5, field: int | None = None) -> list[dict]:
+        """Autocomplete: top-k vocabulary completions of `prefix` by global
+        cf desc, term asc (the serving analog of textops.suggest_terms).
+        Candidates come from the TermStrings sidecar's sorted range scan —
+        capped at max(32k, 256) ascending terms, so a prefix with more
+        completions than the cap may miss high-cf terms beyond it (the
+        batch op is the exact full-lexicon path); stats are lexicon point
+        lookups (sharded-lexicon prefetch batches one round-trip/shard)."""
+        if not hasattr(self, "_term_strings"):
+            self._term_strings = TermStrings(self.index_dir)
+        f = self.fields[0] if field is None else field
+        cands = self._term_strings.prefix_terms(prefix, limit=max(k * 32, 256))
+        keys = [(f, hash64(t)) for t in cands]
+        if isinstance(self.lexicon, ShardedLexicon):
+            self.lexicon.prefetch(keys)
+        scored = []
+        for t, (fld, th) in zip(cands, keys):
+            st = self.lexicon.get(fld, th)
+            if st is not None:
+                scored.append((-st[1], t))
+        scored.sort()
+        return [{"term": t, "cf": int(-neg)} for neg, t in scored[:k]]
+
     def search_hydrated(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         res = self.search(query, k)
         urls = self.hydrate([d for d, _ in res])

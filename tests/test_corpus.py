@@ -134,3 +134,26 @@ def test_doc_entropy_crafted(tmp_path, ray_session):
     e6_3 = math.floor(math.log(3.0) * 1e6 + 0.5)
     want = math.floor((2 * e6_32 + e6_3) / (3 * 1e6) * 1e6 + 0.5) / 1e6
     assert out.loc[4, "entropy"] == want
+
+
+def test_suggest_terms_crafted(tmp_path, ray_session):
+    from searchengine_ray.pipelines import textops as tx
+
+    rows = [
+        (1, "apple apple apple apricot banana"),
+        (2, "apple apricot avocado avocado"),
+        (3, "banana apex"),
+    ]
+    d = _write_documents(tmp_path, rows)
+    out = (
+        tx.suggest_terms(d, prefixes=("ap", "b"), k=2)
+        .to_pandas()
+        .sort_values(["prefix_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # cf: apple 4, apricot 2, avocado 2, banana 2, apex 1
+    ap = out[out.prefix_id == 0]
+    assert list(ap["term"]) == ["apple", "apricot"]  # cf desc, term asc tie-break
+    assert list(ap["cf"]) == [4, 2]
+    b = out[out.prefix_id == 1]
+    assert list(b["term"]) == ["banana"] and list(b["cf"]) == [2]

@@ -226,3 +226,32 @@ def test_online_ops_syntax_matches_batch(index_dir, ray_session):
                 assert got  # combined ops parse produced results
     finally:
         engine.shutdown()
+
+
+def test_suggest_matches_lexicon(index_dir, ray_session):
+    """Engine autocomplete = exact (cf desc, term asc) top-k over the
+    lexicon restricted to the prefix (small vocab: cap not in play)."""
+    import pyarrow.parquet as pq
+    from searchengine_ray.state.shards import SearchEngine
+
+    engine = SearchEngine(index_dir, n_shards=2, fields=(0,))
+    lex = pq.read_table(f"{index_dir}/lexicon").to_pandas()
+    lex = lex[lex["field"] == 0]
+    ts = TermStrings(index_dir)
+    term_of = {}
+    for h in lex["term_hash"]:
+        t = ts.get(int(h))
+        if t is not None:
+            term_of[int(h)] = t
+    for prefix in ("s", "qu", "da", "zz"):
+        got = engine.suggest(prefix, k=4)
+        rows = sorted(
+            (
+                (-int(cf), term_of[int(h)])
+                for h, cf in zip(lex["term_hash"], lex["cf"])
+                if int(h) in term_of and term_of[int(h)].startswith(prefix)
+            ),
+        )[:4]
+        want = [{"term": t, "cf": -neg} for neg, t in rows]
+        assert got == want, (prefix, got, want)
+    engine.shutdown() if hasattr(engine, "shutdown") else None

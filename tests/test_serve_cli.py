@@ -18,7 +18,12 @@ from searchengine_ray.state.shards import SearchEngine
 @pytest.fixture(scope="module")
 def index_dir(pages_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_serve"))
-    build_index(pages_dir, d, BuildConfig(num_partitions=4), source="pages")
+    build_index(
+        pages_dir,
+        d,
+        BuildConfig(num_partitions=4, term_strings=True),  # /suggest needs the sidecar
+        source="pages",
+    )
     return d
 
 
@@ -66,6 +71,19 @@ def test_http_server(index_dir, ray_session):
             "http://127.0.0.1:18731/search?q=taaa&k=999999999"
         ) as r:
             assert json.loads(r.read())["results"]
+        # autocomplete: completions of 'ta' by cf desc, term asc
+        with urllib.request.urlopen("http://127.0.0.1:18731/suggest?p=ta&k=3") as r:
+            sug = json.loads(r.read())["suggestions"]
+        assert 1 <= len(sug) <= 3
+        assert all(s["term"].startswith("ta") and s["cf"] > 0 for s in sug)
+        cfs = [s["cf"] for s in sug]
+        assert cfs == sorted(cfs, reverse=True)
+        # missing prefix -> 400
+        try:
+            urllib.request.urlopen("http://127.0.0.1:18731/suggest?k=3")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
         with urllib.request.urlopen("http://127.0.0.1:18731/nope") as r:
             pass
     except urllib.error.HTTPError as e:
