@@ -365,14 +365,17 @@ def _fused_pipeline(sf_dir: str) -> pd.DataFrame:
     return _rerank(cand, "fused_score", "doc_id", TOPK)
 
 
-def _phrase_pipeline(sf_dir: str) -> pd.DataFrame:
+PHRASE_SLOP = 2
+
+
+def _phrase_pipeline(sf_dir: str, slop: int = 0) -> pd.DataFrame:
     from searchengine_ray.state.shards import SearchEngine
 
     index_dir = _ensure_index(sf_dir)
     engine = SearchEngine(index_dir, n_shards=2, mode="bm25", fields=(FIELD_BODY,))
     rows = []
     for qid, phrase in enumerate(DOC_PHRASES):
-        for d, sc in engine.phrase_search(phrase, k=TOPK + 32):
+        for d, sc in engine.phrase_search(phrase, k=TOPK + 32, slop=slop):
             rows.append((qid, d, sc))
     df = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
     return _rerank(df, "score", "doc_id", TOPK)
@@ -405,6 +408,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fields=(FIELD_BODY, FIELD_TITLE),
         ),
         "phrase_topk": lambda sf: _phrase_pipeline(sf),
+        # ordered proximity: <= PHRASE_SLOP extra tokens between words
+        # (NFA subset-construction matcher over stored positions)
+        "phrase_slop_topk": lambda sf: _phrase_pipeline(sf, slop=PHRASE_SLOP),
         # dedup suite
         "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
         "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
@@ -823,20 +829,71 @@ FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
     # phrase VALUES: (query_id, padded phrase string) + (query_id, term, qtf)
+    # + per-word (query_id, wi, term) rows for the slop chain matcher
     ph_rows = []
     pq_rows = []
+    pw_rows = []
     for qid, phrase in enumerate(DOC_PHRASES):
         words = [w.lower() for w in phrase.split(" ") if w]
         padded = " " + " ".join(words) + " "
         ph_rows.append(f"({qid}, '{padded}')")
         for term, qtf in parse_query(phrase).items():
             pq_rows.append(f"({qid}, '{term}', {qtf}.0)")
+        for wi, w in enumerate(words, start=1):
+            pw_rows.append(f"({qid}, {wi}, '{w}')")
     phrase = f"""
 WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
 joined AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM base),
 ph(query_id, needle) AS (VALUES {', '.join(ph_rows)}),
 matchd AS (SELECT ph.query_id, j.doc_id FROM ph JOIN joined j
            ON position(ph.needle IN j.s) > 0),
+tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {', '.join(pq_rows)}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (q.qtf * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))) *
+         (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl)))) AS c
+  FROM q JOIN tf ON q.term = tf.term
+       JOIN df ON df.term = q.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       JOIN matchd m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY floor(score*1000000000 + 0.5) DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id, rank::INT AS rank, doc_id, {_r6('score')} AS score
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    # ordered-proximity matcher: a recursive chain over (query_id, wi)
+    # where word wi+1 must sit in (p, p + slop + 1]; UNION dedups chain
+    # states so recursion stays linear in distinct (doc, wi, p)
+    phrase_slop = f"""
+WITH RECURSIVE base AS (SELECT doc_id, {toks} AS t FROM documents),
+pos AS (SELECT doc_id, s.i + 1 AS p, t[s.i + 1] AS term
+        FROM base, LATERAL (SELECT unnest(range(len(t))) AS i) s),
+pw(query_id, wi, term) AS (VALUES {', '.join(pw_rows)}),
+nw AS (SELECT query_id, max(wi) AS n FROM pw GROUP BY 1),
+chain(query_id, doc_id, wi, p) AS (
+  SELECT pw.query_id, pos.doc_id, 1, pos.p
+  FROM pw JOIN pos ON pos.term = pw.term WHERE pw.wi = 1
+  UNION
+  SELECT c.query_id, c.doc_id, c.wi + 1, pos.p
+  FROM chain c
+  JOIN pw ON pw.query_id = c.query_id AND pw.wi = c.wi + 1
+  JOIN pos ON pos.doc_id = c.doc_id AND pos.term = pw.term
+          AND pos.p > c.p AND pos.p <= c.p + {PHRASE_SLOP + 1}
+),
+matchd AS (SELECT DISTINCT c.query_id, c.doc_id
+           FROM chain c JOIN nw USING (query_id) WHERE c.wi = nw.n),
 tok AS ({tok}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
@@ -1297,6 +1354,7 @@ SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
         "bm25_prefix_topk": bm25_prefix,
         "bm25_scoped_topk": bm25_scoped,
         "phrase_topk": phrase,
+        "phrase_slop_topk": phrase_slop,
         "dedup_exact": """
 SELECT doc_id,
        (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical

@@ -421,11 +421,16 @@ class LocalIndex:
         specs: list[TermSpec],
         k: int,
         field: int = FIELD_BODY,
+        slop: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact phrase retrieval: docs where `words` occur at CONSECUTIVE
-        kept-token positions (equivalent to substring match on the
-        space-joined token stream), ranked by the same BM25 sum as topk()
-        over `specs`. Requires an index built with store_positions=True."""
+        """Phrase retrieval: docs where `words` occur IN ORDER with at most
+        `slop` extra tokens between consecutive words (slop=0 = exact
+        consecutive phrase == substring match on the space-joined token
+        stream), ranked by the same BM25 sum as topk() over `specs`.
+        Matching is NFA-style subset construction: `cur` holds EVERY
+        position of word i that can end a valid chain of words 1..i, so a
+        greedy-miss chain (earlier word-i match dead-ends but a later one
+        survives) is still found. Requires store_positions=True."""
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
         word_hashes = [hash64(w) for w in words]
@@ -483,10 +488,15 @@ class LocalIndex:
                 if not len(keys):
                     cur = keys
                     break
-                want = cur + 1  # next consecutive position, same doc
-                j = np.searchsorted(keys, want)
-                ok = (j < len(keys)) & (keys[np.minimum(j, len(keys) - 1)] == want)
-                cur = want[ok]
+                # word-(i+1) position q survives iff some chain end p has
+                # q-(slop+1) <= p <= q-1 (same doc; the doc field lives in
+                # the high bits, and a low-position underflow only widens
+                # the window to [0, q-1], which equals the true window
+                # clipped at position 0 — no cross-doc false hit)
+                lo = keys - np.int64(slop + 1)
+                j = np.searchsorted(cur, lo, side="left")
+                ok = (j < len(cur)) & (cur[np.minimum(j, len(cur) - 1)] <= keys - 1)
+                cur = keys[ok]
             if not len(cur):
                 continue
             # BM25-score the matching docs with the standard spec accumulation
@@ -637,9 +647,9 @@ class IndexShardActor:
         ]
 
     def phrase_topk(
-        self, words: list[str], specs: list[TermSpec], k: int, field: int
+        self, words: list[str], specs: list[TermSpec], k: int, field: int, slop: int = 0
     ) -> tuple[np.ndarray, np.ndarray]:
-        return self.index.phrase_topk(words, specs, k, field)
+        return self.index.phrase_topk(words, specs, k, field, slop=slop)
 
     def tf_doc_candidates(
         self, field: int, term_hash: int, limit: int
@@ -1188,8 +1198,11 @@ class SearchEngine:
         d, s = topk_by_score(docs, scores, k)
         return [(int(di), float(si)) for di, si in zip(d, s)]
 
-    def phrase_search(self, query: str, k: int = 10, field: int = FIELD_BODY) -> list[tuple[int, float]]:
-        """Exact phrase query (consecutive kept tokens), BM25-ranked.
+    def phrase_search(
+        self, query: str, k: int = 10, field: int = FIELD_BODY, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Phrase query (words in order, <= `slop` extra tokens between
+        consecutive words; slop=0 = exact consecutive phrase), BM25-ranked.
         Requires an index built with store_positions=True."""
         words = [w.lower() for w in query.split(" ") if w]
         if not words:
@@ -1198,7 +1211,7 @@ class SearchEngine:
         if len({hash64(w) for w in words} - {t.term_hash for t in specs}):
             return []  # a phrase word is not a known token -> cannot match
         parts = ray.get(
-            [sh.phrase_topk.remote(words, specs, k, field) for sh in self.shards]
+            [sh.phrase_topk.remote(words, specs, k, field, slop) for sh in self.shards]
         )
         docs = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)

@@ -90,3 +90,57 @@ def test_phrase_requires_positions(tmp_path, ray_session):
     eng = SearchEngine(idx, n_shards=1)
     # without positions the index cannot match phrases -> empty, not wrong
     assert eng.phrase_search("alpha beta") == []
+
+
+def test_phrase_slop(engine):
+    # slop=1: one extra token allowed between consecutive words.
+    # doc0 "alpha beta gamma delta"; doc1 "beta alpha beta gamma";
+    # doc3 "alpha beta alpha beta gamma" (alpha@3 -> gamma@5, gap 1)
+    assert _urls(engine, engine.phrase_search("alpha gamma", slop=1)) == [
+        "u://0",
+        "u://1",
+        "u://3",
+    ]
+    # slop=0 keeps the exact semantics
+    assert engine.phrase_search("alpha gamma", slop=0) == []
+    # wider slop relaxes further: "alpha delta" in doc0 needs gap 2
+    assert _urls(engine, engine.phrase_search("alpha delta", slop=2)) == ["u://0"]
+    assert engine.phrase_search("alpha delta", slop=1) == []
+    # order still required even with slop: no gamma AFTER delta anywhere
+    assert engine.phrase_search("delta gamma", slop=2) == []
+
+
+def test_phrase_slop_subset_construction(tmp_path_factory, ray_session):
+    """Greedy earliest-match would FAIL here: from a@2 the earliest b@3
+    dead-ends (c not within gap), but b@4 completes the chain — the
+    NFA-style matcher must keep all viable positions."""
+    d = tmp_path_factory.mktemp("phrase_nfa")
+    rows = [("u://g", "qq alpha beta beta xx gamma", "t g")]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "html": pa.array(
+                [
+                    (
+                        "<html><head><title>" + ti + "</title></head><body><p>"
+                        + b + "</p></body></html>"
+                    ).encode()
+                    for _u, b, ti in rows
+                ],
+                pa.binary(),
+            ),
+            "text": pa.array([ti + "\n" + b + "\n" for _u, b, ti in rows], pa.large_string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        },
+        schema=PAGES,
+    )
+    pq.write_table(t, str(d / "pages.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d), idx, BuildConfig(num_partitions=1, store_positions=True), source="pages")
+    eng = SearchEngine(idx, n_shards=1)
+    # kept body tokens: qq(1) alpha(2) beta(3) beta(4) xx(5) gamma(6)
+    # alpha->beta within gap1: beta@3 (greedy) or beta@4; gamma@6 only
+    # reachable from beta@4 (6 <= 4+2). Greedy-from-earliest would miss it.
+    assert len(eng.phrase_search("alpha beta gamma", slop=1)) == 1
+    assert eng.phrase_search("alpha beta gamma", slop=0) == []
