@@ -8,10 +8,12 @@ this is a stdlib ThreadingHTTPServer whose handlers call the
 IndexShardActor, merge) is unchanged.
 
 GET /search?q=<query>&k=10        -> JSON {results: [{doc_id, url, score}], took_ms}
-GET /search?q=...&syntax=ops      -> enables `-word` (NOT), `word*` (prefix)
-                                     and `title:word` / `body:word` (field
-                                     scoping) operators (rebuild extensions;
-                                     plain is the reference-compatible default)
+GET /search?q=...&syntax=ops      -> enables `-word` (NOT), `word*` (prefix),
+                                     `title:word` / `body:word` (field
+                                     scoping) and whole-query `"a phrase"` /
+                                     `"a phrase"~N` (proximity) operators
+                                     (rebuild extensions; plain is the
+                                     reference-compatible default)
 GET /search?q=...&snippets=1      -> adds a `snippet` field per result
                                      (indexes built with store_text=True;
                                      empty string otherwise)

@@ -1065,6 +1065,24 @@ def with_ref_cutoffs(
     return out
 
 
+def _parse_quoted_phrase(query: str) -> tuple[str, int] | None:
+    """`"alpha beta"` -> ("alpha beta", 0); `"alpha beta"~2` -> (..., 2);
+    None when the query is not a single whole-query quoted phrase."""
+    q = query.strip()
+    if not q.startswith('"'):
+        return None
+    end = q.find('"', 1)
+    if end < 0:
+        return None
+    phrase = q[1:end]
+    rest = q[end + 1 :].strip()
+    if not rest:
+        return (phrase, 0)
+    if rest.startswith("~") and rest[1:].isdigit():
+        return (phrase, int(rest[1:]))
+    return None  # trailing terms after the quote: unsupported mix
+
+
 class SearchEngine:
     """Online scatter-gather coordinator over an IndexShardActor pool."""
 
@@ -1174,9 +1192,17 @@ class SearchEngine:
     ) -> list[tuple[int, float]]:
         """syntax='plain': reference-compatible parser (every word is a
         positive term). syntax='ops': `-word` negation + `word*` prefix
-        expansion (rebuild extensions; see _ops_counts)."""
+        expansion + whole-query `"quoted phrase"` / `"quoted phrase"~N`
+        (Lucene-style slop) routing (rebuild extensions; see _ops_counts).
+        A quoted query must be the ENTIRE query — mixing a phrase with
+        loose terms is not supported (explicit 'not supported' beats a
+        silently different ranking)."""
         exclude = None
         if syntax == "ops":
+            ph = _parse_quoted_phrase(query)
+            if ph is not None:
+                phrase, slop = ph
+                return self.phrase_search(phrase, k=k, slop=slop)
             scoped, excl_counts = self._ops_counts(query)
             specs = self._resolve_specs(query, scoped=scoped)
             if excl_counts:

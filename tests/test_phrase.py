@@ -144,3 +144,19 @@ def test_phrase_slop_subset_construction(tmp_path_factory, ray_session):
     # reachable from beta@4 (6 <= 4+2). Greedy-from-earliest would miss it.
     assert len(eng.phrase_search("alpha beta gamma", slop=1)) == 1
     assert eng.phrase_search("alpha beta gamma", slop=0) == []
+
+
+def test_quoted_phrase_ops_syntax(engine):
+    # whole-query quotes route to phrase_search (same results)
+    assert engine.search('"alpha beta"', k=10, syntax="ops") == engine.phrase_search(
+        "alpha beta", k=10
+    )
+    # ~N slop suffix
+    assert engine.search('"alpha gamma"~1', k=10, syntax="ops") == engine.phrase_search(
+        "alpha gamma", k=10, slop=1
+    )
+    # plain syntax is the reference parser (split(' ')+lower, NO filtering):
+    # '"gamma' keeps its quote, misses the lexicon, contributes nothing
+    assert engine.search('"gamma alpha"', k=10, syntax="plain") == []
+    # phrase-order still enforced through the quoted route
+    assert engine.search('"gamma alpha"', k=10, syntax="ops") == []
