@@ -56,11 +56,28 @@ def build_brute_index(docs: list[tuple[int, str, str | None]]) -> BruteIndex:
     return idx
 
 
+def _chain_exists(toks: list[str], words: list[str], slop: int) -> bool:
+    """Ordered-proximity reference matcher: positions p1 < ... < pn of
+    words 1..n with p_{i+1} - p_i <= slop + 1 (simple NFA forward pass)."""
+    cur = [i for i, t in enumerate(toks) if t == words[0]]
+    for w in words[1:]:
+        if not cur:
+            return False
+        curset = set(cur)
+        cur = [
+            q
+            for q, t in enumerate(toks)
+            if t == w and any((q - slop - 1) <= p <= q - 1 for p in curset)
+        ]
+    return bool(cur)
+
+
 def brute_phrase_topk(
-    idx: BruteIndex, query: str, k: int = 10, field: int = FIELD_BODY
+    idx: BruteIndex, query: str, k: int = 10, field: int = FIELD_BODY, slop: int = 0
 ) -> list[tuple[int, float]]:
     """Phrase oracle: docs whose kept-token stream contains `query`'s words
-    consecutively, BM25-ranked with the same spec accumulation as brute_topk."""
+    in order within `slop` extra tokens per step (slop=0 = consecutive),
+    BM25-ranked with the same spec accumulation as brute_topk."""
     words = [w.lower() for w in query.split(" ") if w]
     if not words:
         return []
@@ -68,7 +85,11 @@ def brute_phrase_topk(
     L = len(words)
     for doc_id in idx.doc_ids:
         toks = idx.tokens.get((field, doc_id), [])
-        if any(toks[i : i + L] == words for i in range(len(toks) - L + 1)):
+        if slop == 0:
+            hit = any(toks[i : i + L] == words for i in range(len(toks) - L + 1))
+        else:
+            hit = _chain_exists(toks, words, slop)
+        if hit:
             matched.append(doc_id)
     if not matched:
         return []

@@ -160,3 +160,21 @@ def test_quoted_phrase_ops_syntax(engine):
     assert engine.search('"gamma alpha"', k=10, syntax="plain") == []
     # phrase-order still enforced through the quoted route
     assert engine.search('"gamma alpha"', k=10, syntax="ops") == []
+
+
+def test_phrase_slop_matches_brute_randomized(engine):
+    """Randomized equivalence: engine slop search == exhaustive NFA oracle
+    for every (phrase, slop) over a small vocab (fixed seed)."""
+    rng = np.random.default_rng(42)
+    brute = build_brute_index(
+        [(hash64(u), t + "\n" + b + "\n", t + "\n") for u, b, t in DOCS]
+    )
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    for _ in range(60):
+        n = int(rng.integers(2, 4))
+        words = list(rng.choice(vocab, n))
+        slop = int(rng.integers(0, 4))
+        q = " ".join(words)
+        got = engine.phrase_search(q, k=10, slop=slop)
+        want = brute_phrase_topk(brute, q, k=10, field=FIELD_BODY, slop=slop)
+        assert got == want, (q, slop, got, want)
