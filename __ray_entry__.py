@@ -368,6 +368,64 @@ def _fused_pipeline(sf_dir: str) -> pd.DataFrame:
 PHRASE_SLOP = 2
 
 
+DIVERSITY_CAP = 2  # max results per source domain in a diversified SERP
+
+
+def _diversified_pipeline(sf_dir: str) -> pd.DataFrame:
+    """SERP diversification: the exact BM25 top-FUSION_CAND_K candidates
+    per query, keep at most DIVERSITY_CAP results per source domain (in
+    BM25 order), cut to TOPK. The domain lookup is a distributed filter of
+    the documents table down to candidate ids (broadcast id set) — the
+    docs table is never collected."""
+    import pyarrow as pa
+    import ray
+
+    index_dir = _ensure_index(sf_dir)
+    qs = DOC_QUERIES
+    q_tbl = pa.table(
+        {
+            "query_id": pa.array(range(len(qs)), pa.int64()),
+            "query": pa.array(qs, pa.string()),
+            "k": pa.array([FUSION_CAND_K + 32] * len(qs), pa.int32()),
+        }
+    )
+    import ray.data as rd
+
+    cand = evaluate_queries(
+        rd.from_arrow(q_tbl), index_dir, mode="bm25", fields=(FIELD_BODY,), concurrency=2
+    ).to_pandas()
+    cand = _rerank(cand, "score", "doc_id", FUSION_CAND_K)
+
+    ids = np.unique(cand["doc_id"].to_numpy().astype(np.int64))
+    ids_ref = ray.put(np.sort(ids))
+
+    def keep_candidates(t):
+        node = t.column("doc_id").to_numpy(zero_copy_only=False)
+        want = ray.get(ids_ref)
+        pos = np.searchsorted(want, node)
+        inb = pos < len(want)
+        mask = np.zeros(len(node), bool)
+        mask[inb] = want[pos[inb]] == node[inb]
+        return t.filter(pa.array(mask))
+
+    src = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        .map_batches(keep_candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # bounded: <= |queries| x FUSION_CAND_K rows
+    )
+    src_of = dict(zip(src["doc_id"].astype(np.int64), src["source"]))
+    cand = cand.assign(source=[src_of[int(d)] for d in cand["doc_id"]])
+    out = []
+    for qid, g in cand.groupby("query_id", sort=True):
+        g = g.sort_values("rank")  # BM25 contract order from _rerank
+        nth = g.groupby("source").cumcount()
+        g = g[nth < DIVERSITY_CAP].head(TOPK).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        out.append(g)
+    res = pd.concat(out).reset_index(drop=True)
+    return res[["query_id", "rank", "doc_id", "source", "score"]]
+
+
 def _phrase_pipeline(sf_dir: str, slop: int = 0) -> pd.DataFrame:
     from searchengine_ray.state.shards import SearchEngine
 
@@ -552,6 +610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pagerank_topk": lambda sf: _fused_pipeline(sf),
         # query autocomplete: top-k lexicon completions per prefix by cf
         "suggest_terms": lambda sf: textops.suggest_terms(sf),
+        # SERP diversification: <= DIVERSITY_CAP results per source domain
+        "bm25_diversified_topk": lambda sf: _diversified_pipeline(sf),
     }
 
 
@@ -689,6 +749,22 @@ rr AS (SELECT query_id, doc_id, f,
        FROM fz)
 SELECT query_id, rank::INT AS rank, doc_id, {_r6('f')} AS fused_score
 FROM rr WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+    # diversified SERP: top-FUSION_CAND_K by BM25, then <= DIVERSITY_CAP
+    # per (query, source) in BM25 order, re-ranked and cut to TOPK
+    diversified = f"""{bm25_ctes},
+withsrc AS (SELECT r.query_id, r.rank AS brank, r.doc_id, r.score, d.source
+            FROM ranked r JOIN documents d USING (doc_id)
+            WHERE r.rank <= {FUSION_CAND_K}),
+div AS (SELECT *, row_number() OVER (PARTITION BY query_id, source
+                                     ORDER BY brank) AS nth
+        FROM withsrc),
+kept AS (SELECT query_id, doc_id, score, source,
+         row_number() OVER (PARTITION BY query_id ORDER BY brank) AS rank
+         FROM div WHERE nth <= {DIVERSITY_CAP})
+SELECT query_id, rank::INT AS rank, doc_id, source, {_r6('score')} AS score
+FROM kept WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
     # two-field BM25 (body=0 + synthetic title=1, title = first
@@ -1348,6 +1424,7 @@ SELECT term, df, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20
 """,
         "bm25_topk": bm25,
         "bm25_pagerank_topk": fused,
+        "bm25_diversified_topk": diversified,
         "reference_topk": ref,
         "bm25_conjunctive_topk": bm25_and,
         "bm25_not_topk": bm25_not,
