@@ -612,6 +612,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": lambda sf: textops.suggest_terms(sf),
         # SERP diversification: <= DIVERSITY_CAP results per source domain
         "bm25_diversified_topk": lambda sf: _diversified_pipeline(sf),
+        # long-doc chunking with overlap (RAG/context-window prep)
+        "chunk_spans": lambda sf: export_ops.chunk_spans(sf, chunk=128, overlap=16),
+        # deterministic source-weighted corpus mixing
+        "mix_corpus": lambda sf: textops.mix_corpus(sf),
     }
 
 
@@ -1873,6 +1877,28 @@ f AS (SELECT doc_id, weight,
         / power(2, 64) AS frac
       FROM w)
 SELECT doc_id, weight FROM f WHERE frac < weight
+""",
+        # per-source mixing rate = (1 + md5u64(source) % 9)/10; keep iff
+        # md5frac(doc_id) < rate (textops.mix_corpus, same hash contract)
+        "mix_corpus": """
+WITH r AS (SELECT doc_id, source,
+    (1 + ('0x'||substr(md5(source),1,16))::UBIGINT % 9) / 10.0 AS rate,
+    CAST(('0x'||substr(md5(doc_id::VARCHAR),1,16))::UBIGINT AS DOUBLE)
+      / power(2, 64) AS frac
+  FROM documents)
+SELECT doc_id, source, rate FROM r WHERE frac < rate
+""",
+        # chunk i covers [i*112, i*112 + 128) within the doc's kept-token
+        # stream; last chunk clipped (export.chunk_spans, stride 112)
+        "chunk_spans": f"""
+WITH tok AS ({_TOKENIZE_SQL}),
+n AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+nc AS (SELECT doc_id, n,
+       CASE WHEN n <= 128 THEN 1 ELSE (n - 128 + 111) // 112 + 1 END AS k
+       FROM n)
+SELECT doc_id, s.i::BIGINT AS chunk_id, (s.i * 112)::BIGINT AS tok_start,
+       least(128, n - s.i * 112)::BIGINT AS n_tokens
+FROM nc, LATERAL (SELECT unnest(range(k)) AS i) s
 """,
         # shard assignment mirrored exactly: md5-u64(doc_id) % 8, every
         # shard row emitted even when empty (engine emits all n_shards)

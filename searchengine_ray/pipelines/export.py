@@ -282,6 +282,62 @@ def pack_sequences(sf_dir: str, seq_len: int = 512) -> rd.Dataset:
     return tagged.groupby("bucket").map_groups(scan, batch_format="pyarrow")
 
 
+def chunk_spans(sf_dir: str, chunk: int = 128, overlap: int = 16) -> rd.Dataset:
+    """(doc_id, chunk_id, tok_start, n_tokens) — long-document chunking
+    with overlap: chunk i covers token offsets [i*(chunk-overlap),
+    i*(chunk-overlap) + chunk) within the doc; the last chunk is clipped.
+    A doc with n <= chunk tokens is one chunk; zero-token docs are absent.
+    The RAG/context-window preprocessing primitive.
+
+    Scale shape: within-row arithmetic only — one shuffle-free
+    map_batches pass (per-doc chunk counts expanded vectorized, no Python
+    loop over docs)."""
+    assert 0 <= overlap < chunk
+    stride = chunk - overlap
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("tok_start", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        from ..functions.tokenize import tokenize_flat
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, _ = tokenize_flat(t.column("text").combine_chunks())
+        n = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        n_chunks = np.where(n <= chunk, 1, (n - chunk + stride - 1) // stride + 1)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return _O.empty_table()
+        doc_rep = np.repeat(ids, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        starts = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        cid = np.arange(total, dtype=np.int64) - np.repeat(starts, n_chunks)
+        tok_start = cid * stride
+        n_tok = np.minimum(chunk, n_rep - tok_start)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_id": pa.array(cid, pa.int64()),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 _CKSUM_MOD = 1_000_000_007  # checksum field, applied per term before the sum
 
 

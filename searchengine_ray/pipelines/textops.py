@@ -536,6 +536,58 @@ def sample_weighted(sf_dir: str, full_tokens: int = 64) -> rd.Dataset:
     )
 
 
+def mix_corpus(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source, rate) — deterministic data-mixing sampler: each
+    source domain gets a reproducible target rate (derived here as
+    (1 + md5u64(source) %% 9) / 10 -> 0.1..0.9; in production the rate map
+    is the mixing config) and each doc is kept iff md5frac(doc_id) < rate
+    — the split_assign hash contract, so the mix is identical at any
+    scale, cluster size, or insertion order AND recomputable in SQL. The
+    source-weighted corpus-mixing primitive (e.g. up/down-weighting web
+    vs reference text for a training run). Pure map_batches, no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = t.column("source").combine_chunks()
+        # rates amortized over distinct sources per batch
+        dic = pc.dictionary_encode(src)
+        uniq = dic.dictionary.to_pylist()
+        u_rate = np.fromiter(
+            (
+                (1 + int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % 9)
+                / 10.0
+                for s in uniq
+            ),
+            dtype=np.float64,
+            count=len(uniq),
+        )
+        rate = u_rate[dic.indices.to_numpy(zero_copy_only=False)]
+        frac = (
+            np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[:8], "big")
+                    for d in did
+                ),
+                dtype=np.uint64,
+                count=len(did),
+            ).astype(np.float64)
+            / 2.0**64
+        )
+        keep = frac < rate
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "source": src.filter(pa.array(keep)),
+                "rate": pa.array(rate[keep], pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def length_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> rd.Dataset:
     """(lang, p50, p90, p99) — EXACT discrete quantiles of n_chars per lang
     (percentile_disc semantics: the value at 1-based sorted index

@@ -154,3 +154,56 @@ def test_tokenize_ids_order_sensitive(tmp_path, ray_session):
     assert out.loc[1, "ids_checksum"] != out.loc[2, "ids_checksum"]  # order matters
     assert out.loc[3, "ids_checksum"] == 1 + 2 + 3 * 2
     assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "ids_checksum"] == 0
+
+
+def test_chunk_spans_crafted(tmp_path, ray_session):
+    # chunk=5, overlap=2 -> stride 3
+    rows = [
+        (1, " ".join(["w"] * 9)),  # 3 chunks: [0,5) [3,8) [6,9)
+        (2, " ".join(["w"] * 5)),  # exactly one chunk
+        (3, "w w"),  # short doc: one clipped chunk
+        (4, ""),  # absent
+    ]
+    d = _write_docs(tmp_path, rows)
+    out = (
+        ex.chunk_spans(d, chunk=5, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert 4 not in set(out["doc_id"])
+    d1 = out[out.doc_id == 1]
+    assert list(d1["tok_start"]) == [0, 3, 6]
+    assert list(d1["n_tokens"]) == [5, 5, 3]
+    assert list(out[out.doc_id == 2]["n_tokens"]) == [5]
+    assert list(out[out.doc_id == 3]["n_tokens"]) == [2]
+    # every token position is covered by at least one chunk
+    cover = set()
+    for _, r in d1.iterrows():
+        cover.update(range(int(r.tok_start), int(r.tok_start) + int(r.n_tokens)))
+    assert cover == set(range(9))
+
+
+def test_mix_corpus_rates(tmp_path, ray_session):
+    from searchengine_ray.pipelines import textops as tx
+    import hashlib
+
+    rows = [(i, "alpha beta") for i in range(400)]
+    d = _write_docs(tmp_path, rows)
+    # give half the docs a different source
+    import pyarrow as pa
+
+    t = pq.read_table(str(tmp_path / "documents.parquet"))
+    src = pa.array(["sa" if i % 2 == 0 else "sb" for i in range(400)], pa.string())
+    t = t.set_column(t.schema.get_field_index("source"), "source", src)
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = tx.mix_corpus(d).to_pandas()
+
+    def rate(s):
+        return (1 + int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % 9) / 10
+
+    for s in ("sa", "sb"):
+        kept = (out["source"] == s).sum()
+        # deterministic hash Bernoulli at 200 docs: within a loose band
+        assert abs(kept / 200 - rate(s)) < 0.15, (s, kept, rate(s))
+        assert (out[out.source == s]["rate"] == rate(s)).all()
