@@ -110,3 +110,9 @@ def test_fuzz_rank_identity(seed, tmp_path, ray_session):
         want = brute_phrase_topk(brute, phrase, k=10, field=FIELD_BODY)
         assert got_d.tolist() == [d for d, _ in want], (phrase, "phrase")
         assert got_s.tolist() == [s for _, s in want], (phrase, "phrase scores")
+        # ordered proximity at a random slop
+        slop = int(g.integers(1, 4))
+        gd, gs = index.phrase_topk(words, specs, 10, FIELD_BODY, slop=slop)
+        ws = brute_phrase_topk(brute, phrase, k=10, field=FIELD_BODY, slop=slop)
+        assert gd.tolist() == [d for d, _ in ws], (phrase, slop, "slop")
+        assert gs.tolist() == [s for _, s in ws], (phrase, slop, "slop scores")
