@@ -616,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_spans": lambda sf: export_ops.chunk_spans(sf, chunk=128, overlap=16),
         # deterministic source-weighted corpus mixing
         "mix_corpus": lambda sf: textops.mix_corpus(sf),
+        # "did you mean": best levenshtein<=1 vocab term per query word
+        "spell_suggest": lambda sf: textops.spell_suggest(sf),
     }
 
 
@@ -1899,6 +1901,19 @@ nc AS (SELECT doc_id, n,
 SELECT doc_id, s.i::BIGINT AS chunk_id, (s.i * 112)::BIGINT AS tok_start,
        least(128, n - s.i * 112)::BIGINT AS n_tokens
 FROM nc, LATERAL (SELECT unnest(range(k)) AS i) s
+""",
+        # best lev<=1 vocabulary neighbor per misspelled word, cf desc then
+        # term asc (textops.spell_suggest; words list fixed in SPELL_WORDS)
+        "spell_suggest": f"""
+WITH tok AS ({_TOKENIZE_SQL}),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+w(word_id, word) AS (VALUES {", ".join(f"({i}, '{w}')" for i, w in enumerate(textops.SPELL_WORDS))}),
+cand AS (SELECT w.word_id, w.word, cf.term, cf.cf
+         FROM w JOIN cf ON levenshtein(w.word, cf.term) <= 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY word_id
+        ORDER BY cf DESC, term ASC) AS rk FROM cand)
+SELECT word_id::BIGINT AS word_id, word, term AS suggestion, cf
+FROM r WHERE rk = 1
 """,
         # shard assignment mirrored exactly: md5-u64(doc_id) % 8, every
         # shard row emitted even when empty (engine emits all n_shards)

@@ -536,6 +536,102 @@ def sample_weighted(sf_dir: str, full_tokens: int = 64) -> rd.Dataset:
     )
 
 
+def _ed1(a: str, b: str) -> bool:
+    """True iff levenshtein(a, b) <= 1 (two-pointer check, no DP)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return True
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution allowed
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a+1 char: one skip in b allowed
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+SPELL_WORDS = ("qeury", "mergee", "dta", "jion", "scaan")
+
+
+def spell_suggest(
+    sf_dir: str, words: tuple[str, ...] = SPELL_WORDS
+) -> rd.Dataset:
+    """(word_id, word, suggestion, cf) — "did you mean": for each query
+    word, the vocabulary term within levenshtein distance 1 with the
+    highest collection frequency (cf desc, term asc tie-break). Words with
+    no distance-1 neighbor are absent.
+
+    Scale shape: rides the lexicon groupby; each block pre-filters by the
+    |len-1| band (vectorized) before the O(len) two-pointer distance check
+    and keeps only its LOCAL best per word (one row/word/block through the
+    bounded merge). At web vocabulary scale swap the band filter for a
+    SymSpell deletion-neighborhood index per block — the exchange shape is
+    identical."""
+    lex = lexicon(sf_dir)
+    wl = [(i, w) for i, w in enumerate(words)]
+
+    _O = pa.schema(
+        [
+            ("word_id", pa.int64()),
+            ("word", pa.string()),
+            ("suggestion", pa.string()),
+            ("cf", pa.int64()),
+        ]
+    )
+
+    def local_best(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        terms = t.column("term").combine_chunks()
+        cf = t.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+        tlen = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+        out = []
+        for wid, w in wl:
+            band = np.flatnonzero(np.abs(tlen - len(w)) <= 1)
+            best = None  # (-cf, term)
+            for j in band:
+                term = terms[j].as_py()
+                if _ed1(w, term):
+                    key = (-int(cf[j]), term)
+                    if best is None or key < best:
+                        best = key
+            if best is not None:
+                out.append((wid, w, best[1], -best[0]))
+        if not out:
+            return _O.empty_table()
+        return pa.table(
+            {
+                "word_id": pa.array([o[0] for o in out], pa.int64()),
+                "word": pa.array([o[1] for o in out], pa.string()),
+                "suggestion": pa.array([o[2] for o in out], pa.string()),
+                "cf": pa.array([o[3] for o in out], pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        cf = group.column("cf").to_numpy(zero_copy_only=False)
+        sug = group.column("suggestion").combine_chunks()
+        best = np.lexsort((sug.to_numpy(zero_copy_only=False), -cf))[0]
+        return group.select(["word_id", "word", "suggestion", "cf"]).take(
+            pa.array([best])
+        )
+
+    return (
+        lex.map_batches(local_best, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)  # <= |words| rows per upstream block
+        .groupby("word_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def mix_corpus(sf_dir: str) -> rd.Dataset:
     """(doc_id, source, rate) — deterministic data-mixing sampler: each
     source domain gets a reproducible target rate (derived here as

@@ -157,3 +157,40 @@ def test_suggest_terms_crafted(tmp_path, ray_session):
     assert list(ap["cf"]) == [4, 2]
     b = out[out.prefix_id == 1]
     assert list(b["term"]) == ["banana"] and list(b["cf"]) == [2]
+
+
+def test_ed1_checker():
+    from searchengine_ray.pipelines.textops import _ed1
+    from itertools import product
+
+    # brute-force DP oracle over a small alphabet, all strings len<=3
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    strs = [""]
+    for n in (1, 2, 3):
+        strs += ["".join(p) for p in product("abc", repeat=n)]
+    for a in strs:
+        for b in strs:
+            assert _ed1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_spell_suggest_crafted(tmp_path, ray_session):
+    from searchengine_ray.pipelines import textops as tx
+
+    rows = [(1, "banana banana banana bananas panana orange")]
+    d = _write_documents(tmp_path, rows)
+    out = (
+        tx.spell_suggest(d, words=("bananna", "oranje", "zzz"))
+        .to_pandas()
+        .set_index("word")
+    )
+    # bananna: lev1 to banana (cf 3); bananas is lev2 from bananna
+    assert out.loc["bananna", "suggestion"] == "banana" and out.loc["bananna", "cf"] == 3
+    assert out.loc["oranje", "suggestion"] == "orange"
+    assert "zzz" not in out.index
