@@ -68,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("-k", type=int, default=10)
     qp.add_argument("--mode", choices=["bm25", "reference"], default="bm25")
     qp.add_argument("--phrase", action="store_true", help="consecutive-token phrase match (index must be built with positions)")
+    qp.add_argument("--slop", type=int, default=0,
+        help="with --phrase: max extra tokens between consecutive words")
+
+    sgp = sub.add_parser("suggest", help="autocomplete: top completions for a prefix")
+    sgp.add_argument("--index", required=True)
+    sgp.add_argument("-p", "--prefix", required=True)
+    sgp.add_argument("-k", type=int, default=5)
 
     up = sub.add_parser("update", help="add documents as a new generation")
     up.add_argument("--input", required=True)
@@ -124,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
 
             engine = SearchEngine(args.index, n_shards=2, mode=args.mode)
             if args.phrase:
-                results = engine.phrase_search(args.query, k=args.k)
+                results = engine.phrase_search(args.query, k=args.k, slop=args.slop)
                 urls = engine.hydrate([d for d, _ in results])
                 for d, score in results:
                     print(f"{score:12.6f}  {urls[d]}")
@@ -154,6 +161,12 @@ def main(argv: list[str] | None = None) -> int:
 
             out = compact(args.index)
             print(json.dumps(out, default=str))
+            return 0
+        if args.cmd == "suggest":
+            from .state.shards import SearchEngine
+
+            engine = SearchEngine(args.index, n_shards=1)
+            print(json.dumps(engine.suggest(args.prefix, k=args.k)))
             return 0
         if args.cmd == "serve":
             from .serve import serve
