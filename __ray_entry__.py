@@ -618,6 +618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpus": lambda sf: textops.mix_corpus(sf),
         # "did you mean": best levenshtein<=1 vocab term per query word
         "spell_suggest": lambda sf: textops.spell_suggest(sf),
+        # HITS hubs/authorities (integer floor-normalized; two coarse
+        # exchanges per iteration, reverse gather without an edge table)
+        "hits_scores": lambda sf: graph_ops.hits(sf, iters=2, k=4),
     }
 
 
@@ -1914,6 +1917,44 @@ r AS (SELECT *, row_number() OVER (PARTITION BY word_id
         ORDER BY cf DESC, term ASC) AS rk FROM cand)
 SELECT word_id::BIGINT AS word_id, word, term AS suggestion, cf
 FROM r WHERE rk = 1
+""",
+        # HITS, 2 unrolled iterations over the derived graph; floor
+        # normalization x*1e6//max after every half-step (graph.hits)
+        "hits_scores": """
+WITH nodes AS (SELECT doc_id FROM documents),
+n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT nodes.doc_id AS u,
+             (((nodes.doc_id % 1000003) * ((nodes.doc_id % 1000003) + j.j))
+              % (SELECT c FROM n)) AS v
+      FROM nodes, (SELECT unnest(range(1, 5)) AS j) j),
+ev AS (SELECT e.u, e.v FROM e JOIN nodes nv ON nv.doc_id = e.v),
+h0 AS (SELECT doc_id AS node, 1000000::BIGINT AS h FROM nodes),
+a1r AS (SELECT nd.doc_id AS node, coalesce(s.c, 0)::BIGINT AS s
+        FROM nodes nd LEFT JOIN (SELECT ev.v AS node, sum(h0.h)::BIGINT AS c
+          FROM ev JOIN h0 ON h0.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id),
+a1 AS (SELECT node, CASE WHEN (SELECT max(s) FROM a1r) > 0
+         THEN ((s::HUGEINT * 1000000) // (SELECT max(s) FROM a1r))::BIGINT
+         ELSE 0 END AS a FROM a1r),
+h1r AS (SELECT nd.doc_id AS node, coalesce(s.c, 0)::BIGINT AS s
+        FROM nodes nd LEFT JOIN (SELECT ev.u AS node, sum(a1.a)::BIGINT AS c
+          FROM ev JOIN a1 ON a1.node = ev.v GROUP BY 1) s ON s.node = nd.doc_id),
+h1 AS (SELECT node, CASE WHEN (SELECT max(s) FROM h1r) > 0
+         THEN ((s::HUGEINT * 1000000) // (SELECT max(s) FROM h1r))::BIGINT
+         ELSE 0 END AS h FROM h1r),
+a2r AS (SELECT nd.doc_id AS node, coalesce(s.c, 0)::BIGINT AS s
+        FROM nodes nd LEFT JOIN (SELECT ev.v AS node, sum(h1.h)::BIGINT AS c
+          FROM ev JOIN h1 ON h1.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id),
+a2 AS (SELECT node, CASE WHEN (SELECT max(s) FROM a2r) > 0
+         THEN ((s::HUGEINT * 1000000) // (SELECT max(s) FROM a2r))::BIGINT
+         ELSE 0 END AS a FROM a2r),
+h2r AS (SELECT nd.doc_id AS node, coalesce(s.c, 0)::BIGINT AS s
+        FROM nodes nd LEFT JOIN (SELECT ev.u AS node, sum(a2.a)::BIGINT AS c
+          FROM ev JOIN a2 ON a2.node = ev.v GROUP BY 1) s ON s.node = nd.doc_id),
+h2 AS (SELECT node, CASE WHEN (SELECT max(s) FROM h2r) > 0
+         THEN ((s::HUGEINT * 1000000) // (SELECT max(s) FROM h2r))::BIGINT
+         ELSE 0 END AS h FROM h2r)
+SELECT a2.node AS doc_id, a2.a AS authority_micro, h2.h AS hub_micro
+FROM a2 JOIN h2 ON h2.node = a2.node
 """,
         # shard assignment mirrored exactly: md5-u64(doc_id) % 8, every
         # shard row emitted even when empty (engine emits all n_shards)

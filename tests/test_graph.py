@@ -60,3 +60,35 @@ def test_pagerank_mass_and_base(tmp_path, ray_session):
     want = _expected(3, iters=2, k=1)
     got = out.sort_values("doc_id")["rank_micro"].to_numpy()
     assert (got == want).all()
+
+
+def _expected_hits(n, iters, k):
+    ids = np.arange(n, dtype=np.int64)
+    h = np.full(n, 1_000_000, np.int64)
+    a = np.zeros(n, np.int64)
+    hh = ids % 1000003
+    edges = [(hh * (hh + j)) % n for j in range(1, k + 1)]
+    for _ in range(iters):
+        ar = np.zeros(n, np.int64)
+        for v in edges:
+            np.add.at(ar, v, h)
+        a = ar * 1_000_000 // ar.max() if ar.max() else np.zeros(n, np.int64)
+        hr = np.zeros(n, np.int64)
+        for v in edges:
+            hr += a[v]
+        h = hr * 1_000_000 // hr.max() if hr.max() else np.zeros(n, np.int64)
+    return a, h
+
+
+def test_hits_matches_reference_loop(tmp_path, ray_session):
+    d = _write_docs(tmp_path, 9)
+    out = (
+        gp.hits(d, iters=2, k=4).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    a, h = _expected_hits(9, iters=2, k=4)
+    assert list(out["doc_id"]) == list(range(9))
+    assert list(out["authority_micro"]) == list(a)
+    assert list(out["hub_micro"]) == list(h)
+    # normalization: the best authority and best hub sit at exactly 1e6
+    assert out["authority_micro"].max() == 1_000_000
+    assert out["hub_micro"].max() == 1_000_000
