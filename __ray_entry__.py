@@ -445,115 +445,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-
+    # ORDERING CONTRACT: the driver evaluates entries in INSERTION order and
+    # round 3 recorded rows for exactly the first 50 keys. So (round-3
+    # verdict ask #1) the 31 ops that still lack a driver-side correctness
+    # row lead the dict, followed by ops added or changed in round 4, then
+    # the long-green tail (all hash-green in CORRECTNESS_r01..r03).
     return {
-        # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
-        "lexicon": lambda sf: textops.lexicon(sf),
-        "doc_token_stats": lambda sf: textops.doc_token_stats(sf),
-        "postings": lambda sf: textops.postings(sf),
-        "top_terms": lambda sf: textops.top_terms(sf, k=20),
-        "bm25_topk": lambda sf: _topk_pipeline(sf, mode="bm25"),
-        "reference_topk": lambda sf: _topk_pipeline(sf, mode="reference"),
-        "bm25_conjunctive_topk": lambda sf: _topk_pipeline(sf, mode="bm25", conjunctive=True),
-        "bm25_not_topk": lambda sf: _topk_pipeline(
-            sf, mode="bm25", query_set=DOC_NOT_QUERIES, negation=True
-        ),
-        "bm25_prefix_topk": lambda sf: _topk_pipeline(
-            sf, mode="bm25", query_set=DOC_PREFIX_QUERIES, prefix=True
-        ),
-        "bm25_scoped_topk": lambda sf: _topk_pipeline(
-            sf, mode="bm25", query_set=DOC_SCOPED_QUERIES, scoping=True,
-            fields=(FIELD_BODY, FIELD_TITLE),
-        ),
-        "phrase_topk": lambda sf: _phrase_pipeline(sf),
-        # ordered proximity: <= PHRASE_SLOP extra tokens between words
-        # (NFA subset-construction matcher over stored positions)
-        "phrase_slop_topk": lambda sf: _phrase_pipeline(sf, slop=PHRASE_SLOP),
-        # dedup suite
-        "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
-        "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
-        "dedup_ngram_jaccard": lambda sf: dedup_ops.ngram_jaccard_pairs(sf, threshold=0.5),
-        "dedup_simhash": lambda sf: dedup_ops.simhash(sf),
-        "dedup_components": lambda sf: dedup_ops.dedup_components(sf),
-        # cluster -> canonical-representative policy (keep max-token doc,
-        # tie -> min doc_id): components + one doc_id join + coarse argmax
-        "dedup_canonical": lambda sf: dedup_ops.dedup_canonical(sf),
-        "dedup_embedding": lambda sf: dedup_ops.embedding_dup_pairs(sf, threshold=0.4),
-        # incremental crawl-batch dedup vs an ingested corpus (fingerprints
-        # only cross the exchange; one coarse groupby)
-        "dedup_incremental": lambda sf: dedup_ops.dedup_incremental(sf),
-        # duplicated-substring measurement (Lee et al. 2021 shape): frac of
-        # token-5-gram windows occurring >= 2x corpus-wide, per doc
-        "dedup_window_stats": lambda sf: dedup_ops.dup_window_stats(sf),
-        # benchmark decontamination: flag training docs sharing any token
-        # 5-gram with the (deterministic doc_id%97) benchmark subset
-        "decontaminate": lambda sf: dedup_ops.decontaminate(sf),
-        # the POLICY half of substring dedup: strip every token covered by
-        # a corpus-duplicated 5-gram window (ExactSubstr rule)
-        "strip_dup_spans": lambda sf: dedup_ops.strip_dup_spans(sf),
-        # similar-document retrieval: top-5 by distinct-3-gram Jaccard for
-        # the doc_id%101 query set (search-side twin of the dedup pairs)
-        "similar_docs": lambda sf: dedup_ops.similar_docs(sf),
-        # perplexity-style quality signal: mean unigram NLL per doc under
-        # the corpus's own unigram LM (integer-1e-6-nat exact sums)
-        "unigram_logprob": lambda sf: corpus_ops.unigram_logprob(sf),
-        # similarity search
-        "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
-        "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
-        # IVF-flat with the deterministic first-16 quantizer (train_iters=0)
-        # so the oracle can recompute list assignment + probing in SQL;
-        # Lloyd-refined quantizer quality is covered by tests/test_ann.py
-        "ann_ivf_topk": lambda sf: ann_ops.ann_ivf_topk(
-            sf, n_queries=ANN_QUERIES, k=TOPK, n_lists=16, nprobe=4, train_iters=0
-        ),
-        # embedding-space outlier pruning: top-5 farthest-from-centroid
-        # vectors per label (exact integer micro-unit contract)
-        "embedding_outliers": lambda sf: ann_ops.embedding_outliers(sf, k=5),
-        # event-stream windowed shapes (events table)
-        "events_windowed": lambda sf: event_ops.windowed_counts(sf),
-        "events_sessions": lambda sf: event_ops.sessionize(sf),
-        "events_asof_join": lambda sf: event_ops.asof_join(sf),
-        # ordered view->click->purchase conversion chain per user
-        "events_funnel": lambda sf: event_ops.funnel(sf),
-        # top-20 per-session event-type paths (path analysis)
-        "events_journeys": lambda sf: event_ops.journeys(sf),
-        # semi-structured extraction: JSON props.k aggregated per type
-        "events_props_stats": lambda sf: event_ops.props_stats(sf),
-        # text analysis
-        "quality_scores": lambda sf: textops.quality_scores(sf),
-        "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
-        "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
-        # composed flagship: clean -> decontaminate -> strip dup spans
-        "prepare_corpus": lambda sf: clean_ops.prepare_corpus(sf),
-        "sample_stratified": lambda sf: textops.sample_stratified(sf, k=20),
-        # quality-weighted Bernoulli subsample (CCNet-style reweighting):
-        # keep iff md5frac(doc_id) < min(1, n_tokens/64)
-        "sample_weighted": lambda sf: textops.sample_weighted(sf),
-        # per-domain cap: the stratified sampler grouped by source
-        "cap_per_source": lambda sf: textops.sample_stratified(
-            sf, k=50, group_col="source"
-        ),
-        "length_quantiles": lambda sf: textops.length_quantiles(sf),
-        "token_counts": lambda sf: textops.token_counts(sf),
-        "lang_id": lambda sf: textops.lang_id(sf),
-        "fingerprints": lambda sf: textops.fingerprints(sf),
-        # multimodal plumbing: payloads DERIVED from documents.doc_id by
-        # fixed formulas, decoded by the REAL binary actor-pool stage; the
-        # SQL oracle recomputes expected metadata from doc_id, verifying
-        # the encode->decode round-trip (real media kernels stay stubbed —
-        # no image/audio libs in this container)
-        "media_meta": lambda sf: mm_ops.media_meta(mm_ops.media_dataset_from_documents(sf)),
-        "media_frames": lambda sf: mm_ops.sample_frames(
-            mm_ops.media_dataset_from_documents(sf)
-        ).drop_columns(["frame"]),
-        # REAL image decode (round 3): formula-pixel PNGs per doc are
-        # encoded and fully decoded (zlib inflate + unfilter,
-        # functions/media.py) in the actor pool; the oracle recomputes the
-        # integer pixel stats from doc_id alone, so a hash match proves
-        # the pixel-level decode, not just header plumbing
-        "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
-        # perceptual average-hash via the real PNG decode (integer-exact)
-        "media_phash": lambda sf: mm_ops.media_phash(sf),
+        # --- batch-4/5/6 ops without a driver row yet (r03 stopped at 50) ---
         # event ops (round 3, batch 2): banded range join, sliding windows,
         # HyperLogLog distinct sketch (bit-exact deterministic contract)
         "events_range_join": lambda sf: event_ops.range_join(sf),
@@ -621,6 +519,123 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities (integer floor-normalized; two coarse
         # exchanges per iteration, reverse gather without an edge table)
         "hits_scores": lambda sf: graph_ops.hits(sf, iters=2, k=4),
+        # --- new in round 4 ---
+        # LSH-verification tier wired into the driver gate (r3 ask #10):
+        # exact n-gram Jaccard restricted to minhash-LSH candidate pairs
+        "dedup_verify": lambda sf: dedup_ops.ngram_jaccard_verify(sf, threshold=0.5),
+        # SymSpell deletion-index spell path (r3 ask #8) — same output
+        # contract as spell_suggest, the web-vocab-scale candidate index
+        "spell_suggest_fast": lambda sf: textops.spell_suggest(sf, mode="symspell"),
+        # --- changed in round 4 (re-certify under the driver window) ---
+        # minhash shuffle now ships band keys only (16x payload cut, r3 #2)
+        "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
+        "dedup_ngram_jaccard": lambda sf: dedup_ops.ngram_jaccard_pairs(sf, threshold=0.5),
+        # perplexity-style quality signal: mean unigram NLL per doc under
+        # the corpus's own unigram LM (integer-1e-6-nat exact sums);
+        # vocab broadcast now row-budgeted with a join fallback (r3 #4)
+        "unigram_logprob": lambda sf: corpus_ops.unigram_logprob(sf),
+        "media_frames": lambda sf: mm_ops.sample_frames(
+            mm_ops.media_dataset_from_documents(sf)
+        ).drop_columns(["frame"]),
+        # --- long-green tail (hash-green driver rows in r01..r03) ---
+        # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
+        "lexicon": lambda sf: textops.lexicon(sf),
+        "doc_token_stats": lambda sf: textops.doc_token_stats(sf),
+        "postings": lambda sf: textops.postings(sf),
+        "top_terms": lambda sf: textops.top_terms(sf, k=20),
+        "bm25_topk": lambda sf: _topk_pipeline(sf, mode="bm25"),
+        "reference_topk": lambda sf: _topk_pipeline(sf, mode="reference"),
+        "bm25_conjunctive_topk": lambda sf: _topk_pipeline(sf, mode="bm25", conjunctive=True),
+        "bm25_not_topk": lambda sf: _topk_pipeline(
+            sf, mode="bm25", query_set=DOC_NOT_QUERIES, negation=True
+        ),
+        "bm25_prefix_topk": lambda sf: _topk_pipeline(
+            sf, mode="bm25", query_set=DOC_PREFIX_QUERIES, prefix=True
+        ),
+        "bm25_scoped_topk": lambda sf: _topk_pipeline(
+            sf, mode="bm25", query_set=DOC_SCOPED_QUERIES, scoping=True,
+            fields=(FIELD_BODY, FIELD_TITLE),
+        ),
+        "phrase_topk": lambda sf: _phrase_pipeline(sf),
+        # ordered proximity: <= PHRASE_SLOP extra tokens between words
+        # (NFA subset-construction matcher over stored positions)
+        "phrase_slop_topk": lambda sf: _phrase_pipeline(sf, slop=PHRASE_SLOP),
+        # dedup suite
+        "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
+        "dedup_simhash": lambda sf: dedup_ops.simhash(sf),
+        "dedup_components": lambda sf: dedup_ops.dedup_components(sf),
+        # cluster -> canonical-representative policy (keep max-token doc,
+        # tie -> min doc_id): components + one doc_id join + coarse argmax
+        "dedup_canonical": lambda sf: dedup_ops.dedup_canonical(sf),
+        "dedup_embedding": lambda sf: dedup_ops.embedding_dup_pairs(sf, threshold=0.4),
+        # incremental crawl-batch dedup vs an ingested corpus (fingerprints
+        # only cross the exchange; one coarse groupby)
+        "dedup_incremental": lambda sf: dedup_ops.dedup_incremental(sf),
+        # duplicated-substring measurement (Lee et al. 2021 shape): frac of
+        # token-5-gram windows occurring >= 2x corpus-wide, per doc
+        "dedup_window_stats": lambda sf: dedup_ops.dup_window_stats(sf),
+        # benchmark decontamination: flag training docs sharing any token
+        # 5-gram with the (deterministic doc_id%97) benchmark subset
+        "decontaminate": lambda sf: dedup_ops.decontaminate(sf),
+        # the POLICY half of substring dedup: strip every token covered by
+        # a corpus-duplicated 5-gram window (ExactSubstr rule)
+        "strip_dup_spans": lambda sf: dedup_ops.strip_dup_spans(sf),
+        # similar-document retrieval: top-5 by distinct-3-gram Jaccard for
+        # the doc_id%101 query set (search-side twin of the dedup pairs)
+        "similar_docs": lambda sf: dedup_ops.similar_docs(sf),
+        # similarity search
+        "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        # IVF-flat with the deterministic first-16 quantizer (train_iters=0)
+        # so the oracle can recompute list assignment + probing in SQL;
+        # Lloyd-refined quantizer quality is covered by tests/test_ann.py
+        "ann_ivf_topk": lambda sf: ann_ops.ann_ivf_topk(
+            sf, n_queries=ANN_QUERIES, k=TOPK, n_lists=16, nprobe=4, train_iters=0
+        ),
+        # embedding-space outlier pruning: top-5 farthest-from-centroid
+        # vectors per label (exact integer micro-unit contract)
+        "embedding_outliers": lambda sf: ann_ops.embedding_outliers(sf, k=5),
+        # event-stream windowed shapes (events table)
+        "events_windowed": lambda sf: event_ops.windowed_counts(sf),
+        "events_sessions": lambda sf: event_ops.sessionize(sf),
+        "events_asof_join": lambda sf: event_ops.asof_join(sf),
+        # ordered view->click->purchase conversion chain per user
+        "events_funnel": lambda sf: event_ops.funnel(sf),
+        # top-20 per-session event-type paths (path analysis)
+        "events_journeys": lambda sf: event_ops.journeys(sf),
+        # semi-structured extraction: JSON props.k aggregated per type
+        "events_props_stats": lambda sf: event_ops.props_stats(sf),
+        # text analysis
+        "quality_scores": lambda sf: textops.quality_scores(sf),
+        "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
+        "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
+        # composed flagship: clean -> decontaminate -> strip dup spans
+        "prepare_corpus": lambda sf: clean_ops.prepare_corpus(sf),
+        "sample_stratified": lambda sf: textops.sample_stratified(sf, k=20),
+        # quality-weighted Bernoulli subsample (CCNet-style reweighting):
+        # keep iff md5frac(doc_id) < min(1, n_tokens/64)
+        "sample_weighted": lambda sf: textops.sample_weighted(sf),
+        # per-domain cap: the stratified sampler grouped by source
+        "cap_per_source": lambda sf: textops.sample_stratified(
+            sf, k=50, group_col="source"
+        ),
+        "length_quantiles": lambda sf: textops.length_quantiles(sf),
+        "token_counts": lambda sf: textops.token_counts(sf),
+        "lang_id": lambda sf: textops.lang_id(sf),
+        "fingerprints": lambda sf: textops.fingerprints(sf),
+        # multimodal plumbing: payloads DERIVED from documents.doc_id by
+        # fixed formulas, decoded by the REAL binary actor-pool stage; the
+        # SQL oracle recomputes expected metadata from doc_id, verifying
+        # the encode->decode round-trip
+        "media_meta": lambda sf: mm_ops.media_meta(mm_ops.media_dataset_from_documents(sf)),
+        # REAL image decode (round 3): formula-pixel PNGs per doc are
+        # encoded and fully decoded (zlib inflate + unfilter,
+        # functions/media.py) in the actor pool; the oracle recomputes the
+        # integer pixel stats from doc_id alone, so a hash match proves
+        # the pixel-level decode, not just header plumbing
+        "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
+        # perceptual average-hash via the real PNG decode (integer-exact)
+        "media_phash": lambda sf: mm_ops.media_phash(sf),
     }
 
 
@@ -1407,6 +1422,49 @@ final AS (SELECT v.doc_id,
 SELECT doc_id, (reason = '') AS keep, reason FROM final
 """
 
+    # LSH-verify tier (dedup.ngram_jaccard_verify, round-4): exact Jaccard
+    # (the ngram CTEs) restricted to minhash candidate pairs at
+    # est >= 0.3 (= verify threshold 0.5 - 0.2), final filter j >= 0.5
+    dedup_verify_sql = f"""
+WITH {sh_ctes},
+perm(p, pa, pb) AS (VALUES {_minhash_perm_values()}),
+pos AS (SELECT doc_id, (su % {_MERS}) AS pos FROM shd),
+hv AS (SELECT doc_id, p,
+        (CASE WHEN x >= {_H} THEN x - {_W} ELSE x END) AS sx
+       FROM (SELECT doc_id, p, ((pos * pa) % {_W} + pb) % {_W} AS x FROM pos, perm)),
+sig AS (SELECT doc_id, p, min(((sx % {_MERS}) + {_MERS}) % {_MERS}) AS sv FROM hv GROUP BY 1, 2),
+bs AS (SELECT doc_id, p // 4 AS band, list(sv ORDER BY p) AS vs FROM sig GROUP BY 1, 2),
+bh AS (SELECT doc_id, band,
+        ((((((vs[1] * {_FNV} + vs[2]) % {_W}) * {_FNV} + vs[3]) % {_W}) * {_FNV} + vs[4]) % {_W}) AS bhv
+       FROM bs),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bh a JOIN bh b ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id),
+eq AS (SELECT c.da, c.db, count(*) FILTER (WHERE sa.sv = sb.sv) AS neq
+       FROM cand c JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.p = sa.p
+       GROUP BY 1, 2),
+mh AS (SELECT da, db FROM eq WHERE neq / 64.0 >= 0.3),
+{_ngram_body()}
+SELECT jac.da AS doc_a, jac.db AS doc_b, {_r6('j')} AS jaccard
+FROM jac JOIN mh ON mh.da = jac.da AND mh.db = jac.db
+WHERE j >= 0.5
+"""
+
+    # best lev<=1 vocabulary neighbor per misspelled word, cf desc then
+    # term asc (textops.spell_suggest; words list fixed in SPELL_WORDS).
+    # One oracle for BOTH candidate generators (scan and symspell).
+    spell_sql = f"""
+WITH tok AS ({_TOKENIZE_SQL}),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+w(word_id, word) AS (VALUES {", ".join(f"({i}, '{w}')" for i, w in enumerate(textops.SPELL_WORDS))}),
+cand AS (SELECT w.word_id, w.word, cf.term, cf.cf
+         FROM w JOIN cf ON levenshtein(w.word, cf.term) <= 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY word_id
+        ORDER BY cf DESC, term ASC) AS rk FROM cand)
+SELECT word_id::BIGINT AS word_id, word, term AS suggestion, cf
+FROM r WHERE rk = 1
+"""
+
     return {
         "lexicon": f"""
 WITH tok AS ({tok}),
@@ -1737,6 +1795,7 @@ FROM r WHERE rank <= 5
         "unigram_logprob": uni_nll,
         "dedup_simhash": simhash_sql,
         "dedup_minhash_pairs": minhash,
+        "dedup_verify": dedup_verify_sql,
         "dedup_components": components,
         "dedup_canonical": canonical,
         "ann_lsh_topk": ann_lsh,
@@ -1905,19 +1964,8 @@ SELECT doc_id, s.i::BIGINT AS chunk_id, (s.i * 112)::BIGINT AS tok_start,
        least(128, n - s.i * 112)::BIGINT AS n_tokens
 FROM nc, LATERAL (SELECT unnest(range(k)) AS i) s
 """,
-        # best lev<=1 vocabulary neighbor per misspelled word, cf desc then
-        # term asc (textops.spell_suggest; words list fixed in SPELL_WORDS)
-        "spell_suggest": f"""
-WITH tok AS ({_TOKENIZE_SQL}),
-cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
-w(word_id, word) AS (VALUES {", ".join(f"({i}, '{w}')" for i, w in enumerate(textops.SPELL_WORDS))}),
-cand AS (SELECT w.word_id, w.word, cf.term, cf.cf
-         FROM w JOIN cf ON levenshtein(w.word, cf.term) <= 1),
-r AS (SELECT *, row_number() OVER (PARTITION BY word_id
-        ORDER BY cf DESC, term ASC) AS rk FROM cand)
-SELECT word_id::BIGINT AS word_id, word, term AS suggestion, cf
-FROM r WHERE rk = 1
-""",
+        "spell_suggest": spell_sql,
+        "spell_suggest_fast": spell_sql,
         # HITS, 2 unrolled iterations over the derived graph; floor
         # normalization x*1e6//max after every half-step (graph.hits)
         "hits_scores": """

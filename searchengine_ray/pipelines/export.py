@@ -30,8 +30,9 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, md5h64_array
 from ..functions.runtime import cap_worker_threads
+from ..functions.tokenize import tokenize_flat
 from ..sources.tables import read_documents
 from ..state import manifest as mf
 
@@ -209,8 +210,6 @@ def pack_sequences(sf_dir: str, seq_len: int = 512) -> rd.Dataset:
         cap_worker_threads()
         if t.num_rows == 0:
             return _C.empty_table()
-        from ..functions.tokenize import tokenize_flat
-
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         parents, _ = tokenize_flat(t.column("text").combine_chunks())
         n_tok = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
@@ -227,6 +226,19 @@ def pack_sequences(sf_dir: str, seq_len: int = 512) -> rd.Dataset:
         .map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()  # reused by both scan phases; 16 B/doc, not the corpus
     )
+    _O_EARLY = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("tok_start", pa.int64()),
+            ("seq_first", pa.int64()),
+            ("seq_last", pa.int64()),
+        ]
+    )
+    if counts.count() == 0:
+        # every doc tokenized to zero tokens: Min/Max below would aggregate
+        # to None (round-3 ADVICE) — the packed corpus is simply empty
+        return rd.from_arrow(_O_EARLY.empty_table())
     lohi = counts.aggregate(rd.aggregate.Min("doc_id"), rd.aggregate.Max("doc_id"))
     lo, hi = int(lohi["min(doc_id)"]), int(lohi["max(doc_id)"])
     span = float(hi - lo) + 1.0
@@ -307,8 +319,6 @@ def chunk_spans(sf_dir: str, chunk: int = 128, overlap: int = 16) -> rd.Dataset:
         cap_worker_threads()
         if t.num_rows == 0:
             return _O.empty_table()
-        from ..functions.tokenize import tokenize_flat
-
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         parents, _ = tokenize_flat(t.column("text").combine_chunks())
         n = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
@@ -356,9 +366,6 @@ def tokenize_ids(sf_dir: str) -> rd.Dataset:
     shuffle-free map_batches. Per-term mod keeps every intermediate in
     int64 regardless of doc length."""
     from .textops import lexicon
-
-    from ..functions.hashing import md5h64_array
-    from ..functions.tokenize import tokenize_flat
 
     vocab = lexicon(sf_dir).to_pandas()  # (term, df, cf): vocab-sized
     order = np.lexsort(

@@ -399,7 +399,17 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
             a_run[run_id[isn]] = av[isn]
             s_run = np.zeros(n_runs, np.int64)
             np.add.at(s_run, run_id[~isn], sv[~isn])  # sums to non-nodes die below
-            val = s_run * np.int64(_R0) // np.int64(mx) if mx else np.zeros(n_runs, np.int64)
+            if not mx:
+                val = np.zeros(n_runs, np.int64)
+            elif int(s_run.max(initial=0)) <= (2**63 - 1) // _R0:
+                val = s_run * np.int64(_R0) // np.int64(mx)
+            else:
+                # hub-skewed graphs can push s_run * _R0 past int64 (the
+                # DuckDB oracle computes this in HUGEINT); fall back to
+                # exact Python-int division only at that boundary
+                val = np.fromiter(
+                    (int(s) * _R0 // mx for s in s_run), dtype=np.int64, count=n_runs
+                )
             if col == "a":
                 a_run = val
             else:

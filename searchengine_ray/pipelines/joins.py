@@ -34,6 +34,7 @@ import ray
 import ray.data as rd
 
 from ..functions.runtime import cap_worker_threads
+from ..functions.scoring import round6
 
 # Join exchange width. At testdata scale any small value works; at real
 # scale size this like build partitions (bytes / 512 MB target), not from
@@ -555,8 +556,6 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
         cap_worker_threads()
         if group.num_rows == 0:
             return _O.empty_table()
-        from ..functions.scoring import round6
-
         s = {
             c: int(group.column(c).to_numpy(zero_copy_only=False).sum())
             for c in (

@@ -558,19 +558,29 @@ SPELL_WORDS = ("qeury", "mergee", "dta", "jion", "scaan")
 
 
 def spell_suggest(
-    sf_dir: str, words: tuple[str, ...] = SPELL_WORDS
+    sf_dir: str, words: tuple[str, ...] = SPELL_WORDS, mode: str = "scan"
 ) -> rd.Dataset:
     """(word_id, word, suggestion, cf) — "did you mean": for each query
     word, the vocabulary term within levenshtein distance 1 with the
     highest collection frequency (cf desc, term asc tie-break). Words with
     no distance-1 neighbor are absent.
 
-    Scale shape: rides the lexicon groupby; each block pre-filters by the
-    |len-1| band (vectorized) before the O(len) two-pointer distance check
-    and keeps only its LOCAL best per word (one row/word/block through the
-    bounded merge). At web vocabulary scale swap the band filter for a
-    SymSpell deletion-neighborhood index per block — the exchange shape is
-    identical."""
+    Two equivalent per-block candidate generators (round-3 verdict ask #8):
+      mode="scan"     — |len-1| band pre-filter (vectorized) then the O(len)
+                        two-pointer distance check on every band term:
+                        O(vocab-band) per query word. The oracle path.
+      mode="symspell" — SymSpell deletion-neighborhood index: each block
+                        indexes term + all 1-deletions of terms whose
+                        length can possibly match (O(vocab·len) build, ONCE
+                        per block regardless of |words|); a probe is
+                        O(len(w)²) dict hits + an _ed1 verify on the tiny
+                        candidate set. The web-vocabulary path — probe cost
+                        is independent of vocabulary size.
+    Both keep only the LOCAL best per word (one row/word/block through the
+    bounded merge), so the exchange shape is identical; equivalence is
+    pinned by tests/test_contract.py (both modes against one SQL oracle)
+    and a direct scan==symspell property test."""
+    assert mode in ("scan", "symspell")
     lex = lexicon(sf_dir)
     wl = [(i, w) for i, w in enumerate(words)]
 
@@ -582,6 +592,18 @@ def spell_suggest(
             ("cf", pa.int64()),
         ]
     )
+
+    def _emit(out: list) -> pa.Table:
+        if not out:
+            return _O.empty_table()
+        return pa.table(
+            {
+                "word_id": pa.array([o[0] for o in out], pa.int64()),
+                "word": pa.array([o[1] for o in out], pa.string()),
+                "suggestion": pa.array([o[2] for o in out], pa.string()),
+                "cf": pa.array([o[3] for o in out], pa.int64()),
+            }
+        )
 
     def local_best(t: pa.Table) -> pa.Table:
         cap_worker_threads()
@@ -602,16 +624,41 @@ def spell_suggest(
                         best = key
             if best is not None:
                 out.append((wid, w, best[1], -best[0]))
-        if not out:
+        return _emit(out)
+
+    def local_best_symspell(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
             return _O.empty_table()
-        return pa.table(
-            {
-                "word_id": pa.array([o[0] for o in out], pa.int64()),
-                "word": pa.array([o[1] for o in out], pa.string()),
-                "suggestion": pa.array([o[2] for o in out], pa.string()),
-                "cf": pa.array([o[3] for o in out], pa.int64()),
-            }
-        )
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        cf = t.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+        tlen = np.fromiter((len(s) for s in terms), dtype=np.int64, count=len(terms))
+        # index only lengths reachable from some query word (ed<=1 bound)
+        wanted = sorted({len(w) + d for _, w in wl for d in (-1, 0, 1)})
+        idxs = np.flatnonzero(np.isin(tlen, wanted))
+        index: dict[str, list[int]] = {}
+        for j in idxs:
+            term = terms[j]
+            index.setdefault(term, []).append(j)
+            for i in range(len(term)):
+                index.setdefault(term[:i] + term[i + 1 :], []).append(j)
+        out = []
+        for wid, w in wl:
+            cand: set[int] = set()
+            for key in {w, *(w[:i] + w[i + 1 :] for i in range(len(w)))}:
+                cand.update(index.get(key, ()))
+            # deletion keys over-generate (e.g. same-length transposes share
+            # a deletion) — _ed1 verifies every candidate, standard SymSpell
+            best = None  # (-cf, term)
+            for j in cand:
+                term = terms[j]
+                if _ed1(w, term):
+                    key = (-int(cf[j]), term)
+                    if best is None or key < best:
+                        best = key
+            if best is not None:
+                out.append((wid, w, best[1], -best[0]))
+        return _emit(out)
 
     def merge(group: pa.Table) -> pa.Table:
         cap_worker_threads()
@@ -624,8 +671,9 @@ def spell_suggest(
             pa.array([best])
         )
 
+    gen = local_best if mode == "scan" else local_best_symspell
     return (
-        lex.map_batches(local_best, batch_format="pyarrow", zero_copy_batch=True)
+        lex.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(1)  # <= |words| rows per upstream block
         .groupby("word_id")
         .map_groups(merge, batch_format="pyarrow")

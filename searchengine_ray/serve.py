@@ -84,12 +84,19 @@ def make_handler(engine: SearchEngine):
                     self._send(400, b"missing prefix or invalid k", "text/plain")
                     return
                 t0 = time.perf_counter()
-                sug = engine.suggest(prefix, k=min(sk, MAX_K))
+                sug, truncated = engine.suggest(prefix, k=min(sk, MAX_K), with_meta=True)
                 ms = round((time.perf_counter() - t0) * 1000, 2)
                 self._send(
                     200,
                     json.dumps(
-                        {"prefix": prefix, "took_ms": ms, "suggestions": sug}
+                        {
+                            "prefix": prefix,
+                            "took_ms": ms,
+                            "suggestions": sug,
+                            # candidate scan hit its cap: top-cf completions
+                            # beyond it may be missing (round-3 ADVICE)
+                            "truncated": truncated,
+                        }
                     ).encode(),
                     "application/json",
                 )

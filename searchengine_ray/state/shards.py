@@ -1363,18 +1363,31 @@ class SearchEngine:
             out.append({"doc_id": int(d), "score": float(score), "terms": terms})
         return out
 
-    def suggest(self, prefix: str, k: int = 5, field: int | None = None) -> list[dict]:
+    def suggest(
+        self,
+        prefix: str,
+        k: int = 5,
+        field: int | None = None,
+        with_meta: bool = False,
+    ) -> list[dict] | tuple[list[dict], bool]:
         """Autocomplete: top-k vocabulary completions of `prefix` by global
         cf desc, term asc (the serving analog of textops.suggest_terms).
         Candidates come from the TermStrings sidecar's sorted range scan —
         capped at max(32k, 256) ascending terms, so a prefix with more
         completions than the cap may miss high-cf terms beyond it (the
-        batch op is the exact full-lexicon path); stats are lexicon point
-        lookups (sharded-lexicon prefetch batches one round-trip/shard)."""
+        batch op is the exact full-lexicon path). Truncation is DETECTED
+        (over-fetch by one) and surfaced: with_meta=True returns
+        (suggestions, truncated) so /suggest can flag results that may
+        disagree with the exact batch op (round-3 ADVICE). Stats are
+        lexicon point lookups (sharded-lexicon prefetch batches one
+        round-trip/shard)."""
         if not hasattr(self, "_term_strings"):
             self._term_strings = TermStrings(self.index_dir)
         f = self.fields[0] if field is None else field
-        cands = self._term_strings.prefix_terms(prefix, limit=max(k * 32, 256))
+        cap = max(k * 32, 256)
+        cands = self._term_strings.prefix_terms(prefix, limit=cap + 1)
+        truncated = len(cands) > cap
+        cands = cands[:cap]
         keys = [(f, hash64(t)) for t in cands]
         if isinstance(self.lexicon, ShardedLexicon):
             self.lexicon.prefetch(keys)
@@ -1384,7 +1397,8 @@ class SearchEngine:
             if st is not None:
                 scored.append((-st[1], t))
         scored.sort()
-        return [{"term": t, "cf": int(-neg)} for neg, t in scored[:k]]
+        out = [{"term": t, "cf": int(-neg)} for neg, t in scored[:k]]
+        return (out, truncated) if with_meta else out
 
     def search_hydrated(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         res = self.search(query, k)

@@ -194,3 +194,38 @@ def test_spell_suggest_crafted(tmp_path, ray_session):
     assert out.loc["bananna", "suggestion"] == "banana" and out.loc["bananna", "cf"] == 3
     assert out.loc["oranje", "suggestion"] == "orange"
     assert "zzz" not in out.index
+
+
+def test_spell_suggest_symspell_equivalence(tmp_path, ray_session):
+    """The SymSpell deletion-index path returns exactly what the band-scan
+    path returns (round-4): every ed<=1 shape — substitution, insertion,
+    deletion, exact hit — plus over-generation traps (transposes share a
+    deletion key but are ed=2 and must be verify-rejected)."""
+    from searchengine_ray.pipelines import textops as tx
+
+    rows = [
+        (1, "banana banana banana bananas panana orange data dta ab ba"),
+        (2, "scan scans scaan query quer qury mergeable merge merged"),
+    ]
+    d = _write_documents(tmp_path, rows)
+    words = (
+        "bananna",  # substitution+insertion candidates
+        "oranje",   # substitution
+        "dta",      # exact vocab hit
+        "ab",       # 'ba' is a transpose (ed=2): deletion keys collide, must lose to 'ab' itself
+        "scaan",    # exact hit beats 'scan' (deletion) only via cf/term rule
+        "quer",     # insertion ('query' is ed=2 from quer? q-u-e-r vs q-u-e-r-y: ed=1)
+        "zzz",      # no neighbor
+    )
+    a = (
+        tx.spell_suggest(d, words=words, mode="scan")
+        .to_pandas().sort_values("word_id").reset_index(drop=True)
+    )
+    b = (
+        tx.spell_suggest(d, words=words, mode="symspell")
+        .to_pandas().sort_values("word_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert "zzz" not in set(a["word"])

@@ -254,4 +254,17 @@ def test_suggest_matches_lexicon(index_dir, ray_session):
         )[:4]
         want = [{"term": t, "cf": -neg} for neg, t in rows]
         assert got == want, (prefix, got, want)
+    # truncation surfaced (round-3 ADVICE): with_meta reports whether the
+    # candidate range scan hit its cap; this small vocab never does
+    got, truncated = engine.suggest("s", k=4, with_meta=True)
+    assert truncated is False and got
+
+    # ... and the flag trips when the completion range exceeds the cap
+    class _HugePrefixStub:
+        def prefix_terms(self, prefix, limit):
+            return [f"{prefix}{i:05d}" for i in range(limit)]
+
+    engine._term_strings = _HugePrefixStub()
+    _, truncated = engine.suggest("s", k=1, with_meta=True)
+    assert truncated is True
     engine.shutdown() if hasattr(engine, "shutdown") else None

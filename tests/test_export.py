@@ -144,6 +144,20 @@ def test_pack_sequences_crafted(tmp_path, ray_session):
     ].iloc[1:].tolist()
 
 
+def test_pack_sequences_all_docs_empty(tmp_path, ray_session):
+    # every doc tokenizes to zero tokens: Min/Max(doc_id) over the counts
+    # table would be None (round-3 ADVICE int(None) TypeError) — must
+    # return an empty table with the output schema instead of raising
+    rows = [(1, ""), (2, "!!! ???"), (3, "12345 67")]
+    d = _write_docs(tmp_path, rows)
+    ds = ex.pack_sequences(d, seq_len=4)
+    assert ds.count() == 0
+    # (to_pandas() on an empty Dataset drops columns; schema() keeps them)
+    assert ds.schema().names == [
+        "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last",
+    ]
+
+
 def test_tokenize_ids_order_sensitive(tmp_path, ray_session):
     # cf: a=3, b=2 -> id(a)=0, id(b)=1; checksum = sum pos*(id+1)
     rows = [(1, "b a"), (2, "a b"), (3, "a a b"), (4, "")]
