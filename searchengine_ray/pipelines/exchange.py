@@ -1,0 +1,98 @@
+"""Distributed broadcast-free key attach — the shared fallback primitive
+for every "small side grew too big to ray.put" path (round-3 verdict ask
+#4: vocabulary-sized broadcast tables must degrade to a hash join above a
+row budget, not to a multi-GB driver pandas).
+
+Shape: union(left rows, value rows) -> coarse key-bucket groupby -> ONE
+vectorized run scan per group that copies each key's value onto the key's
+left rows. Equal keys co-locate because bucket = key % N (the module-wide
+coarse-shuffle discipline, see pipelines/dedup.py docstring). Each value
+row crosses the exchange once; left rows once.
+
+Deliberately NOT Dataset.join: Ray 2.49's hash-join finalize builds a
+zero-column table for any partition that received no rows and Arrow then
+fails on the missing key column — with sparse keys, empty partitions are
+the common case. map_groups never fires for absent buckets, so the
+union-attach has no such hazard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+N_ATTACH_BUCKETS = 256
+
+
+def coarse_key_attach(
+    left: rd.Dataset,
+    vals: rd.Dataset,
+    left_schema: pa.Schema,
+    val_type: pa.DataType,
+    key: str = "key",
+    val: str = "val",
+) -> rd.Dataset:
+    """Attach `vals` (columns: key:int64 and literally-named "val") to
+    `left` (columns: left_schema, which includes key:int64) by key.
+    Returns left columns + the value column RENAMED to `val`. Left rows
+    whose key has no value row are DROPPED (inner-join semantics); at most
+    one value row per key is honored (first in key order — callers
+    guarantee uniqueness)."""
+    left_cols = list(left_schema.names)
+    assert key in left_cols, f"left_schema must contain '{key}'"
+    out_schema = pa.schema(
+        [(n, left_schema.field(n).type) for n in left_cols] + [(val, val_type)]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.select(left_cols)
+        t = t.append_column(val, pa.nulls(t.num_rows, val_type))
+        return t.append_column(
+            "_isv", pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+        )
+
+    def tag_val(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for name in left_cols:
+            if name == key:
+                cols[name] = t.column(key)
+            else:
+                cols[name] = pa.nulls(n, left_schema.field(name).type)
+        cols[val] = t.column("val")
+        cols["_isv"] = pa.array(np.ones(n, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def key_bucket(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        b = (k.view(np.uint64) % np.uint64(N_ATTACH_BUCKETS)).astype(np.int32)
+        return t.append_column("_kb", pa.array(b, pa.int32()))
+
+    def attach(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        k = group.column(key).to_numpy(zero_copy_only=False)
+        isv = group.column("_isv").to_numpy(zero_copy_only=False)
+        # value rows sort FIRST within their key run (1 - isv ascending)
+        order = np.lexsort((1 - isv, k))
+        k_s, isv_s = k[order], isv[order]
+        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        has_val = isv_s[starts] == 1
+        keep = (isv_s == 0) & has_val[run_id]
+        idx = np.flatnonzero(keep)
+        val_src = starts[run_id[idx]]
+        g = group.take(pa.array(order))
+        cols = {n: g.column(n).take(pa.array(idx)) for n in left_cols}
+        cols[val] = g.column(val).take(pa.array(val_src))
+        return pa.table(cols)
+
+    return (
+        left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+        .union(vals.map_batches(tag_val, batch_format="pyarrow", zero_copy_batch=True))
+        .map_batches(key_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(attach, batch_format="pyarrow")
+    )

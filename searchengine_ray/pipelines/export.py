@@ -351,7 +351,9 @@ def chunk_spans(sf_dir: str, chunk: int = 128, overlap: int = 16) -> rd.Dataset:
 _CKSUM_MOD = 1_000_000_007  # checksum field, applied per term before the sum
 
 
-def tokenize_ids(sf_dir: str) -> rd.Dataset:
+def tokenize_ids(
+    sf_dir: str, vocab_budget: int = 2_000_000
+) -> rd.Dataset:
     """(doc_id, n_tokens, ids_checksum) — the tokenizer-export step: encode
     every doc into dense vocab ids (id = frequency rank: cf DESC, term ASC,
     starting at 0) and prove the ORDER-SENSITIVE encoding with a positional
@@ -360,14 +362,23 @@ def tokenize_ids(sf_dir: str) -> rd.Dataset:
     the oracle pins the full (position → id) encoding, not just the bag.
 
     Scale shape: the vocab is built by the lexicon's partial/combine
-    groupby, collected once (vocabulary-sized, the unigram_logprob
-    broadcast pattern: md5-u64-sorted probe table via ray.put — shard it
-    like the serving lexicon at 10^12 docs); the encode pass is one
-    shuffle-free map_batches. Per-term mod keeps every intermediate in
-    int64 regardless of doc length."""
+    groupby. Under `vocab_budget` rows it is collected once (the
+    unigram_logprob broadcast pattern: md5-u64-sorted probe table via
+    ray.put) and the encode pass is one shuffle-free map_batches. Above
+    the budget (round-3 ask #4) the frequency rank itself is assigned
+    DISTRIBUTED — a distinct-cf histogram gives per-cf rank offsets (tiny:
+    O(distinct cf), Zipf-bounded), a coarse cf-bucket groupby ranks equal-cf
+    terms by term asc, and per-(doc, term) position sums attach ids via
+    coarse_key_attach — no driver-side vocabulary. Per-term mod keeps
+    every intermediate in int64 regardless of doc length."""
     from .textops import lexicon
 
-    vocab = lexicon(sf_dir).to_pandas()  # (term, df, cf): vocab-sized
+    lex_ds = lexicon(sf_dir).materialize()  # (term, df, cf)
+    n_vocab = lex_ds.count()
+    if n_vocab > vocab_budget:
+        return _tokenize_ids_attach(sf_dir, lex_ds, n_vocab, vocab_budget)
+
+    vocab = lex_ds.to_pandas()  # bounded by vocab_budget rows
     order = np.lexsort(
         (vocab["term"].to_numpy(), -vocab["cf"].to_numpy())
     )  # cf desc, term asc (lowercase-ASCII terms: byte order == SQL ASC)
@@ -414,3 +425,175 @@ def tokenize_ids(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _tokenize_ids_attach(
+    sf_dir: str, lex_ds: "rd.Dataset", n_vocab: int, vocab_budget: int
+) -> rd.Dataset:
+    """Over-budget path for tokenize_ids: the frequency rank (cf DESC,
+    term ASC, 0-based) is computed without any driver-side vocabulary.
+
+      1. distinct-cf histogram (O(distinct cf) rows — Zipf-bounded, far
+         smaller than the vocab; size is logged) -> exclusive rank offsets
+         per cf value, broadcast via ray.put;
+      2. coarse cf-bucket groupby (equal cf co-locates) ranks each cf run's
+         terms ascending: id = offset[cf] + position-in-run;
+      3. per-(doc, term) position sums attach ids via coarse_key_attach;
+         checksum contributions reduce with one native per-doc groupby-sum.
+    All arithmetic is mod 1e9+7 per term, so the checksum equals the
+    broadcast path's bit-for-bit."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .exchange import N_ATTACH_BUCKETS, coarse_key_attach
+
+    print(
+        f"[tokenize_ids] vocab {n_vocab} rows > budget {vocab_budget}; "
+        "distributed frequency-rank assignment (no driver-side vocabulary)"
+    )
+
+    # --- 1. per-cf rank offsets ---
+    def cf_partials(t: pa.Table) -> pa.Table:
+        cf = t.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, counts = np.unique(cf, return_counts=True)
+        return pa.table(
+            {"cf": pa.array(u, pa.int64()), "n_p": pa.array(counts, pa.int64())}
+        )
+
+    hist = (
+        lex_ds.map_batches(cf_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cf")
+        .aggregate(_Sum("n_p", alias_name="n"))
+        .to_pandas()  # O(distinct cf) rows
+    )
+    print(f"[tokenize_ids] distinct-cf histogram: {len(hist)} rows on the driver")
+    cfv = hist["cf"].to_numpy().astype(np.int64)
+    cnt = hist["n"].to_numpy().astype(np.int64)
+    order = np.argsort(-cfv)  # cf desc = rank order
+    cfv_d, cnt_d = cfv[order], cnt[order]
+    off_d = np.concatenate(([0], np.cumsum(cnt_d)[:-1]))  # exclusive offsets
+    asc = np.argsort(cfv_d)
+    off_ref = ray.put((cfv_d[asc], off_d[asc]))  # cf-ascending probe table
+
+    # --- 2. rank equal-cf terms by term asc within coarse cf buckets ---
+    def cf_bucket(t: pa.Table) -> pa.Table:
+        cf = t.column("cf").to_numpy(zero_copy_only=False)
+        b = (cf.view(np.uint64) % np.uint64(N_ATTACH_BUCKETS)).astype(np.int32)
+        return t.append_column("_cb", pa.array(b, pa.int32()))
+
+    _V = pa.schema([("key", pa.int64()), ("val", pa.int64())])
+
+    def assign_ids(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _V.empty_table()
+        cf = group.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        order = np.lexsort((terms, -cf))
+        cf_s, terms_s = cf[order], terms[order]
+        new = np.r_[True, cf_s[1:] != cf_s[:-1]]
+        starts = np.flatnonzero(new)
+        within = np.arange(len(cf_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(cf_s)))
+        )
+        cfa, offa = ray.get(off_ref)
+        ids = offa[np.searchsorted(cfa, cf_s)] + within
+        return pa.table(
+            {
+                "key": pa.array(md5h64_array(list(terms_s)), pa.int64()),
+                "val": pa.array(ids, pa.int64()),
+            }
+        )
+
+    id_vals = (
+        lex_ds.map_batches(cf_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cb")
+        .map_groups(assign_ids, batch_format="pyarrow")
+    )
+
+    # --- 3. per-(doc, term) position sums -> attach id -> per-doc sum ---
+    _L = pa.schema(
+        [("key", pa.int64()), ("doc_id", pa.int64()), ("psum", pa.int64()),
+         ("tf", pa.int64())]
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _L.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        if len(parents) == 0:
+            return _L.empty_table()
+        n_tok = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        pos = np.arange(len(parents), dtype=np.int64) - starts[parents] + 1
+        per = (
+            pa.table(
+                {
+                    "i": pa.array(parents, pa.int64()),
+                    "key": pa.array(md5h64_array(tokens), pa.int64()),
+                    "p": pa.array(pos % _CKSUM_MOD, pa.int64()),
+                }
+            )
+            .group_by(["i", "key"])
+            .aggregate([("p", "sum"), ([], "count_all")])
+        )
+        rows = per.column("i").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": per.column("key"),
+                "doc_id": pa.array(doc[rows], pa.int64()),
+                "psum": per.column("p_sum").cast(pa.int64()),
+                "tf": per.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    rows = docs.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True)
+    attached = coarse_key_attach(rows, id_vals, _L, pa.int64(), val="id")
+
+    def contrib(t: pa.Table) -> pa.Table:
+        ps = t.column("psum").to_numpy(zero_copy_only=False) % _CKSUM_MOD
+        vid = t.column("id").to_numpy(zero_copy_only=False)
+        c = ps * ((vid + 1) % _CKSUM_MOD) % _CKSUM_MOD
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "c_p": pa.array(c, pa.int64()),
+                "n_p": t.column("tf"),
+            }
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "c_p": z, "n_p": z})
+
+    agg = (
+        attached.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            docs.map_batches(
+                lambda t: zero_rows(t.select(["doc_id"])),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        .groupby("doc_id")
+        .aggregate(_Sum("c_p", alias_name="s"), _Sum("n_p", alias_name="n"))
+    )
+
+    _O = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("ids_checksum", pa.int64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _O.empty_table()
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n").cast(pa.int64()),
+                "ids_checksum": pa.array(s % _CKSUM_MOD, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

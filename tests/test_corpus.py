@@ -229,3 +229,34 @@ def test_spell_suggest_symspell_equivalence(tmp_path, ray_session):
 
     pd.testing.assert_frame_equal(a, b)
     assert "zzz" not in set(a["word"])
+
+
+def test_vocab_budget_fallbacks_equivalent(tmp_path, ray_session):
+    """vocab_budget=0 forces the distributed coarse_key_attach fallbacks
+    (round-4: no driver-side vocabulary); results must equal the broadcast
+    fast paths bit-for-bit on all three vocabulary-probing ops."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines import corpus as C
+
+    rows = [
+        (1, "the cat sat on the mat while the dog ran far away today"),
+        (2, "the cat sat on the mat while the dog slept near home"),
+        (3, "big data engines shuffle rows the cat sat on columns daily"),
+        (4, "big data engines stream batches of the mat and the dog"),
+        (5, ""),  # zero-token doc must appear in per-doc outputs with zeros
+    ]
+    d = _write_documents(tmp_path, rows)
+    cases = [
+        ("unigram_logprob", lambda b: C.unigram_logprob(d, vocab_budget=b)),
+        ("tfidf_topk", lambda b: C.tfidf_topk(d, k=3, vocab_budget=b)),
+        ("bigram_pmi", lambda b: C.bigram_pmi(d, min_count=2, k=20, vocab_budget=b)),
+    ]
+    for name, fn in cases:
+        a = fn(10**9).to_pandas()
+        b = fn(0).to_pandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert len(a) > 0, name

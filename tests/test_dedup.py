@@ -135,6 +135,49 @@ def test_ngram_verify_subset_of_exact(dup_dir, ray_session):
         assert (3 * j, 3 * j + 1) in vv
 
 
+def test_minhash_fallback_budget_equivalent(dup_dir, ray_session):
+    """All three signature-fetch paths return identical pairs:
+    (a) broadcast est (default), (b) distributed attach with the candidate
+    id filter (sig_broadcast_bytes=0), (c) distributed attach over the
+    unfiltered signature table (cand_budget=0 — the >budget scale path)."""
+    import pandas as pd
+
+    fast = (
+        dd.minhash_lsh_pairs(dup_dir, threshold=0.5)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    mid = (
+        dd.minhash_lsh_pairs(dup_dir, threshold=0.5, sig_broadcast_bytes=0)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    slow = (
+        dd.minhash_lsh_pairs(dup_dir, threshold=0.5, cand_budget=0)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, mid)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+
+
+def test_verify_fallback_budget_equivalent(dup_dir, ray_session):
+    """pair_budget=0 forces the distributed coarse-bucket pair semi-join
+    (the duplicate-heavy-crawl path where candidate pairs must never land
+    on the driver); result identical to the broadcast fast path. dup_dir
+    is dense: every base doc contributes exact+near duplicate pairs."""
+    fast = (
+        dd.ngram_jaccard_verify(dup_dir, threshold=0.5)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    slow = (
+        dd.ngram_jaccard_verify(dup_dir, threshold=0.5, pair_budget=0)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) >= len(BASE_DOCS)  # every exact-dup pair verified
+
+
 def test_minhash_short_docs_emit_no_pairs(tmp_path, ray_session):
     """ADVICE fix: docs with < SHINGLE_K tokens must not collide via the
     all-sentinel signature."""

@@ -221,3 +221,26 @@ def test_mix_corpus_rates(tmp_path, ray_session):
         # deterministic hash Bernoulli at 200 docs: within a loose band
         assert abs(kept / 200 - rate(s)) < 0.15, (s, kept, rate(s))
         assert (out[out.source == s]["rate"] == rate(s)).all()
+
+
+def test_tokenize_ids_budget_fallback_equivalent(tmp_path, ray_session):
+    """vocab_budget=0 forces the distributed frequency-rank path (cf
+    histogram offsets + coarse cf-bucket ranking + id attach); checksums
+    must equal the broadcast path's, including cf ties broken term-asc
+    across blocks and zero-token docs."""
+    import pandas as pd
+
+    rows = [
+        (1, "b a c a b a"),      # cf: a=3(+...), ties exercised below
+        (2, "c b d d e"),
+        (3, "e e d c b a"),
+        (4, ""),                  # zero tokens -> n_tokens 0, cks 0
+    ]
+    d = _write_docs(tmp_path, rows)
+    a = ex.tokenize_ids(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        ex.tokenize_ids(d, vocab_budget=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)[list(a.columns)]
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (a[a.doc_id == 4].n_tokens == 0).all()
