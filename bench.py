@@ -67,13 +67,23 @@ def run_once() -> dict:
     os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     import ray
 
-    ray.init(
-        address="local",
-        num_cpus=NUM_CPUS,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
+    if os.environ.get("GRAFT_RAY_ADDRESS"):
+        # --two-node child: attach to the pre-started local cluster (two
+        # `ray start` nodes on this box) instead of starting a local session
+        ray.init(
+            address=os.environ["GRAFT_RAY_ADDRESS"],
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    else:
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -259,19 +269,31 @@ def run_once() -> dict:
     graph_ops.pagerank(SF_DIR, iters=3, k=4).to_pandas()
     queries["pagerank"] = round(time.perf_counter() - t0, 3)
 
+    # Capacity normalization (round-3 verdict ask #6): this VM advertises
+    # NUM_CPUS vCPUs but delivers 18-25 of them depending on the hour, so
+    # raw walls swing with host weather, not code. The probe measures the
+    # delivered capacity; *_normalized rescales every number to what a
+    # full-capacity host would show — cross-round comparisons should read
+    # the normalized series.
+    eff_par = _effective_parallelism()
+    capacity = eff_par / NUM_CPUS if NUM_CPUS else 1.0
     result = {
         "metric": "index_build_sec",
         "value": round(build_s, 3),
         "unit": "sec",
         "queries": queries,
+        "queries_normalized": {
+            k: round(v * capacity, 3) for k, v in queries.items()
+        },
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "n_docs": metrics["n_docs"],
         "docs_per_sec": round(docs_per_s, 1),
+        "docs_per_sec_normalized": round(docs_per_s / capacity, 1) if capacity else None,
         "n_postings": metrics.get("segments", {}).get("n_postings"),
         "bytes_per_posting": metrics.get("segments", {}).get("bytes_per_posting"),
         "stage_wall_s": metrics.get("stage_wall_s"),
-        "effective_parallelism": _effective_parallelism(),
+        "effective_parallelism": eff_par,
     }
     ray.shutdown()
     return result
@@ -332,8 +354,74 @@ def run_scaling() -> dict:
     }
 
 
+def run_two_node() -> dict:
+    """Round-4 verdict ask #5: run the SAME build on (a) one local Ray
+    session with `total` CPUs and (b) a two-node local cluster (two
+    `ray start` nodes on this box, total/2 CPUs each) so the postings
+    exchange crosses Ray's cross-node object-transfer path. Reports docs/s
+    for both and two_node_efficiency = two_node / single_node."""
+    total = int(os.environ.get("GRAFT_TWO_NODE_CPUS", "16"))
+    per_node = total // 2
+    port = int(os.environ.get("GRAFT_TWO_NODE_PORT", "6380"))
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def child(extra_env: dict) -> dict:
+        env = dict(os.environ, GRAFT_INNER="1", GRAFT_BUILD_ONLY="1", **extra_env)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True, cwd=here,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    single = child({"RAY_GRAFT_CPUS": str(total)})
+
+    head = f"127.0.0.1:{port}"
+    ray_bin = shutil.which("ray") or [sys.executable, "-m", "ray.scripts.scripts"]
+    base_env = dict(os.environ, PYTHONPATH=here + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    base_env.pop("RAY_ADDRESS", None)  # preset 'local' would hijack ray start
+
+    def ray_cli(*args: str):
+        cmd = ([ray_bin] if isinstance(ray_bin, str) else list(ray_bin)) + list(args)
+        subprocess.run(cmd, env=base_env, check=True, capture_output=True, text=True)
+
+    try:
+        ray_cli(
+            "start", "--head", f"--port={port}", f"--num-cpus={per_node}",
+            "--include-dashboard=false", "--disable-usage-stats",
+        )
+        ray_cli("start", f"--address={head}", f"--num-cpus={per_node}")
+        env = {
+            "GRAFT_RAY_ADDRESS": head,
+            "RAY_ADDRESS": head,
+            "RAY_GRAFT_CPUS": str(total),
+        }
+        duo = child(env)
+    finally:
+        try:
+            ray_cli("stop", "--force")
+        except Exception:
+            pass
+
+    eff = duo["docs_per_sec"] / single["docs_per_sec"] if single["docs_per_sec"] else 0.0
+    return {
+        "metric": "two_node_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "total_cpus": total,
+        "per_node_cpus": per_node,
+        "single_node": {
+            "sec": single["value"], "docs_per_sec": single["docs_per_sec"]
+        },
+        "two_node": {"sec": duo["value"], "docs_per_sec": duo["docs_per_sec"]},
+        "n_docs": single["n_docs"],
+        "sf": single["sf"],
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--two-node" in sys.argv:
+        print(json.dumps(run_two_node()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_once()
