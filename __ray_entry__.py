@@ -537,6 +537,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": lambda sf: mm_ops.sample_frames(
             mm_ops.media_dataset_from_documents(sf)
         ).drop_columns(["frame"]),
+        # REAL video frame decode (round 4): formula-pixel motion-PNG
+        # containers per doc are walked and each sampled frame's PNG is
+        # fully decoded (functions/media.py — no pyav); the oracle
+        # recomputes the integer per-frame pixel stats from doc_id alone,
+        # so a hash match proves the frame-level decode
+        "media_video_stats": lambda sf: mm_ops.media_video_stats(sf),
         # --- long-green tail (hash-green driver rows in r01..r03) ---
         # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
         "lexicon": lambda sf: textops.lexicon(sf),
@@ -1803,6 +1809,25 @@ FROM r WHERE rank <= 5
         "media_meta": media_meta_sql,
         "media_frames": media_frames_sql,
         "media_image_stats": media_image_stats_sql,
+        # per-sampled-frame pixel rule (multimodal.video_dataset_from_
+        # documents): flat RGB byte j of frame f is (d + 17*f + 31*j) % 256,
+        # nf = 1 + d%5, w = 4 + d%9, h = 4 + (d//9)%7, stride 2
+        "media_video_stats": """
+WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 5 AS nf,
+  4 + doc_id % 9 AS w, 4 + (doc_id // 9) % 7 AS h FROM documents),
+fr AS (SELECT media_id, w, h, s.f AS fi
+       FROM m, LATERAL (SELECT unnest(range(0, nf, 2)) AS f) s),
+px AS (SELECT media_id, fi, w, h,
+  (media_id + 17 * fi + 31 * (3 * s.p)) % 256 AS r,
+  (media_id + 17 * fi + 31 * (3 * s.p + 1)) % 256 AS g,
+  (media_id + 17 * fi + 31 * (3 * s.p + 2)) % 256 AS b
+  FROM fr, LATERAL (SELECT unnest(range(0, w * h)) AS p) s)
+SELECT media_id, fi::INT AS frame_idx,
+  any_value(w)::INT AS width, any_value(h)::INT AS height,
+  sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_e3,
+  sum(r + g + b)::BIGINT AS byte_sum
+FROM px GROUP BY media_id, fi
+""",
         "media_phash": media_phash_sql,
         # relational joins — integer-cent / 1e-4-unit money contract
         # (pipelines/joins.py): floor(x*100+0.5) mirrors joins._cents

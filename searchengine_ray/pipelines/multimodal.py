@@ -1,15 +1,15 @@
 """Multimodal columns: image/audio/video as opaque `binary` with typed
 metadata.
 
-Decode ladder (round 3 — the kernels are REAL now):
+Decode ladder (rounds 3-4 — the kernels are REAL now):
 1. PIL, when importable (loaded once per actor in __init__) — the
    production image path;
 2. in-repo pure-stdlib codecs (functions/media.py): full PNG pixel decode
-   (zlib inflate + all five scanline filters) and PCM16 WAV decode;
+   (zlib inflate + all five scanline filters), PCM16 WAV decode, and the
+   SRVF motion-PNG video container (round 4: frame bytes decode to pixels
+   for real — no pyav needed; a pyav build would slot in at rung 1);
 3. the 16-byte deterministic fake header (oracle-checkable fixtures);
 4. decoded_ok=False (or a raise under strict=True).
-Video frame decode would need pyav and remains header-driven (the one
-still-stubbed kernel, marked in FrameSampleStage).
 
 Pattern: a stateful actor-pool `map_batches` stage (decoder state built
 once per actor in __init__), small batch sizes because each row carries a
@@ -81,6 +81,11 @@ class MediaDecodeStage:
             if meta is not None:
                 channels, rate, n_samples = meta
                 return KIND_AUDIO, channels, rate, min(n_samples, 2**31 - 1), True
+        if p[:4] == self.codecs.VIDEO_SIG:
+            meta = self.codecs.parse_video_meta(p)
+            if meta is not None:
+                w, h, nf, _fps = meta
+                return KIND_VIDEO, w, h, nf, True
         if p[:4] == _MAGIC and len(p) >= _HEADER_SIZE:
             _, kind, w, h, nf = struct.unpack(_HEADER_FMT, p[:_HEADER_SIZE])
             return kind, w, h, nf, True
@@ -180,20 +185,37 @@ class ImageFeatureStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage: sample every `stride`-th frame of a fake video
-    payload; emits one row per sampled frame (flat_map shape). Frame
-    content here is a deterministic slice of the body bytes — video is the
-    ONE still-stubbed kernel (needs pyav; images/audio decode for real via
-    functions/media.py — module docstring)."""
+    """Actor-pool stage: sample every `stride`-th frame of a video payload;
+    emits one row per sampled frame (flat_map shape).
+
+    Two rungs of the decode ladder (round 4 — video frame decode is REAL
+    now, no pyav needed):
+    - SRVF motion-PNG container (functions/media.py): the emitted `frame`
+      is the frame's actual PNG bytes (decode_video_frame inverts them to
+      pixels — round-trip pinned in tests) with its true container offset
+      and length;
+    - the 16-byte fake header (oracle-checkable fixture path): frame
+      content is a deterministic slice of the body bytes, as before."""
 
     def __init__(self, stride: int = 10, frame_bytes: int = 64):
         cap_worker_threads()
         self.stride = stride
         self.frame_bytes = frame_bytes
+        self.codecs = _media_codecs
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids_out, frame_idx, offs, lens, frames = [], [], [], [], []
         for mid, p in zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()):
+            if p[:4] == self.codecs.VIDEO_SIG:
+                for j, off, png in self.codecs.iter_video_frames(p):
+                    if j % self.stride:
+                        continue
+                    ids_out.append(mid)
+                    frame_idx.append(j)
+                    offs.append(off)
+                    lens.append(len(png))
+                    frames.append(png)
+                continue
             if p[:4] != _MAGIC:
                 continue
             _, kind, w, h, nf = struct.unpack(_HEADER_FMT, p[:_HEADER_SIZE])
@@ -436,6 +458,100 @@ def media_phash(sf_dir: str, concurrency: int = 2, batch_size: int = 64) -> rd.D
     construction; visually-similar ones collide in high probability)."""
     return png_dataset_from_documents(sf_dir).map_batches(
         ImagePhashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def video_dataset_from_documents(sf_dir: str) -> rd.Dataset:
+    """(media_id, payload) of REAL SRVF motion-PNG videos derived
+    deterministically from doc_id: nf = 1 + doc_id % 5 frames of
+    w = 4 + doc_id % 9 by h = 4 + (doc_id // 9) % 7, where flat RGB byte j
+    of frame f is (doc_id + 17*f + 31*j) % 256. Pure integer pixel rule ->
+    a SQL oracle can recompute any integer statistic of the DECODED frame
+    pixels, making the full video path (container walk + per-frame PNG
+    inflate/unfilter) hash-checkable end-to-end (media_video_stats)."""
+    from ..functions.media import encode_video
+    from ..sources.tables import read_documents
+
+    def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids.tolist():
+            nf = 1 + d % 5
+            w = 4 + d % 9
+            h = 4 + (d // 9) % 7
+            j = np.arange(h * w * 3, dtype=np.int64)
+            frames = [
+                ((d + 17 * f + 31 * j) % 256).astype(np.uint8).reshape(h, w, 3)
+                for f in range(nf)
+            ]
+            payloads.append(encode_video(frames, fps=10))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class VideoFrameStatsStage:
+    """Actor-pool stage: SRVF video payload -> per-sampled-frame integer
+    pixel statistics via the REAL frame decode (container walk + PNG
+    inflate/unfilter per frame). Integer outputs (luma_e3, byte_sum) so
+    the DuckDB oracle matches bit-for-bit — the video twin of
+    ImageStatsStage."""
+
+    def __init__(self, stride: int = 2):
+        cap_worker_threads()
+        self.stride = stride
+        self.codecs = _media_codecs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_out, fidx, widths, heights, lumas, bsums = [], [], [], [], [], []
+        for mid, p in zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()):
+            for f, _off, png in self.codecs.iter_video_frames(p):
+                if f % self.stride:
+                    continue
+                px = self.codecs.decode_png(png).astype(np.int64)
+                h, w, _c = px.shape
+                ids_out.append(mid)
+                fidx.append(f)
+                widths.append(w)
+                heights.append(h)
+                lumas.append(
+                    int((299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]).sum())
+                )
+                bsums.append(int(px.sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "luma_e3": pa.array(lumas, pa.int64()),
+                "byte_sum": pa.array(bsums, pa.int64()),
+            }
+        )
+
+
+def media_video_stats(
+    sf_dir: str, stride: int = 2, concurrency: int = 2, batch_size: int = 32
+) -> rd.Dataset:
+    """Oracle-checkable proof of the REAL video frame decode: encode
+    formula-pixel motion-PNG videos per doc, walk + decode every
+    `stride`-th frame through the actor pool, emit integer pixel stats the
+    SQL oracle recomputes from doc_id alone."""
+    return video_dataset_from_documents(sf_dir).map_batches(
+        VideoFrameStatsStage,
+        fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

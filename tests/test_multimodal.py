@@ -111,3 +111,65 @@ def test_corrupt_payload_flagged(ray_session):
     meta = media_meta(bad).to_pandas()
     assert not meta.decoded_ok.iloc[0]
     assert meta.kind.iloc[0] == -1
+
+
+def test_video_container_roundtrip_and_strict():
+    """SRVF motion-PNG (round 4): encode -> meta parse -> frame walk ->
+    per-frame REAL PNG decode inverts the pixels; MediaDecodeStage
+    recognizes the container under strict=True; truncation raises."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.functions import media as m
+
+    frames = [
+        ((np.arange(5 * 6 * 3) * (f + 3)) % 256).astype(np.uint8).reshape(5, 6, 3)
+        for f in range(4)
+    ]
+    b = m.encode_video(frames, fps=12)
+    assert m.parse_video_meta(b) == (6, 5, 4, 12)
+    for i, off, png in m.iter_video_frames(b):
+        assert b[off : off + len(png)] == png  # offsets are container-true
+        assert (m.decode_video_frame(png) == frames[i]).all()
+    # strict decode ladder recognizes the container as a video
+    stage = MediaDecodeStage(strict=True)
+    out = stage(
+        pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([b], pa.binary())})
+    ).to_pandas()
+    assert out.decoded_ok.iloc[0] and out.kind.iloc[0] == KIND_VIDEO
+    assert (out.width.iloc[0], out.height.iloc[0], out.n_frames.iloc[0]) == (6, 5, 4)
+    # truncated container raises on the frame walk
+    with pytest.raises(ValueError, match="truncated"):
+        list(m.iter_video_frames(b[: len(b) - 3]))
+
+
+def test_frame_sampling_real_video(ray_session):
+    """FrameSampleStage's SRVF rung: sampled rows carry the TRUE container
+    offsets and the frame bytes are real PNGs that decode to the source
+    pixels; the fake-header rung keeps working alongside (mixed input)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.functions import media as m
+    from searchengine_ray.pipelines.multimodal import make_media_payload
+
+    frames = [
+        ((np.arange(4 * 4 * 3) + 7 * f) % 256).astype(np.uint8).reshape(4, 4, 3)
+        for f in range(5)
+    ]
+    vid = m.encode_video(frames, fps=10)
+    fake = make_media_payload(2, 8, 8, 25, bytes(range(200)))  # KIND_VIDEO fake
+    ds = rd.from_arrow(
+        pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([vid, fake], pa.binary())})
+    )
+    out = sample_frames(ds, stride=2).to_pandas().sort_values(["media_id", "frame_idx"])
+    real = out[out.media_id == 1]
+    assert list(real.frame_idx) == [0, 2, 4]
+    for _, r in real.iterrows():
+        assert vid[int(r.frame_off) : int(r.frame_off) + int(r.frame_len)] == r.frame
+        assert (m.decode_video_frame(r.frame) == frames[int(r.frame_idx)]).all()
+    fake_rows = out[out.media_id == 2]
+    assert list(fake_rows.frame_idx) == list(range(0, 25, 2))

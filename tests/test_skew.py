@@ -83,3 +83,28 @@ def test_doc_length_skew(tmp_path, ray_session):
     specs = make_term_specs(vocab[0], lex, index.n_docs, (FIELD_BODY,), "bm25")
     docs, scores = index.topk(specs, 5)
     assert len(docs) > 0 and np.isfinite(scores).all()
+
+
+def test_hot_term_90pct(tmp_path, ray_session):
+    """Round-4 regression twin of scripts/skew_stress.py: one term with
+    tf=20 in 90% of docs (measured at 1M docs: spread ±1.4%, BASELINE.md).
+    At this scale (10k docs, P=8) hash noise dominates the skew itself;
+    ±10% bounds it with margin while still failing hard if the layout ever
+    regresses to term-partitioning (hot partition would be ~5x mean)."""
+    g = np.random.default_rng(11)
+    L = "abcdefghijklmnopqrstuvwxyz"
+    vocab = ["w" + L[j // 676] + L[(j // 26) % 26] + L[j % 26] for j in range(2000)]
+    rows = []
+    for i in range(10_000):
+        body = " ".join(g.choice(vocab, 12))
+        if i % 10 < 9:  # hot term in 90% of docs, tf=20
+            body = " ".join(["stopword"] * 20) + " " + body
+        html = f"<html><head><title>t{i}</title></head><body><p>{body}</p></body></html>"
+        rows.append((f"u://{i}", html, f"t{i}\n{body}\n"))
+    pq.write_table(_pages(rows), str(tmp_path / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    m = build_index(str(tmp_path), idx, BuildConfig(num_partitions=8), source="pages")
+    seg = m["segments"]
+    mean = seg["n_postings"] / seg["n_parts_built"]
+    assert seg["max_part_postings"] < 1.10 * mean, seg
+    assert seg["min_part_postings"] > 0.90 * mean, seg
