@@ -543,6 +543,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recomputes the integer per-frame pixel stats from doc_id alone,
         # so a hash match proves the frame-level decode
         "media_video_stats": lambda sf: mm_ops.media_video_stats(sf),
+        # anchor-text aggregation (Anatomy §4.1): anchor terms credited to
+        # the link TARGET over the derived graph — top-3 per target by
+        # (anchor_cf desc, term asc); one coarse exchange, no edge table
+        "anchor_texts": lambda sf: graph_ops.anchor_texts(sf, k=4, topk=3),
+        # keyword-in-context snippets (SERP display primitive): token
+        # window around the first occurrence of each fixed term, per doc
+        "kwic_snippets": lambda sf: textops.kwic_snippets(sf),
         # --- long-green tail (hash-green driver rows in r01..r03) ---
         # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
         "lexicon": lambda sf: textops.lexicon(sf),
@@ -2175,6 +2182,38 @@ r3 AS (SELECT nd.doc_id AS node,
          SELECT ev.v AS node, sum(r2.r // 4)::BIGINT AS c
          FROM ev JOIN r2 ON r2.node = ev.u GROUP BY 1) s ON s.node = nd.doc_id)
 SELECT node AS doc_id, r AS rank_micro FROM r3
+""",
+        # anchor-text aggregation over the derived pagerank/hits graph:
+        # doc u's j-th out-edge (j=1..4) carries anchor term
+        # t[(j-1) % len(t) + 1] (1-based list index) toward
+        # v = ((u % 1000003) * ((u % 1000003) + j)) % N; edges to
+        # non-existent ids dropped; top-3 per target by (cf desc, term asc)
+        "anchor_texts": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_LIST_SQL} AS t FROM documents),
+n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT (((tokd.doc_id % 1000003) * ((tokd.doc_id % 1000003) + j.j))
+              % (SELECT c FROM n)) AS v,
+             t[(j.j - 1) % len(t) + 1] AS term
+      FROM tokd, (SELECT unnest(range(1, 5)) AS j) j
+      WHERE len(t) >= 1),
+ev AS (SELECT e.v, e.term FROM e JOIN documents dv ON dv.doc_id = e.v),
+cnt AS (SELECT v AS doc_id, term, count(*)::BIGINT AS anchor_cf
+        FROM ev GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY anchor_cf DESC, term ASC) AS rk FROM cnt)
+SELECT doc_id, rk::BIGINT AS rank, term, anchor_cf FROM r WHERE rk <= 3
+""",
+        # KWIC snippets: 1-based first occurrence (list_position) and the
+        # inclusive [pos-2, pos+2] token window clipped to the doc
+        # (textops.kwic_snippets; terms fixed in KWIC_TERMS)
+        "kwic_snippets": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_LIST_SQL} AS t FROM documents),
+w(term_id, term) AS (VALUES {", ".join(f"({i}, '{w}')" for i, w in enumerate(textops.KWIC_TERMS))}),
+hit AS (SELECT w.term_id, tokd.doc_id, list_position(t, w.term) AS pos, t
+        FROM tokd, w WHERE list_position(t, w.term) > 0)
+SELECT term_id::BIGINT AS term_id, doc_id, pos::BIGINT AS pos,
+  array_to_string(t[greatest(1, pos - 2):(pos + 2)], ' ') AS snippet
+FROM hit
 """,
         # autocomplete: top-5 completions per fixed prefix by (cf desc,
         # term asc) over the lexicon (pipelines/textops.suggest_terms)

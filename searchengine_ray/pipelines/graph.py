@@ -453,3 +453,142 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
         )
 
     return state.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anchor_texts(sf_dir: str, k: int = 4, topk: int = 3) -> rd.Dataset:
+    """(doc_id, rank, term, anchor_cf) — anchor-text aggregation, the
+    Anatomy paper's §4.1 signal the reference never built: terms of anchor
+    snippets are credited to the link TARGET and aggregated per target,
+    yielding the "anchor field" a web index scores alongside title/body.
+
+    Derived-graph contract (same arithmetic edges as pagerank/hits, so the
+    DuckDB oracle recomputes everything from doc_id alone): doc u with
+    kept-token list T (len L >= 1) emits, for j = 1..k, an anchor term
+    T[(j-1) % L] toward target v_j = (h*(h+j)) % N, h = u % 1000003.
+    Edges to non-existent doc ids are dropped. Output: the top-`topk`
+    anchor terms per target by (anchor_cf desc, term asc), rank 1-based;
+    targets with no in-links are absent.
+
+    Scale shape (one exchange, no edge table): each docs batch GENERATES
+    its anchor rows plus one marker row per doc inside map_batches; a
+    coarse target-bucket groupby co-locates each target's marker with its
+    inbound anchors; a vectorized run scan counts (target, term) pairs and
+    keeps the per-target top-k. Anchors to non-nodes die in the scan —
+    identical discipline to pagerank's reduce."""
+    from ..functions.tokenize import tokenize_flat
+
+    n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
+
+    _S = pa.schema(
+        [("node", pa.int64()), ("term", pa.string()), ("is_node", pa.bool_())]
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _S.empty_table()
+        u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        n = t.num_rows
+        L = (
+            np.bincount(parents, minlength=n).astype(np.int64)
+            if len(parents)
+            else np.zeros(n, np.int64)
+        )
+        starts = np.concatenate(([0], np.cumsum(L)[:-1]))
+        has = np.flatnonzero(L > 0)
+        h = u % 1000003
+        tgt_parts, term_idx_parts = [], []
+        for j in range(1, k + 1):
+            tgt_parts.append((h[has] * (h[has] + j)) % n_docs)
+            term_idx_parts.append(starts[has] + ((j - 1) % L[has]))
+        nodes = np.concatenate([u] + tgt_parts)
+        is_node = np.concatenate(
+            [np.ones(n, bool), np.zeros(len(has) * k, bool)]
+        )
+        if len(has):
+            anchor_terms = tokens.take(
+                pa.array(np.concatenate(term_idx_parts), pa.int64())
+            )
+            terms = pa.concat_arrays(
+                [pa.nulls(n, pa.string()), anchor_terms.combine_chunks()
+                 if isinstance(anchor_terms, pa.ChunkedArray) else anchor_terms]
+            )
+        else:
+            terms = pa.nulls(n, pa.string())
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "term": terms,
+                "is_node": pa.array(is_node, pa.bool_()),
+            }
+        )
+
+    def node_bucket(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        b = (node.view(np.uint64) % np.uint64(N_NODE_BUCKETS)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("term", pa.string()),
+            ("anchor_cf", pa.int64()),
+        ]
+    )
+
+    def reduce_anchors(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        isn = group.column("is_node").to_numpy(zero_copy_only=False)
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        terms[isn] = ""  # marker rows carry no term
+        # which nodes exist (have a marker)?
+        order = np.argsort(node, kind="stable")
+        node_s, isn_s = node[order], isn[order]
+        new = np.r_[True, node_s[1:] != node_s[:-1]]
+        run_id = np.cumsum(new) - 1
+        exists = np.zeros(int(run_id[-1]) + 1, bool)
+        np.logical_or.at(exists, run_id, isn_s)
+        alive_nodes = node_s[new][exists]
+        # anchor rows toward existing nodes only
+        am = ~isn & np.isin(node, alive_nodes)
+        if not am.any():
+            return _O.empty_table()
+        a_node, a_term = node[am], terms[am]
+        o2 = np.lexsort((a_term, a_node))
+        a_node, a_term = a_node[o2], a_term[o2]
+        pnew = np.r_[True, (a_node[1:] != a_node[:-1]) | (a_term[1:] != a_term[:-1])]
+        pstart = np.flatnonzero(pnew)
+        cnt = np.diff(np.append(pstart, len(a_node)))
+        p_node, p_term = a_node[pstart], a_term[pstart]
+        # per-target top-k by (cnt desc, term asc)
+        o3 = np.lexsort((p_term, -cnt, p_node))
+        p_node, p_term, cnt = p_node[o3], p_term[o3], cnt[o3]
+        tnew = np.r_[True, p_node[1:] != p_node[:-1]]
+        tstart = np.flatnonzero(tnew)
+        rank = (
+            np.arange(len(p_node))
+            - np.repeat(tstart, np.diff(np.append(tstart, len(p_node))))
+            + 1
+        )
+        keep = rank <= topk
+        return pa.table(
+            {
+                "doc_id": pa.array(p_node[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "term": pa.array(p_term[keep], pa.string()),
+                "anchor_cf": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(reduce_anchors, batch_format="pyarrow")
+    )

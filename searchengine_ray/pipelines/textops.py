@@ -846,3 +846,75 @@ def split_assign(
     return read_documents(sf_dir, columns=["doc_id"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+KWIC_TERMS = ("data", "search", "query", "table")
+
+
+def kwic_snippets(
+    sf_dir: str,
+    terms: tuple[str, ...] = KWIC_TERMS,
+    before: int = 2,
+    after: int = 2,
+) -> rd.Dataset:
+    """(term_id, doc_id, pos, snippet) — keyword-in-context snippet
+    extraction, the SERP display primitive the reference's Engine lacks
+    (it renders titles only, Engine.cs:182-207): for each fixed term, every
+    doc containing it emits the token window around the FIRST occurrence,
+    inclusive [pos-before, pos+after] clipped to the doc, joined by ' '.
+    `pos` is the 1-based first-occurrence index (== SQL list_position).
+
+    Scale shape: one shuffle-free map_batches scan; the per-hit snippet
+    join is a Python loop bounded by HIT count (in production this op runs
+    over a top-k result set, not the corpus — here the corpus-wide scan is
+    what makes the SQL oracle total)."""
+    _O = pa.schema(
+        [
+            ("term_id", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("snippet", pa.string()),
+        ]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _O.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        if len(parents) == 0:
+            return _O.empty_table()
+        n = t.num_rows
+        L = np.bincount(parents, minlength=n).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(L)[:-1]))
+        toks_np = np.asarray(tokens.to_pylist(), dtype=object)
+        out_tid, out_doc, out_pos, out_snip = [], [], [], []
+        for tid, term in enumerate(terms):
+            eq = pc.equal(tokens, term).to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(eq)
+            if len(idx) == 0:
+                continue
+            # first occurrence per doc: idx ascends, parents non-decreasing
+            hit_docs, first = np.unique(parents[idx], return_index=True)
+            flat = idx[first]
+            p0 = flat - starts[hit_docs]  # 0-based in-doc position
+            for d_row, f, p in zip(hit_docs, flat, p0):
+                lo = f - min(int(p), before)
+                hi = min(f + after + 1, starts[d_row] + L[d_row])
+                out_tid.append(tid)
+                out_doc.append(int(doc[d_row]))
+                out_pos.append(int(p) + 1)
+                out_snip.append(" ".join(toks_np[lo:hi]))
+        return pa.table(
+            {
+                "term_id": pa.array(out_tid, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "snippet": pa.array(out_snip, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

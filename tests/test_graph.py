@@ -92,3 +92,59 @@ def test_hits_matches_reference_loop(tmp_path, ray_session):
     # normalization: the best authority and best hub sit at exactly 1e6
     assert out["authority_micro"].max() == 1_000_000
     assert out["hub_micro"].max() == 1_000_000
+
+
+def test_anchor_texts_matches_reference_loop(tmp_path, ray_session):
+    """anchor_texts == a pure-Python evaluation of the derived-graph rule:
+    doc u's j-th edge carries anchor term T_u[(j-1) % L_u] to
+    v = (h*(h+j)) % n, h = u % 1000003; top-3 per target by
+    (count desc, term asc)."""
+    from collections import Counter, defaultdict
+
+    n = 9
+    texts = [
+        "alpha beta gamma",
+        "delta",
+        "",  # no tokens: out-edges carry no anchors
+        "echo foxtrot",
+        "golf golf hotel india",
+        "juliet kilo",
+        "lima",
+        "mike november oscar papa",
+        "quebec",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["t"] * n, pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    per_target = defaultdict(Counter)
+    for u, s in enumerate(texts):
+        toks = s.split()
+        if not toks:
+            continue
+        h = u % 1000003
+        for j in range(1, 5):
+            v = (h * (h + j)) % n
+            per_target[v][toks[(j - 1) % len(toks)]] += 1
+    want = []
+    for v, ctr in per_target.items():
+        ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (term, cf) in enumerate(ranked, 1):
+            want.append((v, rk, term, cf))
+    want.sort()
+
+    out = (
+        gp.anchor_texts(str(tmp_path), k=4, topk=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out.doc_id, out["rank"], out.term, out.anchor_cf))
+    assert got == want
