@@ -432,16 +432,32 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
             .map_groups(merge, batch_format="pyarrow")
         )
 
+    # Block-count discipline: merge_scores unions state with the sums side,
+    # so WITHOUT a coalesce the state's block count doubles every
+    # half-iteration (measured 64 -> 1024 blocks over 2 iterations, with
+    # per-block task overhead compounding to a 10x wall blowup per round).
+    # Repartitioning the state back to a fixed width before each
+    # materialize keeps every iteration the same cost.
+    _STATE_BLOCKS = 64
+
     for _ in range(iters):
         # authority update: inbound hub sums -> floor-normalize by the max
         asum = gather(state, "h", "fwd").materialize()
         amax = int(asum.max("s") or 0) if asum.count() else 0
-        state = merge_scores(state, asum, "a", amax).materialize()
+        state = (
+            merge_scores(state, asum, "a", amax)
+            .repartition(_STATE_BLOCKS)
+            .materialize()
+        )
 
         # hub update: outbound authority sums (reverse gather)
         hsum = gather_rev(state).materialize()
         hmax = int(hsum.max("s") or 0) if hsum.count() else 0
-        state = merge_scores(state, hsum, "h", hmax).materialize()
+        state = (
+            merge_scores(state, hsum, "h", hmax)
+            .repartition(_STATE_BLOCKS)
+            .materialize()
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
