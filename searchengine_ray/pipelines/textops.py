@@ -888,8 +888,7 @@ def kwic_snippets(
         n = t.num_rows
         L = np.bincount(parents, minlength=n).astype(np.int64)
         starts = np.concatenate(([0], np.cumsum(L)[:-1]))
-        toks_np = np.asarray(tokens.to_pylist(), dtype=object)
-        out_tid, out_doc, out_pos, out_snip = [], [], [], []
+        tid_p, doc_p, pos_p, lo_p, hi_p = [], [], [], [], []
         for tid, term in enumerate(terms):
             eq = pc.equal(tokens, term).to_numpy(zero_copy_only=False)
             idx = np.flatnonzero(eq)
@@ -899,19 +898,35 @@ def kwic_snippets(
             hit_docs, first = np.unique(parents[idx], return_index=True)
             flat = idx[first]
             p0 = flat - starts[hit_docs]  # 0-based in-doc position
-            for d_row, f, p in zip(hit_docs, flat, p0):
-                lo = f - min(int(p), before)
-                hi = min(f + after + 1, starts[d_row] + L[d_row])
-                out_tid.append(tid)
-                out_doc.append(int(doc[d_row]))
-                out_pos.append(int(p) + 1)
-                out_snip.append(" ".join(toks_np[lo:hi]))
+            tid_p.append(np.full(len(flat), tid, np.int64))
+            doc_p.append(doc[hit_docs])
+            pos_p.append(p0 + 1)
+            lo_p.append(flat - np.minimum(p0, before))
+            hi_p.append(np.minimum(flat + after + 1, starts[hit_docs] + L[hit_docs]))
+        if not tid_p:
+            return _O.empty_table()
+        lo = np.concatenate(lo_p)
+        hi = np.concatenate(hi_p)
+        # one Arrow take over all window positions, joined per window —
+        # never a Python materialization of the whole token stream
+        lens = hi - lo
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        flat_idx = np.repeat(lo, lens) + (
+            np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        )
+        window_toks = tokens.take(pa.array(flat_idx, pa.int64()))
+        windows = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            window_toks.combine_chunks()
+            if isinstance(window_toks, pa.ChunkedArray)
+            else window_toks,
+        )
         return pa.table(
             {
-                "term_id": pa.array(out_tid, pa.int64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "pos": pa.array(out_pos, pa.int64()),
-                "snippet": pa.array(out_snip, pa.string()),
+                "term_id": pa.array(np.concatenate(tid_p), pa.int64()),
+                "doc_id": pa.array(np.concatenate(doc_p), pa.int64()),
+                "pos": pa.array(np.concatenate(pos_p), pa.int64()),
+                "snippet": pc.binary_join(windows, " "),
             }
         )
 
