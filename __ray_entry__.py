@@ -550,6 +550,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyword-in-context snippets (SERP display primitive): token
         # window around the first occurrence of each fixed term, per doc
         "kwic_snippets": lambda sf: textops.kwic_snippets(sf),
+        # weekly retention cohorts (growth-analytics triangle): a user's
+        # cohort = the epoch-aligned week of their first event; each row
+        # counts distinct users active again at cohort + offset
+        "events_retention": lambda sf: event_ops.retention_cohorts(sf),
         # --- long-green tail (hash-green driver rows in r01..r03) ---
         # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
         "lexicon": lambda sf: textops.lexicon(sf),
@@ -2202,6 +2206,16 @@ cnt AS (SELECT v AS doc_id, term, count(*)::BIGINT AS anchor_cf
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY anchor_cf DESC, term ASC) AS rk FROM cnt)
 SELECT doc_id, rk::BIGINT AS rank, term, anchor_cf FROM r WHERE rk <= 3
+""",
+        # weekly retention cohorts: epoch-aligned weeks (us // 7d, the
+        # windowed_counts convention); cohort = min week per user
+        "events_retention": """
+WITH w AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts) // 604800000000) AS wk FROM events),
+c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+SELECT c.cohort AS cohort_week, (w.wk - c.cohort)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM w JOIN c USING (user_id) GROUP BY 1, 2
 """,
         # KWIC snippets: 1-based first occurrence (list_position) and the
         # inclusive [pos-2, pos+2] token window clipped to the doc

@@ -1018,3 +1018,82 @@ def props_stats(sf_dir: str) -> rd.Dataset:
         .groupby("event_type")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+_WEEK_US = np.int64(7 * 86400) * np.int64(1_000_000)
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """(cohort_week, week_offset, n_users) — weekly retention cohorts: a
+    user's cohort is the epoch-aligned week of their FIRST event
+    (week = epoch_us // 7d, the windowed_counts window convention); the
+    cohort's row at offset k counts the DISTINCT users active again in
+    cohort_week + k (offset 0 == cohort size). The classic growth-analytics
+    triangle, recomputable in SQL.
+
+    Scale shape (two exchanges, combiner-first): per-batch DISTINCT
+    (user, week) pairs -> coarse USER-bucket groupby co-locates each
+    user's weeks, dedupes them globally, takes min as the cohort and emits
+    ONE row per (user, offset) -> a native groupby-sum over
+    (cohort_week, week_offset) counts users (no second distinct needed —
+    step 2 already emits each user once per offset)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    _P = pa.schema([("user_id", pa.int64()), ("wk", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _P.empty_table()
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        user = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = us // _WEEK_US
+        # batch-local distinct (user, week)
+        order = np.lexsort((wk, user))
+        u_s, w_s = user[order], wk[order]
+        first = np.r_[True, (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[first], pa.int64()),
+                "wk": pa.array(w_s[first], pa.int64()),
+            }
+        )
+
+    def user_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = (u.view(np.uint64) % np.uint64(256)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    _C = pa.schema(
+        [("cohort_week", pa.int64()), ("week_offset", pa.int64()), ("n_p", pa.int64())]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _C.empty_table()
+        user = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = group.column("wk").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((wk, user))
+        user, wk = user[order], wk[order]
+        uniq = np.r_[True, (user[1:] != user[:-1]) | (wk[1:] != wk[:-1])]
+        user, wk = user[uniq], wk[uniq]  # global distinct (user, week)
+        new = np.r_[True, user[1:] != user[:-1]]
+        run_id = np.cumsum(new) - 1
+        cohort = wk[new][run_id]  # first (= min) week of each user's run
+        return pa.table(
+            {
+                "cohort_week": pa.array(cohort, pa.int64()),
+                "week_offset": pa.array(wk - cohort, pa.int64()),
+                "n_p": pa.array(np.ones(len(wk), np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        read_events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(user_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(_Sum("n_p", alias_name="n_users"))
+    )

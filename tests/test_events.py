@@ -266,3 +266,38 @@ def test_funnel_strictly_after_semantics(ray_session, tmp_path):
     assert out.loc[3, "steps_completed"] == 2 and out.loc[3, "t3_us"] == -1
     assert out.loc[4, "steps_completed"] == 2 and out.loc[4, "t1_us"] == base + 0
     assert out.loc[5, "steps_completed"] == 0 and out.loc[5, "t1_us"] == -1
+
+
+def test_retention_cohorts_crafted(tmp_path, ray_session):
+    """Weeks are epoch-aligned (us // 7d); cohort = user's min week; one
+    count per (user, offset) even with many events that week."""
+    from searchengine_ray.pipelines.events import retention_cohorts
+
+    WEEK = 7 * 86400 * 1_000_000
+    rows = [
+        # user 1: cohort week 0, active weeks 0, 1, 3 (two events in wk 1)
+        (1, 1, 10, "view", 0.0),
+        (2, 1, WEEK + 5, "view", 0.0),
+        (3, 1, WEEK + 99, "click", 0.0),
+        (4, 1, 3 * WEEK + 1, "view", 0.0),
+        # user 2: cohort week 1, active weeks 1 and 2
+        (5, 2, WEEK + 50, "view", 0.0),
+        (6, 2, 2 * WEEK + 50, "view", 0.0),
+        # user 3: cohort week 0 only
+        (7, 3, 20, "view", 0.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    out = (
+        retention_cohorts(d)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out.cohort_week, out.week_offset, out.n_users))
+    assert got == [
+        (0, 0, 2),  # users 1, 3
+        (0, 1, 1),  # user 1 back in week 1 (counted once)
+        (0, 3, 1),  # user 1 back in week 3
+        (1, 0, 1),  # user 2's cohort
+        (1, 1, 1),  # user 2 back in week 2
+    ]
