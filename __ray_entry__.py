@@ -1885,11 +1885,15 @@ lk AS (SELECT l_orderkey, count(*)::BIGINT AS n_items
 lh AS (SELECT l_orderkey, n_items,
               ('0x'||substr(md5(l_orderkey::VARCHAR),1,16))::UBIGINT AS hv
        FROM lk),
-probe AS (SELECT l_orderkey, n_items, count(*) AS hits
-          FROM lh CROSS JOIN js
-          JOIN bits b ON CAST((lh.hv >> (16 * j)) % 65536 AS BIGINT) = b.bit
-          GROUP BY 1, 2)
-SELECT l_orderkey, n_items FROM probe WHERE hits = 4
+probe AS (SELECT l_orderkey, n_items,
+                 CAST((hv >> 0)  % 65536 AS BIGINT) AS b0,
+                 CAST((hv >> 16) % 65536 AS BIGINT) AS b1,
+                 CAST((hv >> 32) % 65536 AS BIGINT) AS b2,
+                 CAST((hv >> 48) % 65536 AS BIGINT) AS b3
+          FROM lh)
+SELECT l_orderkey, n_items FROM probe
+WHERE b0 IN (SELECT bit FROM bits) AND b1 IN (SELECT bit FROM bits)
+  AND b2 IN (SELECT bit FROM bits) AND b3 IN (SELECT bit FROM bits)
 """,
         # Q1 pricing-summary shape: integer-cent exact sums (disc_price in
         # 1e-4-dollar units, charge in 1e-6); avgs round6 over the exact

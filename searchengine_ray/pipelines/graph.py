@@ -440,10 +440,18 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
     # materialize keeps every iteration the same cost.
     _STATE_BLOCKS = 64
 
+    def _safe_max(ds: rd.Dataset) -> int:
+        # one driver action instead of count()+max(); empty sums (empty
+        # corpus) normalize to 0
+        try:
+            return int(ds.max("s") or 0)
+        except ValueError:
+            return 0
+
     for _ in range(iters):
         # authority update: inbound hub sums -> floor-normalize by the max
         asum = gather(state, "h", "fwd").materialize()
-        amax = int(asum.max("s") or 0) if asum.count() else 0
+        amax = _safe_max(asum)
         state = (
             merge_scores(state, asum, "a", amax)
             .repartition(_STATE_BLOCKS)
@@ -452,7 +460,7 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
 
         # hub update: outbound authority sums (reverse gather)
         hsum = gather_rev(state).materialize()
-        hmax = int(hsum.max("s") or 0) if hsum.count() else 0
+        hmax = _safe_max(hsum)
         state = (
             merge_scores(state, hsum, "h", hmax)
             .repartition(_STATE_BLOCKS)
