@@ -554,6 +554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort = the epoch-aligned week of their first event; each row
         # counts distinct users active again at cohort + offset
         "events_retention": lambda sf: event_ops.retention_cohorts(sf),
+        # word2vec-style forward skip-gram co-occurrence counts within a
+        # 3-token window (bigram_counts is the d=1 special case)
+        "skipgram_counts": lambda sf: corpus_ops.skipgram_counts(sf, window=3, k=50),
         # --- long-green tail (hash-green driver rows in r01..r03) ---
         # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
         "lexicon": lambda sf: textops.lexicon(sf),
@@ -2210,6 +2213,17 @@ cnt AS (SELECT v AS doc_id, term, count(*)::BIGINT AS anchor_cf
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY anchor_cf DESC, term ASC) AS rk FROM cnt)
 SELECT doc_id, rk::BIGINT AS rank, term, anchor_cf FROM r WHERE rk <= 3
+""",
+        # forward skip-grams: ordered pairs (t[i], t[i+d]), d = 1..3,
+        # within one doc; counts aggregate over distances
+        "skipgram_counts": f"""
+WITH tokd AS (SELECT doc_id, {_TOKS_LIST_SQL} AS t FROM documents),
+td AS (SELECT t, dd FROM tokd,
+       (SELECT unnest(range(1, 4)) AS dd) d WHERE len(t) > dd),
+pg AS (SELECT t[s.i + 1] || ' ' || t[s.i + 1 + dd] AS pair
+       FROM td, LATERAL (SELECT unnest(range(len(t) - dd)) AS i) s)
+SELECT pair, count(*)::BIGINT AS count FROM pg GROUP BY 1
+ORDER BY count DESC, pair LIMIT 50
 """,
         # weekly retention cohorts: epoch-aligned weeks (us // 7d, the
         # windowed_counts convention); cohort = min week per user

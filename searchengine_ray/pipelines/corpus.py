@@ -879,3 +879,74 @@ def doc_entropy(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def skipgram_counts(sf_dir: str, window: int = 3, k: int = 50) -> rd.Dataset:
+    """Top-`k` forward skip-gram pairs within `window` tokens —
+    (pair, count) where pair = "left right" for every ordered token pair
+    (t[i], t[i+d]), d = 1..window, inside one document; count aggregates
+    over all distances. The word2vec-style co-occurrence counting
+    primitive (bigram_counts is the d=1 special case). Rank: (count desc,
+    pair asc).
+
+    Scale shape: per-batch partial counts (one row per distinct pair per
+    batch — the combiner bounds the exchange at co-occurrence-vocabulary
+    size, not token-occurrence size) -> one groupby sum -> per-block local
+    top-k caps the final sort at k x n_blocks rows."""
+    _P = pa.schema([("pair", pa.string()), ("c_p", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        parents, tokens = tokenize_flat(t.column("text").combine_chunks())
+        n = len(tokens)
+        if n < 2:
+            return _P.empty_table()
+        parts = []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            ok = parents[:-d] == parents[d:]
+            if not ok.any():
+                continue
+            parts.append(
+                pc.binary_join_element_wise(
+                    tokens.slice(0, n - d).filter(pa.array(ok)),
+                    tokens.slice(d).filter(pa.array(ok)),
+                    _NGRAM_SEP,
+                )
+            )
+        if not parts:
+            return _P.empty_table()
+        grams = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]
+        )
+        agg = pa.table({"pair": grams}).group_by("pair").aggregate([([], "count_all")])
+        return pa.table(
+            {"pair": agg.column("pair"), "c_p": agg.column("count_all").cast(pa.int64())}
+        )
+
+    counts = (
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .aggregate(Sum("c_p", alias_name="count"))
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("pair", pa.string()), ("count", pa.int64())]).empty_table()
+        c = t.column("count").to_numpy(zero_copy_only=False)
+        g = np.asarray(t.column("pair").to_pylist(), dtype=object)
+        order = np.lexsort((g, -c))[:k]
+        return pa.table(
+            {
+                "pair": pa.array(g[order], pa.string()),
+                "count": pa.array(c[order], pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["count", "pair"], descending=[True, False])
+        .limit(k)
+    )

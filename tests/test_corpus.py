@@ -260,3 +260,19 @@ def test_vocab_budget_fallbacks_equivalent(tmp_path, ray_session):
         b = b[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert len(a) > 0, name
+
+
+def test_skipgram_counts_crafted(tmp_path, ray_session):
+    """Forward window-3 pairs: 'a b c d' yields d=1: ab,bc,cd; d=2: ac,bd;
+    d=3: ad. Counts aggregate over distances; doc boundaries respected."""
+    rows = [(1, "a b c d"), (2, "a b")]
+    d = _write_documents(tmp_path, rows)
+    out = corpus.skipgram_counts(d, window=3, k=50).to_pandas()
+    got = dict(zip(out["pair"], out["count"]))
+    assert got == {
+        "a b": 2,  # doc1 d=1 + doc2 d=1
+        "b c": 1, "c d": 1, "a c": 1, "b d": 1, "a d": 1,
+    }
+    # ordering: count desc then pair asc
+    assert list(out["pair"])[0] == "a b"
+    assert list(out["pair"])[1:] == sorted(list(out["pair"])[1:])
