@@ -153,21 +153,25 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
     sums are order-independent integer adds; the SQL oracle unrolls the
     same iterations bit-for-bit.
 
-    Scale shape: two coarse exchanges per iteration (authority gather on
-    the target node, hub gather back on the source node); edges are
-    arithmetic, so each side regenerates its contributions in map_batches
-    — no edge table, same discipline as pagerank. The max() for the floor
-    normalization is one scalar aggregate per half-iteration."""
+    Scale shape (round 4, fused): THREE coarse exchanges per iteration —
+    one for the forward (authority) gather, two for the reverse (hub)
+    gather — instead of the earlier five. Each state row GENERATES its
+    contribution/probe rows inside the same map_batches that re-emits the
+    row itself, so state and sums meet in ONE groupby per hop (no
+    state-vs-sums union, hence no block-count growth); normalization is a
+    shuffle-free map after the scalar max. Edges stay arithmetic — never
+    stored."""
     n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
 
     def init(t: pa.Table) -> pa.Table:
         cap_worker_threads()
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
         return pa.table(
             {
                 "node": pa.array(ids, pa.int64()),
-                "h": pa.array(np.full(len(ids), _R0, np.int64), pa.int64()),
-                "a": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "h": pa.array(np.full(n, _R0, np.int64), pa.int64()),
+                "a": pa.array(np.zeros(n, np.int64), pa.int64()),
             }
         )
 
@@ -175,159 +179,178 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
         hh = u % 1000003
         return [(hh * (hh + j)) % n_docs for j in range(1, k + 1)]
 
-    _S = pa.schema([("node", pa.int64()), ("contrib", pa.int64()), ("is_node", pa.bool_())])
-
     def node_bucket(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy(zero_copy_only=False)
         b = (node.view(np.uint64) % np.uint64(N_NODE_BUCKETS)).astype(np.int32)
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
-    def gather(state: rd.Dataset, src_col: str, direction: str) -> rd.Dataset:
-        """Sum src_col over edges into (direction='fwd': target node gets
-        source's value; 'rev': source node gets its targets' values)."""
+    # row tags through the fused exchanges: 0 = state row (h, a valid),
+    # 1 = contribution row (contrib valid), 2 = reverse probe (back valid)
+    _M = pa.schema(
+        [
+            ("node", pa.int64()),
+            ("h", pa.int64()),
+            ("a", pa.int64()),
+            ("contrib", pa.int64()),
+            ("back", pa.int64()),
+            ("tag", pa.int8()),
+        ]
+    )
+    _SUM = pa.schema(
+        [("node", pa.int64()), ("h", pa.int64()), ("a", pa.int64()), ("s", pa.int64())]
+    )
 
-        def spread(t: pa.Table) -> pa.Table:
-            cap_worker_threads()
+    def _rows(u, hh, aa, nodes, contrib, back, tag):
+        z = np.zeros(len(nodes), np.int64)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "h": pa.array(hh if hh is not None else z, pa.int64()),
+                "a": pa.array(aa if aa is not None else z, pa.int64()),
+                "contrib": pa.array(contrib if contrib is not None else z, pa.int64()),
+                "back": pa.array(back if back is not None else z, pa.int64()),
+                "tag": pa.array(np.full(len(nodes), tag, np.int8), pa.int8()),
+            }
+        )
+
+    def fwd_rows(t: pa.Table) -> pa.Table:
+        """state row -> itself (tag 0) + k contribution rows carrying h(u)
+        at each target (tag 1) — the whole forward gather in one emit."""
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _M.empty_table()
+        u = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        av = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        vs = out_edges(u)
+        state = _rows(u, hv, av, u, None, None, 0)
+        contribs = _rows(
+            None, None, None, np.concatenate(vs), np.tile(hv, k), None, 1
+        )
+        return pa.concat_tables([state, contribs])
+
+    def rev_probe_rows(t: pa.Table) -> pa.Table:
+        """state row -> itself (tag 0, keyed at its own node, a readable by
+        probes landing there) + k probe rows (node=v, back=u, tag 2)."""
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _M.empty_table()
+        u = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        av = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        vs = out_edges(u)
+        state = _rows(u, hv, av, u, None, None, 0)
+        probes = _rows(
+            None, None, None, np.concatenate(vs), None, np.tile(u, k), 2
+        )
+        return pa.concat_tables([state, probes])
+
+    def fuse_sum(group: pa.Table) -> pa.Table:
+        """one coarse group = many node runs; per run keep the state row's
+        (h, a) and sum tag-1 contributions; runs without a state row (sums
+        toward non-existent ids) die."""
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _SUM.empty_table()
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        hv = group.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        av = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = group.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        node, tag, hv, av, cv = node[order], tag[order], hv[order], av[order], cv[order]
+        new = np.r_[True, node[1:] != node[:-1]]
+        run_id = np.cumsum(new) - 1
+        n_runs = int(run_id[-1]) + 1
+        is_state = tag == 0
+        has_state = np.zeros(n_runs, bool)
+        has_state[run_id[is_state]] = True
+        h_run = np.zeros(n_runs, np.int64)
+        a_run = np.zeros(n_runs, np.int64)
+        h_run[run_id[is_state]] = hv[is_state]
+        a_run[run_id[is_state]] = av[is_state]
+        s_run = np.zeros(n_runs, np.int64)
+        is_c = tag == 1
+        np.add.at(s_run, run_id[is_c], cv[is_c])
+        keep = has_state
+        return pa.table(
+            {
+                "node": pa.array(node[new][keep], pa.int64()),
+                "h": pa.array(h_run[keep], pa.int64()),
+                "a": pa.array(a_run[keep], pa.int64()),
+                "s": pa.array(s_run[keep], pa.int64()),
+            }
+        )
+
+    def rev_route(group: pa.Table) -> pa.Table:
+        """per v run: forward a(v) back to each probe's source (tag-1 rows
+        keyed by u) and PASS THE STATE ROWS THROUGH unchanged — they meet
+        their own inbound contributions in the second exchange."""
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _M.empty_table()
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        hv = group.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        av = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = group.column("back").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        node, tag, hv, av, bk = node[order], tag[order], hv[order], av[order], bk[order]
+        new = np.r_[True, node[1:] != node[:-1]]
+        run_id = np.cumsum(new) - 1
+        n_runs = int(run_id[-1]) + 1
+        is_state = tag == 0
+        a_of_run = np.zeros(n_runs, np.int64)
+        a_of_run[run_id[is_state]] = av[is_state]
+        has_state = np.zeros(n_runs, bool)
+        has_state[run_id[is_state]] = True
+        is_probe = tag == 2
+        # probes toward non-existent v contribute 0 (has_state gate)
+        val = np.where(
+            has_state[run_id[is_probe]], a_of_run[run_id[is_probe]], 0
+        ).astype(np.int64)
+        state_part = _rows(
+            None, hv[is_state], av[is_state], node[is_state], None, None, 0
+        )
+        contrib_part = _rows(None, None, None, bk[is_probe], val, None, 1)
+        return pa.concat_tables([state_part, contrib_part])
+
+    def _safe_max(ds: rd.Dataset) -> int:
+        # one driver action; empty sums (empty corpus) normalize to 0
+        try:
+            return int(ds.max("s") or 0)
+        except ValueError:
+            return 0
+
+    def normalize(col: str, mx: int):
+        def fn(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
-                return _S.empty_table()
-            u = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            val = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            vs = out_edges(u)
-            if direction == "fwd":  # u's value lands on each target v
-                nodes = np.concatenate([u] + vs)
-                vals = np.concatenate([val] + [val] * k)
-            else:  # each target's value lands back on u: emit probe rows
-                # keyed by v carrying u so the reduce can route? Instead:
-                # rev gather = fwd gather over the REVERSED edge set, which
-                # is not arithmetic. Ship (v -> u, value-of-v) by first
-                # materializing v's value at v (the caller passes the
-                # a-updated state), then re-emitting from v is impossible
-                # without the reverse map — so rev is implemented as: u
-                # emits k PROBE rows (node=v, contrib=0) plus its marker,
-                # and the reduce returns per-u sums via a second exchange.
-                raise AssertionError("rev handled by gather_rev")
-            is_node = np.concatenate([np.ones(len(u), bool), np.zeros(len(u) * k, bool)])
-            return pa.table(
-                {
-                    "node": pa.array(nodes, pa.int64()),
-                    "contrib": pa.array(vals, pa.int64()),
-                    "is_node": pa.array(is_node, pa.bool_()),
-                }
-            )
+                return pa.schema(
+                    [("node", pa.int64()), ("h", pa.int64()), ("a", pa.int64())]
+                ).empty_table()
+            s_run = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not mx:
+                val = np.zeros(len(s_run), np.int64)
+            elif int(s_run.max(initial=0)) <= (2**63 - 1) // _R0:
+                val = s_run * np.int64(_R0) // np.int64(mx)
+            else:
+                # hub-skewed graphs can push s * _R0 past int64 (the DuckDB
+                # oracle computes this in HUGEINT); exact Python-int
+                # division only at that boundary (round-3 ADVICE)
+                val = np.fromiter(
+                    (int(x) * _R0 // mx for x in s_run),
+                    dtype=np.int64,
+                    count=len(s_run),
+                )
+            cols = {
+                "node": t.column("node"),
+                "h": t.column("h"),
+                "a": t.column("a"),
+            }
+            cols[col] = pa.array(val, pa.int64())
+            return pa.table(cols)
 
-        def reduce_sum(group: pa.Table) -> pa.Table:
-            cap_worker_threads()
-            if group.num_rows == 0:
-                return pa.schema([("node", pa.int64()), ("s", pa.int64())]).empty_table()
-            node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            c = group.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
-            isn = group.column("is_node").to_numpy(zero_copy_only=False)
-            order = np.argsort(node, kind="stable")
-            node, c, isn = node[order], c[order], isn[order]
-            new = np.r_[True, node[1:] != node[:-1]]
-            run_id = np.cumsum(new) - 1
-            n_runs = int(run_id[-1]) + 1
-            has_node = np.zeros(n_runs, bool)
-            np.logical_or.at(has_node, run_id, isn)
-            s = np.zeros(n_runs, np.int64)
-            np.add.at(s, run_id[~isn], c[~isn])
-            # marker rows contribute 0 here (they carry the node's OWN
-            # value in `contrib`, excluded from the inbound sum)
-            return pa.table(
-                {
-                    "node": pa.array(node[new][has_node], pa.int64()),
-                    "s": pa.array(s[has_node], pa.int64()),
-                }
-            )
-
-        return (
-            state.map_batches(spread, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(reduce_sum, batch_format="pyarrow")
-        )
-
-    def gather_rev(state: rd.Dataset) -> rd.Dataset:
-        """h'(u) = Σ_{u→v} a(v): each node emits one row per OUT-edge keyed
-        by the TARGET (carrying u), plus its own a-value marker at itself;
-        the reduce joins them per target run and re-emits (u, a(v)) rows,
-        which a second coarse exchange sums per u."""
-        _P = pa.schema(
-            [("node", pa.int64()), ("back", pa.int64()), ("a", pa.int64())]
-        )
-
-        def probes(t: pa.Table) -> pa.Table:
-            cap_worker_threads()
-            if t.num_rows == 0:
-                return _P.empty_table()
-            u = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            av = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-            vs = out_edges(u)
-            nodes = np.concatenate([u] + vs)
-            back = np.concatenate([np.full(len(u), -1, np.int64)] + [u] * k)
-            aa = np.concatenate([av] + [np.zeros(len(u), np.int64)] * k)
-            return pa.table(
-                {
-                    "node": pa.array(nodes, pa.int64()),
-                    "back": pa.array(back, pa.int64()),
-                    "a": pa.array(aa, pa.int64()),
-                }
-            )
-
-        def route(group: pa.Table) -> pa.Table:
-            cap_worker_threads()
-            if group.num_rows == 0:
-                return pa.schema([("node", pa.int64()), ("contrib", pa.int64()), ("is_node", pa.bool_())]).empty_table()
-            node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            back = group.column("back").to_numpy(zero_copy_only=False).astype(np.int64)
-            av = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.argsort(node, kind="stable")
-            node, back, av = node[order], back[order], av[order]
-            new = np.r_[True, node[1:] != node[:-1]]
-            run_id = np.cumsum(new) - 1
-            n_runs = int(run_id[-1]) + 1
-            own = back == -1
-            a_of_run = np.zeros(n_runs, np.int64)
-            a_of_run[run_id[own]] = av[own]
-            has_node = np.zeros(n_runs, bool)
-            has_node[run_id[own]] = True
-            probes_m = ~own
-            # each probe (v, u) becomes (u, a(v)); probes at non-existent v
-            # get a(v)=0 via has_node gate
-            val = np.where(has_node[run_id[probes_m]], a_of_run[run_id[probes_m]], 0)
-            return pa.table(
-                {
-                    "node": pa.array(back[probes_m], pa.int64()),
-                    "contrib": pa.array(val, pa.int64()),
-                    "is_node": pa.array(np.zeros(int(probes_m.sum()), bool), pa.bool_()),
-                }
-            )
-
-        def reduce_sum(group: pa.Table) -> pa.Table:
-            cap_worker_threads()
-            if group.num_rows == 0:
-                return pa.schema([("node", pa.int64()), ("s", pa.int64())]).empty_table()
-            node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            c = group.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.argsort(node, kind="stable")
-            node, c = node[order], c[order]
-            new = np.r_[True, node[1:] != node[:-1]]
-            run_id = np.cumsum(new) - 1
-            s = np.zeros(int(run_id[-1]) + 1, np.int64)
-            np.add.at(s, run_id, c)
-            return pa.table(
-                {"node": pa.array(node[new], pa.int64()), "s": pa.array(s, pa.int64())}
-            )
-
-        return (
-            state.map_batches(probes, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(route, batch_format="pyarrow")
-            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(reduce_sum, batch_format="pyarrow")
-        )
+        return fn
 
     state = (
         read_documents(sf_dir, columns=["doc_id"])
@@ -335,137 +358,38 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
         .materialize()
     )
 
-    _U = pa.schema(
-        [
-            ("node", pa.int64()),
-            ("h", pa.int64()),
-            ("a", pa.int64()),
-            ("s", pa.int64()),
-            ("is_state", pa.bool_()),
-        ]
-    )
-
-    def merge_scores(st: rd.Dataset, sums: rd.Dataset, col: str, mx: int) -> rd.Dataset:
-        """Distributed: new state with `col` = floor(s * 1e6 / mx) joined
-        from the sums side (0 where absent) — a coarse-bucket union +
-        run-scan merge; NO per-node driver state (only the scalar max
-        crossed the driver)."""
-
-        def tag_state(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": t.column("node"),
-                    "h": t.column("h"),
-                    "a": t.column("a"),
-                    "s": pa.nulls(t.num_rows, pa.int64()),
-                    "is_state": pa.array(np.ones(t.num_rows, bool), pa.bool_()),
-                }
-            )
-
-        def tag_sums(t: pa.Table) -> pa.Table:
-            z = pa.nulls(t.num_rows, pa.int64())
-            return pa.table(
-                {
-                    "node": t.column("node"),
-                    "h": z,
-                    "a": z,
-                    "s": t.column("s"),
-                    "is_state": pa.array(np.zeros(t.num_rows, bool), pa.bool_()),
-                }
-            )
-
-        def merge(group: pa.Table) -> pa.Table:
-            cap_worker_threads()
-            out_schema = pa.schema(
-                [("node", pa.int64()), ("h", pa.int64()), ("a", pa.int64())]
-            )
-            if group.num_rows == 0:
-                return out_schema.empty_table()
-            node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            isn = group.column("is_state").to_numpy(zero_copy_only=False)
-            hv = group.column("h").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            av = group.column("a").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            sv = group.column("s").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.argsort(node, kind="stable")
-            node, isn, hv, av, sv = node[order], isn[order], hv[order], av[order], sv[order]
-            new = np.r_[True, node[1:] != node[:-1]]
-            run_id = np.cumsum(new) - 1
-            n_runs = int(run_id[-1]) + 1
-            has_state = np.zeros(n_runs, bool)
-            has_state[run_id[isn]] = True
-            h_run = np.zeros(n_runs, np.int64)
-            a_run = np.zeros(n_runs, np.int64)
-            h_run[run_id[isn]] = hv[isn]
-            a_run[run_id[isn]] = av[isn]
-            s_run = np.zeros(n_runs, np.int64)
-            np.add.at(s_run, run_id[~isn], sv[~isn])  # sums to non-nodes die below
-            if not mx:
-                val = np.zeros(n_runs, np.int64)
-            elif int(s_run.max(initial=0)) <= (2**63 - 1) // _R0:
-                val = s_run * np.int64(_R0) // np.int64(mx)
-            else:
-                # hub-skewed graphs can push s_run * _R0 past int64 (the
-                # DuckDB oracle computes this in HUGEINT); fall back to
-                # exact Python-int division only at that boundary
-                val = np.fromiter(
-                    (int(s) * _R0 // mx for s in s_run), dtype=np.int64, count=n_runs
-                )
-            if col == "a":
-                a_run = val
-            else:
-                h_run = val
-            keep = has_state
-            return pa.table(
-                {
-                    "node": pa.array(node[new][keep], pa.int64()),
-                    "h": pa.array(h_run[keep], pa.int64()),
-                    "a": pa.array(a_run[keep], pa.int64()),
-                }
-            )
-
-        tagged = st.map_batches(tag_state, batch_format="pyarrow", zero_copy_batch=True).union(
-            sums.map_batches(tag_sums, batch_format="pyarrow", zero_copy_batch=True)
-        )
-        return (
-            tagged.map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(merge, batch_format="pyarrow")
-        )
-
-    # Block-count discipline: merge_scores unions state with the sums side,
-    # so WITHOUT a coalesce the state's block count doubles every
-    # half-iteration (measured 64 -> 1024 blocks over 2 iterations, with
-    # per-block task overhead compounding to a 10x wall blowup per round).
-    # Repartitioning the state back to a fixed width before each
-    # materialize keeps every iteration the same cost.
-    _STATE_BLOCKS = 64
-
-    def _safe_max(ds: rd.Dataset) -> int:
-        # one driver action instead of count()+max(); empty sums (empty
-        # corpus) normalize to 0
-        try:
-            return int(ds.max("s") or 0)
-        except ValueError:
-            return 0
-
     for _ in range(iters):
-        # authority update: inbound hub sums -> floor-normalize by the max
-        asum = gather(state, "h", "fwd").materialize()
-        amax = _safe_max(asum)
-        state = (
-            merge_scores(state, asum, "a", amax)
-            .repartition(_STATE_BLOCKS)
+        # authority: ONE fused exchange (state + contributions), scalar
+        # max, shuffle-free normalize (materialized: chaining it lazily
+        # into the next pipeline measured SLOWER — the long fused graph
+        # schedules worse than two short ones on this executor).
+        asum = (
+            state.map_batches(fwd_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fuse_sum, batch_format="pyarrow")
             .materialize()
         )
+        state = asum.map_batches(
+            normalize("a", _safe_max(asum)), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
-        # hub update: outbound authority sums (reverse gather)
-        hsum = gather_rev(state).materialize()
-        hmax = _safe_max(hsum)
-        state = (
-            merge_scores(state, hsum, "h", hmax)
-            .repartition(_STATE_BLOCKS)
+        # hub: TWO exchanges (route a(v) back to u, then fuse per u)
+        hsum = (
+            state.map_batches(
+                rev_probe_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(rev_route, batch_format="pyarrow")
+            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fuse_sum, batch_format="pyarrow")
             .materialize()
         )
+        state = hsum.map_batches(
+            normalize("h", _safe_max(hsum)), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
