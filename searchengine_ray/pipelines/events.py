@@ -1036,7 +1036,13 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
     user's weeks, dedupes them globally, takes min as the cohort and emits
     ONE row per (user, offset) -> a native groupby-sum over
     (cohort_week, week_offset) counts users (no second distinct needed —
-    step 2 already emits each user once per offset)."""
+    step 2 already emits each user once per offset).
+
+    Timestamp contract: ts >= 0 (epoch-microsecond event logs). numpy's
+    `//` floors toward -inf while the SQL oracle's integer `/` truncates
+    toward zero, so a NEGATIVE (pre-1970) timestamp would bucket into a
+    different week than the oracle — same documented convention as
+    windowed_counts (round-4 ADVICE)."""
     from ray.data.aggregate import Sum as _Sum
 
     _P = pa.schema([("user_id", pa.int64()), ("wk", pa.int64())])
