@@ -446,118 +446,34 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver evaluates entries in INSERTION order and
-    # round 3 recorded rows for exactly the first 50 keys. So (round-3
-    # verdict ask #1) the 31 ops that still lack a driver-side correctness
-    # row lead the dict, followed by ops added or changed in round 4, then
-    # the long-green tail (all hash-green in CORRECTNESS_r01..r03).
+    # records rows for the first ~50 keys. Round-5 rotation (round-4 verdict
+    # ask #2): ops whose code CHANGED this round lead the dict, followed by
+    # the long-green tail (last certified r01–r03) so the core engine gets
+    # fresh rows under current code; the ops certified hash-green in r04
+    # under unchanged code come last. Union of r04+r05 rows covers all 88.
     return {
-        # --- batch-4/5/6 ops without a driver row yet (r03 stopped at 50) ---
-        # event ops (round 3, batch 2): banded range join, sliding windows,
-        # HyperLogLog distinct sketch (bit-exact deterministic contract)
-        "events_range_join": lambda sf: event_ops.range_join(sf),
-        "events_hopping": lambda sf: event_ops.hopping_counts(sf),
-        "events_distinct_hll": lambda sf: event_ops.distinct_hll(sf),
-        "events_rolling": lambda sf: event_ops.rolling_user_window(sf),
-        "events_pivot": lambda sf: event_ops.pivot_event_counts(sf),
-        # deterministic hash-based train/val/test assignment (documents)
-        "split_assign": lambda sf: textops.split_assign(sf),
-        # relational joins (round 3): native hash-shuffle Dataset.join for
-        # big x big, broadcast searchsorted lookup for big x small,
-        # left_anti for the NOT EXISTS shape — integer-cent money sums
-        "join_revenue_by_nation": lambda sf: join_ops.revenue_by_nation(sf),
-        "join_priority_revenue": lambda sf: join_ops.order_priority_revenue(sf),
-        "join_customers_no_orders": lambda sf: join_ops.customers_without_orders(sf),
-        # Bloom-filter semi-join: the broadcast-bitset filter primitive;
-        # false positives are part of the deterministic contract (the SQL
-        # oracle recomputes the same filter bit-for-bit)
-        "join_bloom_semi": lambda sf: join_ops.bloom_semi_join(sf),
-        # scan-aggregate / having-join-back report shapes (Q1/Q18 analogs)
-        "pricing_summary": lambda sf: join_ops.pricing_summary(sf),
-        "large_volume_orders": lambda sf: join_ops.large_volume_orders(sf),
-        # GROUPING SETS / ROLLUP over the Q1 aggregate (detail + per-flag
-        # subtotals + grand total from one combiner pass)
-        "pricing_rollup": lambda sf: join_ops.pricing_rollup(sf),
-        # cumulative window frame per customer (SUM OVER ... ROWS UNBOUNDED)
-        "running_totals": lambda sf: join_ops.running_totals(sf),
-        # exact COUNT(DISTINCT) per group via pair-combiner rows
-        "distinct_users_per_type": lambda sf: join_ops.distinct_users_per_type(sf),
-        # corpus statistics (round 3): Gopher-style repetition signals,
-        # LM-style n-gram counting, PMI collocations, per-doc TF-IDF —
-        # shuffle-free per-doc passes + vocab-sized partial-count groupbys
-        "repetition_scores": lambda sf: corpus_ops.repetition_scores(sf),
-        # training-shard export balance report (the export itself is a sink,
-        # tests/test_export.py: atomic per-shard writes, resume-skip,
-        # resumed == uninterrupted byte-for-byte)
-        "shard_stats": lambda sf: export_ops.shard_stats(sf, n_shards=8),
-        "ngram_counts": lambda sf: corpus_ops.ngram_counts(sf, k=50),
-        "bigram_pmi": lambda sf: corpus_ops.bigram_pmi(sf, min_count=5, k=50),
-        "tfidf_topk": lambda sf: corpus_ops.tfidf_topk(sf, k=5),
-        # per-doc unigram entropy (boilerplate signal) — zero-shuffle
-        "doc_entropy": lambda sf: corpus_ops.doc_entropy(sf),
-        # concat-and-chunk sequence packing: a global ordered prefix-sum
-        # as a two-phase bucket scan (pipelines/export.pack_sequences)
-        "pack_sequences": lambda sf: export_ops.pack_sequences(sf, seq_len=512),
-        # tokenizer export: frequency-ranked vocab ids with an
-        # order-sensitive positional checksum (full encoding pinned)
-        "tokenize_ids": lambda sf: export_ops.tokenize_ids(sf),
-        # distributed PageRank (integer micro-units, derived link graph):
-        # one coarse exchange per power iteration, edges never stored
-        "pagerank": lambda sf: graph_ops.pagerank(sf, iters=3, k=4),
-        # two-stage ranking: BM25 top-100 candidates re-ranked by
-        # bm25 x ln(1 + pagerank) — the Anatomy fusion, candidates-bounded
-        "bm25_pagerank_topk": lambda sf: _fused_pipeline(sf),
-        # query autocomplete: top-k lexicon completions per prefix by cf
-        "suggest_terms": lambda sf: textops.suggest_terms(sf),
-        # SERP diversification: <= DIVERSITY_CAP results per source domain
-        "bm25_diversified_topk": lambda sf: _diversified_pipeline(sf),
-        # long-doc chunking with overlap (RAG/context-window prep)
-        "chunk_spans": lambda sf: export_ops.chunk_spans(sf, chunk=128, overlap=16),
-        # deterministic source-weighted corpus mixing
-        "mix_corpus": lambda sf: textops.mix_corpus(sf),
-        # "did you mean": best levenshtein<=1 vocab term per query word
-        "spell_suggest": lambda sf: textops.spell_suggest(sf),
-        # HITS hubs/authorities (integer floor-normalized; two coarse
-        # exchanges per iteration, reverse gather without an edge table)
-        "hits_scores": lambda sf: graph_ops.hits(sf, iters=2, k=4),
-        # --- new in round 4 ---
-        # LSH-verification tier wired into the driver gate (r3 ask #10):
-        # exact n-gram Jaccard restricted to minhash-LSH candidate pairs
+        # --- changed in round 5 (re-certify under the driver window) ---
+        # LSH-verification tier: candidate doc-id allowlist now budget-
+        # guarded (VERIFY_ID_BUDGET; distributed doc-bucket semi-join above)
         "dedup_verify": lambda sf: dedup_ops.ngram_jaccard_verify(sf, threshold=0.5),
-        # SymSpell deletion-index spell path (r3 ask #8) — same output
-        # contract as spell_suggest, the web-vocab-scale candidate index
-        "spell_suggest_fast": lambda sf: textops.spell_suggest(sf, mode="symspell"),
-        # --- changed in round 4 (re-certify under the driver window) ---
-        # minhash shuffle now ships band keys only (16x payload cut, r3 #2)
+        # int64-offset assert + searchsorted membership guard in the est path
         "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
+        # accepts a Dataset allowlist for the >budget verify path
         "dedup_ngram_jaccard": lambda sf: dedup_ops.ngram_jaccard_pairs(sf, threshold=0.5),
-        # perplexity-style quality signal: mean unigram NLL per doc under
-        # the corpus's own unigram LM (integer-1e-6-nat exact sums);
-        # vocab broadcast now row-budgeted with a join fallback (r3 #4)
-        "unigram_logprob": lambda sf: corpus_ops.unigram_logprob(sf),
-        "media_frames": lambda sf: mm_ops.sample_frames(
-            mm_ops.media_dataset_from_documents(sf)
-        ).drop_columns(["frame"]),
-        # REAL video frame decode (round 4): formula-pixel motion-PNG
-        # containers per doc are walked and each sampled frame's PNG is
-        # fully decoded (functions/media.py — no pyav); the oracle
-        # recomputes the integer per-frame pixel stats from doc_id alone,
-        # so a hash match proves the frame-level decode
-        "media_video_stats": lambda sf: mm_ops.media_video_stats(sf),
-        # anchor-text aggregation (Anatomy §4.1): anchor terms credited to
-        # the link TARGET over the derived graph — top-3 per target by
-        # (anchor_cf desc, term asc); one coarse exchange, no edge table
+        # similar-document retrieval: query shingle table now built by a
+        # DISTRIBUTED scan (no driver-side corpus read; r4 verdict ask #1)
+        "similar_docs": lambda sf: dedup_ops.similar_docs(sf),
+        # benchmark decontamination: bench-shingle collect now budget-
+        # guarded with a distributed semi-join fallback (r4 verdict ask #3)
+        "decontaminate": lambda sf: dedup_ops.decontaminate(sf),
+        # HITS hubs/authorities (exchange count reworked this round)
+        "hits_scores": lambda sf: graph_ops.hits(sf, iters=2, k=4),
+        # anchor terms kept Arrow-native through the reduce (r4 ask #10)
         "anchor_texts": lambda sf: graph_ops.anchor_texts(sf, k=4, topk=3),
-        # keyword-in-context snippets (SERP display primitive): token
-        # window around the first occurrence of each fixed term, per doc
-        "kwic_snippets": lambda sf: textops.kwic_snippets(sf),
-        # weekly retention cohorts (growth-analytics triangle): a user's
-        # cohort = the epoch-aligned week of their first event; each row
-        # counts distinct users active again at cohort + offset
-        "events_retention": lambda sf: event_ops.retention_cohorts(sf),
-        # word2vec-style forward skip-gram co-occurrence counts within a
-        # 3-token window (bigram_counts is the d=1 special case)
-        "skipgram_counts": lambda sf: corpus_ops.skipgram_counts(sf, window=3, k=50),
-        # --- long-green tail (hash-green driver rows in r01..r03) ---
+        # as-of/range join machinery consolidated (r4 ask #8)
+        "events_asof_join": lambda sf: event_ops.asof_join(sf),
+        "events_range_join": lambda sf: event_ops.range_join(sf),
+        # --- long-green tail (last driver rows r01–r03): fresh re-cert ---
         # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
         "lexicon": lambda sf: textops.lexicon(sf),
         "doc_token_stats": lambda sf: textops.doc_token_stats(sf),
@@ -577,9 +493,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fields=(FIELD_BODY, FIELD_TITLE),
         ),
         "phrase_topk": lambda sf: _phrase_pipeline(sf),
-        # ordered proximity: <= PHRASE_SLOP extra tokens between words
-        # (NFA subset-construction matcher over stored positions)
-        "phrase_slop_topk": lambda sf: _phrase_pipeline(sf, slop=PHRASE_SLOP),
         # dedup suite
         "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
         "dedup_simhash": lambda sf: dedup_ops.simhash(sf),
@@ -594,15 +507,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duplicated-substring measurement (Lee et al. 2021 shape): frac of
         # token-5-gram windows occurring >= 2x corpus-wide, per doc
         "dedup_window_stats": lambda sf: dedup_ops.dup_window_stats(sf),
-        # benchmark decontamination: flag training docs sharing any token
-        # 5-gram with the (deterministic doc_id%97) benchmark subset
-        "decontaminate": lambda sf: dedup_ops.decontaminate(sf),
         # the POLICY half of substring dedup: strip every token covered by
         # a corpus-duplicated 5-gram window (ExactSubstr rule)
         "strip_dup_spans": lambda sf: dedup_ops.strip_dup_spans(sf),
-        # similar-document retrieval: top-5 by distinct-3-gram Jaccard for
-        # the doc_id%101 query set (search-side twin of the dedup pairs)
-        "similar_docs": lambda sf: dedup_ops.similar_docs(sf),
         # similarity search
         "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
         "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
@@ -618,7 +525,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream windowed shapes (events table)
         "events_windowed": lambda sf: event_ops.windowed_counts(sf),
         "events_sessions": lambda sf: event_ops.sessionize(sf),
-        "events_asof_join": lambda sf: event_ops.asof_join(sf),
         # ordered view->click->purchase conversion chain per user
         "events_funnel": lambda sf: event_ops.funnel(sf),
         # top-20 per-session event-type paths (path analysis)
@@ -635,10 +541,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality-weighted Bernoulli subsample (CCNet-style reweighting):
         # keep iff md5frac(doc_id) < min(1, n_tokens/64)
         "sample_weighted": lambda sf: textops.sample_weighted(sf),
-        # per-domain cap: the stratified sampler grouped by source
-        "cap_per_source": lambda sf: textops.sample_stratified(
-            sf, k=50, group_col="source"
-        ),
         "length_quantiles": lambda sf: textops.length_quantiles(sf),
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
@@ -656,6 +558,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
         # perceptual average-hash via the real PNG decode (integer-exact)
         "media_phash": lambda sf: mm_ops.media_phash(sf),
+        # ^-- the window boundary: 9 changed + 41 tail = the driver's 50.
+        # --- hash-green in r04 under unchanged code ---
+        # shared-code twins of in-window entries (same pipelines, params)
+        "phrase_slop_topk": lambda sf: _phrase_pipeline(sf, slop=PHRASE_SLOP),
+        "cap_per_source": lambda sf: textops.sample_stratified(
+            sf, k=50, group_col="source"
+        ),
+        # event ops: sliding windows, HyperLogLog sketch, pivot, rolling
+        "events_hopping": lambda sf: event_ops.hopping_counts(sf),
+        "events_distinct_hll": lambda sf: event_ops.distinct_hll(sf),
+        "events_rolling": lambda sf: event_ops.rolling_user_window(sf),
+        "events_pivot": lambda sf: event_ops.pivot_event_counts(sf),
+        # weekly retention cohorts (growth-analytics triangle)
+        "events_retention": lambda sf: event_ops.retention_cohorts(sf),
+        # deterministic hash-based train/val/test assignment (documents)
+        "split_assign": lambda sf: textops.split_assign(sf),
+        # relational joins: native hash-shuffle Dataset.join for big x big,
+        # broadcast searchsorted lookup for big x small, left_anti for the
+        # NOT EXISTS shape — integer-cent money sums
+        "join_revenue_by_nation": lambda sf: join_ops.revenue_by_nation(sf),
+        "join_priority_revenue": lambda sf: join_ops.order_priority_revenue(sf),
+        "join_customers_no_orders": lambda sf: join_ops.customers_without_orders(sf),
+        # Bloom-filter semi-join: the broadcast-bitset filter primitive;
+        # false positives are part of the deterministic contract
+        "join_bloom_semi": lambda sf: join_ops.bloom_semi_join(sf),
+        # scan-aggregate / having-join-back report shapes (Q1/Q18 analogs)
+        "pricing_summary": lambda sf: join_ops.pricing_summary(sf),
+        "large_volume_orders": lambda sf: join_ops.large_volume_orders(sf),
+        # GROUPING SETS / ROLLUP over the Q1 aggregate
+        "pricing_rollup": lambda sf: join_ops.pricing_rollup(sf),
+        # cumulative window frame per customer (SUM OVER ... ROWS UNBOUNDED)
+        "running_totals": lambda sf: join_ops.running_totals(sf),
+        # exact COUNT(DISTINCT) per group via pair-combiner rows
+        "distinct_users_per_type": lambda sf: join_ops.distinct_users_per_type(sf),
+        # corpus statistics: Gopher-style repetition signals, LM-style
+        # n-gram counting, PMI collocations, per-doc TF-IDF
+        "repetition_scores": lambda sf: corpus_ops.repetition_scores(sf),
+        "shard_stats": lambda sf: export_ops.shard_stats(sf, n_shards=8),
+        "ngram_counts": lambda sf: corpus_ops.ngram_counts(sf, k=50),
+        "bigram_pmi": lambda sf: corpus_ops.bigram_pmi(sf, min_count=5, k=50),
+        "tfidf_topk": lambda sf: corpus_ops.tfidf_topk(sf, k=5),
+        # per-doc unigram entropy (boilerplate signal) — zero-shuffle
+        "doc_entropy": lambda sf: corpus_ops.doc_entropy(sf),
+        # concat-and-chunk sequence packing: two-phase bucket prefix-sums
+        "pack_sequences": lambda sf: export_ops.pack_sequences(sf, seq_len=512),
+        # tokenizer export: frequency-ranked vocab ids, positional checksum
+        "tokenize_ids": lambda sf: export_ops.tokenize_ids(sf),
+        # distributed PageRank (integer micro-units, derived link graph):
+        # one coarse exchange per power iteration, edges never stored
+        "pagerank": lambda sf: graph_ops.pagerank(sf, iters=3, k=4),
+        # two-stage ranking: BM25 top-100 candidates re-ranked by
+        # bm25 x ln(1 + pagerank) — the Anatomy fusion, candidates-bounded
+        "bm25_pagerank_topk": lambda sf: _fused_pipeline(sf),
+        # query autocomplete: top-k lexicon completions per prefix by cf
+        "suggest_terms": lambda sf: textops.suggest_terms(sf),
+        # SERP diversification: <= DIVERSITY_CAP results per source domain
+        "bm25_diversified_topk": lambda sf: _diversified_pipeline(sf),
+        # long-doc chunking with overlap (RAG/context-window prep)
+        "chunk_spans": lambda sf: export_ops.chunk_spans(sf, chunk=128, overlap=16),
+        # deterministic source-weighted corpus mixing
+        "mix_corpus": lambda sf: textops.mix_corpus(sf),
+        # "did you mean": best levenshtein<=1 vocab term per query word
+        "spell_suggest": lambda sf: textops.spell_suggest(sf),
+        # SymSpell deletion-index spell path — same output contract
+        "spell_suggest_fast": lambda sf: textops.spell_suggest(sf, mode="symspell"),
+        # perplexity-style quality signal: mean unigram NLL per doc under
+        # the corpus's own unigram LM (integer-1e-6-nat exact sums)
+        "unigram_logprob": lambda sf: corpus_ops.unigram_logprob(sf),
+        "media_frames": lambda sf: mm_ops.sample_frames(
+            mm_ops.media_dataset_from_documents(sf)
+        ).drop_columns(["frame"]),
+        # REAL video frame decode (round 4): motion-PNG/JPEG containers are
+        # walked and each sampled frame fully decoded (functions/media.py);
+        # the oracle recomputes the integer per-frame pixel stats from
+        # doc_id alone, so a hash match proves the frame-level decode
+        "media_video_stats": lambda sf: mm_ops.media_video_stats(sf),
+        # keyword-in-context snippets (SERP display primitive)
+        "kwic_snippets": lambda sf: textops.kwic_snippets(sf),
+        # word2vec-style forward skip-gram co-occurrence counts within a
+        # 3-token window (bigram_counts is the d=1 special case)
+        "skipgram_counts": lambda sf: corpus_ops.skipgram_counts(sf, window=3, k=50),
     }
 
 
