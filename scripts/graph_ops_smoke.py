@@ -56,6 +56,16 @@ def main() -> None:
     assert n == N, (n, N)
 
     t0 = time.perf_counter()
+    n = _count(graph_ops.hits(d, iters=2, k=4))
+    out["hits_s"] = round(time.perf_counter() - t0, 2)
+    assert n == N, (n, N)
+
+    t0 = time.perf_counter()
+    n = _count(graph_ops.anchor_texts(d, k=4, topk=3))
+    out["anchor_texts_s"] = round(time.perf_counter() - t0, 2)
+    out["anchor_rows"] = n
+
+    t0 = time.perf_counter()
     n = _count(export_ops.pack_sequences(d, seq_len=2048))
     out["pack_sequences_s"] = round(time.perf_counter() - t0, 2)
     out["packed_docs"] = n

@@ -153,25 +153,37 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
     sums are order-independent integer adds; the SQL oracle unrolls the
     same iterations bit-for-bit.
 
-    Scale shape (round 4, fused): THREE coarse exchanges per iteration —
-    one for the forward (authority) gather, two for the reverse (hub)
-    gather — instead of the earlier five. Each state row GENERATES its
-    contribution/probe rows inside the same map_batches that re-emits the
-    row itself, so state and sums meet in ONE groupby per hop (no
-    state-vs-sums union, hence no block-count growth); normalization is a
-    shuffle-free map after the scalar max. Edges stay arithmetic — never
-    stored."""
+    Scale shape (round 5, fused to TWO coarse exchanges per iteration —
+    PageRank parity ×2, round-4 verdict ask #5): the forward contribution
+    row (h(u) delivered at v) and the reverse probe row (v asked to route
+    a(v) back to u) describe the SAME edge, so one edge row carries both
+    (node=v, contrib=h(u), back=u). Exchange 1 groups by v: sums a'(v)
+    AND emits one routed row (node=u, contrib=a'(v)) per inbound edge.
+    The a-normalization floor-div is applied PER ROUTED VALUE in exchange
+    2's map phase (a(v) = a'(v)·1e6 // max is per-v, so normalizing each
+    routed copy independently is bit-identical to normalizing at v).
+    Exchange 2 groups by u: h'(u) = Σ routed a(v). The h-normalization
+    floor-div folds into the NEXT iteration's emit map (state carries the
+    RAW hub sum s plus the driver-side scalar max; h(u) = s·1e6 // max is
+    computed once per node before tiling — bit-identical, one
+    materialization cheaper). Per iteration the exchanges move (k+1)·n
+    rows each — exactly 2× pagerank's volume — and the iteration does 2
+    materializations and 2 scalar driver reduces, nothing else. Edges stay
+    arithmetic — never stored."""
     n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
 
     def init(t: pa.Table) -> pa.Table:
+        # state between iterations: (node, a = normalized authority,
+        # s = RAW hub sum); h materializes lazily as _normdiv(s, hmx).
+        # s_0 = hmx_0 = 1e6 makes h_0 = 1_000_000 for every node.
         cap_worker_threads()
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
         return pa.table(
             {
                 "node": pa.array(ids, pa.int64()),
-                "h": pa.array(np.full(n, _R0, np.int64), pa.int64()),
                 "a": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "s": pa.array(np.full(n, _R0, np.int64), pa.int64()),
             }
         )
 
@@ -184,219 +196,231 @@ def hits(sf_dir: str, iters: int = 2, k: int = 4) -> rd.Dataset:
         b = (node.view(np.uint64) % np.uint64(N_NODE_BUCKETS)).astype(np.int32)
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
-    # row tags through the fused exchanges: 0 = state row (h, a valid),
-    # 1 = contribution row (contrib valid), 2 = reverse probe (back valid)
-    _M = pa.schema(
+    # exchange-1 rows: tag 0 = existence marker for u, tag 1 = edge row
+    # carrying BOTH the forward contribution (contrib=h(u) for v) and the
+    # reverse routing address (back=u) — one row per edge, not two; h(u)
+    # is consumed before the shuffle, so no h column crosses the wire
+    _E1 = pa.schema(
         [
             ("node", pa.int64()),
-            ("h", pa.int64()),
-            ("a", pa.int64()),
             ("contrib", pa.int64()),
             ("back", pa.int64()),
             ("tag", pa.int8()),
         ]
     )
+    # exchange-2 rows: tag 0 = new state at v (a = raw a'(v)), tag 1 =
+    # routed copy of a'(v) addressed to u (in contrib)
+    _E2 = pa.schema(
+        [
+            ("node", pa.int64()),
+            ("a", pa.int64()),
+            ("contrib", pa.int64()),
+            ("tag", pa.int8()),
+        ]
+    )
     _SUM = pa.schema(
-        [("node", pa.int64()), ("h", pa.int64()), ("a", pa.int64()), ("s", pa.int64())]
+        [("node", pa.int64()), ("a", pa.int64()), ("s", pa.int64())]
     )
 
-    def _rows(u, hh, aa, nodes, contrib, back, tag):
-        z = np.zeros(len(nodes), np.int64)
+    def edge_rows(hmx: int):
+        """state row -> existence marker (tag 0) + k edge rows (node=v,
+        contrib=h(u), back=u, tag 1) — forward gather AND reverse probe in
+        one emit. h(u) is derived HERE from the raw hub sum s(u) via the
+        normalization floor-div (once per node, then tiled — bit-identical
+        to a separate normalize pass, one materialization cheaper)."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            cap_worker_threads()
+            if t.num_rows == 0:
+                return _E1.empty_table()
+            u = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            sv = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            hv = _normdiv(sv, hmx)
+            vs = out_edges(u)
+            n = len(u)
+            z = np.zeros(n, np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([u] + vs), pa.int64()),
+                    "contrib": pa.array(
+                        np.concatenate([z, np.tile(hv, k)]), pa.int64()
+                    ),
+                    "back": pa.array(np.concatenate([z, np.tile(u, k)]), pa.int64()),
+                    "tag": pa.array(
+                        np.concatenate(
+                            [np.zeros(n, np.int8), np.ones(n * k, np.int8)]
+                        ),
+                        pa.int8(),
+                    ),
+                }
+            )
+
+        return fn
+
+    def fuse_fwd(group: pa.Table) -> pa.Table:
+        """per v run (runs without a state row die — edges toward
+        non-existent ids): a'(v) = Σ edge contribs; emit the new state row
+        (node=v, a=a'(v)) plus one routed row (node=back_u, contrib=a'(v))
+        per inbound edge."""
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _E2.empty_table()
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        cv = group.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = group.column("back").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        node, tag, cv, bk = node[order], tag[order], cv[order], bk[order]
+        new = np.r_[True, node[1:] != node[:-1]]
+        run_id = np.cumsum(new) - 1
+        n_runs = int(run_id[-1]) + 1
+        is_state = tag == 0
+        has_state = np.zeros(n_runs, bool)
+        has_state[run_id[is_state]] = True
+        a_run = np.zeros(n_runs, np.int64)
+        is_e = tag == 1
+        np.add.at(a_run, run_id[is_e], cv[is_e])
+        # new state rows for existing v
+        s_node = node[new][has_state]
+        s_a = a_run[has_state]
+        # routed rows: every edge row in a kept run carries a'(v) to its u
+        keep_e = is_e & has_state[run_id]
+        r_node = bk[keep_e]
+        r_val = a_run[run_id[keep_e]]
+        ns, nr = len(s_node), len(r_node)
         return pa.table(
             {
-                "node": pa.array(nodes, pa.int64()),
-                "h": pa.array(hh if hh is not None else z, pa.int64()),
-                "a": pa.array(aa if aa is not None else z, pa.int64()),
-                "contrib": pa.array(contrib if contrib is not None else z, pa.int64()),
-                "back": pa.array(back if back is not None else z, pa.int64()),
-                "tag": pa.array(np.full(len(nodes), tag, np.int8), pa.int8()),
+                "node": pa.array(np.concatenate([s_node, r_node]), pa.int64()),
+                "a": pa.array(
+                    np.concatenate([s_a, np.zeros(nr, np.int64)]), pa.int64()
+                ),
+                "contrib": pa.array(
+                    np.concatenate([np.zeros(ns, np.int64), r_val]), pa.int64()
+                ),
+                "tag": pa.array(
+                    np.concatenate([np.zeros(ns, np.int8), np.ones(nr, np.int8)]),
+                    pa.int8(),
+                ),
             }
         )
 
-    def fwd_rows(t: pa.Table) -> pa.Table:
-        """state row -> itself (tag 0) + k contribution rows carrying h(u)
-        at each target (tag 1) — the whole forward gather in one emit."""
-        cap_worker_threads()
-        if t.num_rows == 0:
-            return _M.empty_table()
-        u = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-        hv = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
-        av = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        vs = out_edges(u)
-        state = _rows(u, hv, av, u, None, None, 0)
-        contribs = _rows(
-            None, None, None, np.concatenate(vs), np.tile(hv, k), None, 1
+    def _normdiv(vals: np.ndarray, mx: int) -> np.ndarray:
+        """floor(v * 1e6 / mx) per element, exact at the int64 boundary
+        (hub-skewed sums can push v * _R0 past int64; the DuckDB oracle
+        computes this in HUGEINT — Python-int fallback, round-3 ADVICE)."""
+        if not mx:
+            return np.zeros(len(vals), np.int64)
+        if int(vals.max(initial=0)) <= (2**63 - 1) // _R0:
+            return vals * np.int64(_R0) // np.int64(mx)
+        return np.fromiter(
+            (int(x) * _R0 // mx for x in vals), dtype=np.int64, count=len(vals)
         )
-        return pa.concat_tables([state, contribs])
 
-    def rev_probe_rows(t: pa.Table) -> pa.Table:
-        """state row -> itself (tag 0, keyed at its own node, a readable by
-        probes landing there) + k probe rows (node=v, back=u, tag 2)."""
-        cap_worker_threads()
-        if t.num_rows == 0:
-            return _M.empty_table()
-        u = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-        hv = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
-        av = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        vs = out_edges(u)
-        state = _rows(u, hv, av, u, None, None, 0)
-        probes = _rows(
-            None, None, None, np.concatenate(vs), None, np.tile(u, k), 2
-        )
-        return pa.concat_tables([state, probes])
+    def norm_a(mx: int):
+        """normalize a'(v) -> a(v) on BOTH the state rows (a column) and
+        the routed copies (contrib column); per-copy floor-div is
+        bit-identical to normalizing once at v."""
 
-    def fuse_sum(group: pa.Table) -> pa.Table:
-        """one coarse group = many node runs; per run keep the state row's
-        (h, a) and sum tag-1 contributions; runs without a state row (sums
-        toward non-existent ids) die."""
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _E2.empty_table()
+            av = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            cv = t.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "a": pa.array(_normdiv(av, mx), pa.int64()),
+                    "contrib": pa.array(_normdiv(cv, mx), pa.int64()),
+                    "tag": t.column("tag"),
+                }
+            )
+
+        return fn
+
+    def fuse_rev(group: pa.Table) -> pa.Table:
+        """per u run: the state row keeps a(u); h'(u) = Σ routed a(v)."""
         cap_worker_threads()
         if group.num_rows == 0:
             return _SUM.empty_table()
         node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         tag = group.column("tag").to_numpy(zero_copy_only=False)
-        hv = group.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
         av = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         cv = group.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(node, kind="stable")
-        node, tag, hv, av, cv = node[order], tag[order], hv[order], av[order], cv[order]
+        node, tag, av, cv = node[order], tag[order], av[order], cv[order]
         new = np.r_[True, node[1:] != node[:-1]]
         run_id = np.cumsum(new) - 1
         n_runs = int(run_id[-1]) + 1
         is_state = tag == 0
         has_state = np.zeros(n_runs, bool)
         has_state[run_id[is_state]] = True
-        h_run = np.zeros(n_runs, np.int64)
         a_run = np.zeros(n_runs, np.int64)
-        h_run[run_id[is_state]] = hv[is_state]
         a_run[run_id[is_state]] = av[is_state]
         s_run = np.zeros(n_runs, np.int64)
-        is_c = tag == 1
-        np.add.at(s_run, run_id[is_c], cv[is_c])
-        keep = has_state
+        is_r = tag == 1
+        np.add.at(s_run, run_id[is_r], cv[is_r])
         return pa.table(
             {
-                "node": pa.array(node[new][keep], pa.int64()),
-                "h": pa.array(h_run[keep], pa.int64()),
-                "a": pa.array(a_run[keep], pa.int64()),
-                "s": pa.array(s_run[keep], pa.int64()),
+                "node": pa.array(node[new][has_state], pa.int64()),
+                "a": pa.array(a_run[has_state], pa.int64()),
+                "s": pa.array(s_run[has_state], pa.int64()),
             }
         )
 
-    def rev_route(group: pa.Table) -> pa.Table:
-        """per v run: forward a(v) back to each probe's source (tag-1 rows
-        keyed by u) and PASS THE STATE ROWS THROUGH unchanged — they meet
-        their own inbound contributions in the second exchange."""
-        cap_worker_threads()
-        if group.num_rows == 0:
-            return _M.empty_table()
-        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-        tag = group.column("tag").to_numpy(zero_copy_only=False)
-        hv = group.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
-        av = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        bk = group.column("back").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(node, kind="stable")
-        node, tag, hv, av, bk = node[order], tag[order], hv[order], av[order], bk[order]
-        new = np.r_[True, node[1:] != node[:-1]]
-        run_id = np.cumsum(new) - 1
-        n_runs = int(run_id[-1]) + 1
-        is_state = tag == 0
-        a_of_run = np.zeros(n_runs, np.int64)
-        a_of_run[run_id[is_state]] = av[is_state]
-        has_state = np.zeros(n_runs, bool)
-        has_state[run_id[is_state]] = True
-        is_probe = tag == 2
-        # probes toward non-existent v contribute 0 (has_state gate)
-        val = np.where(
-            has_state[run_id[is_probe]], a_of_run[run_id[is_probe]], 0
-        ).astype(np.int64)
-        state_part = _rows(
-            None, hv[is_state], av[is_state], node[is_state], None, None, 0
-        )
-        contrib_part = _rows(None, None, None, bk[is_probe], val, None, 1)
-        return pa.concat_tables([state_part, contrib_part])
-
-    def _safe_max(ds: rd.Dataset) -> int:
+    def _safe_max(ds: rd.Dataset, col: str) -> int:
         # one driver action; empty sums (empty corpus) normalize to 0
         try:
-            return int(ds.max("s") or 0)
+            return int(ds.max(col) or 0)
         except ValueError:
             return 0
-
-    def normalize(col: str, mx: int):
-        def fn(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.schema(
-                    [("node", pa.int64()), ("h", pa.int64()), ("a", pa.int64())]
-                ).empty_table()
-            s_run = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
-            if not mx:
-                val = np.zeros(len(s_run), np.int64)
-            elif int(s_run.max(initial=0)) <= (2**63 - 1) // _R0:
-                val = s_run * np.int64(_R0) // np.int64(mx)
-            else:
-                # hub-skewed graphs can push s * _R0 past int64 (the DuckDB
-                # oracle computes this in HUGEINT); exact Python-int
-                # division only at that boundary (round-3 ADVICE)
-                val = np.fromiter(
-                    (int(x) * _R0 // mx for x in s_run),
-                    dtype=np.int64,
-                    count=len(s_run),
-                )
-            cols = {
-                "node": t.column("node"),
-                "h": t.column("h"),
-                "a": t.column("a"),
-            }
-            cols[col] = pa.array(val, pa.int64())
-            return pa.table(cols)
-
-        return fn
 
     state = (
         read_documents(sf_dir, columns=["doc_id"])
         .map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
+    hmx = _R0  # s_0 = _R0 everywhere -> h_0 = 1e6
 
     for _ in range(iters):
-        # authority: ONE fused exchange (state + contributions), scalar
-        # max, shuffle-free normalize (materialized: chaining it lazily
-        # into the next pipeline measured SLOWER — the long fused graph
-        # schedules worse than two short ones on this executor).
-        asum = (
-            state.map_batches(fwd_rows, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(fuse_sum, batch_format="pyarrow")
-            .materialize()
-        )
-        state = asum.map_batches(
-            normalize("a", _safe_max(asum)), batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
-
-        # hub: TWO exchanges (route a(v) back to u, then fuse per u)
-        hsum = (
+        # exchange 1 (by v): raw authority sums + routed copies addressed
+        # to each source u (materialized: the scalar max is a driver
+        # action, and chaining lazily into the next exchange measured
+        # SLOWER — long fused graphs schedule worse on this executor)
+        ex1 = (
             state.map_batches(
-                rev_probe_rows, batch_format="pyarrow", zero_copy_batch=True
+                edge_rows(hmx), batch_format="pyarrow", zero_copy_batch=True
             )
             .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("bucket")
-            .map_groups(rev_route, batch_format="pyarrow")
-            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("bucket")
-            .map_groups(fuse_sum, batch_format="pyarrow")
+            .map_groups(fuse_fwd, batch_format="pyarrow")
             .materialize()
         )
-        state = hsum.map_batches(
-            normalize("h", _safe_max(hsum)), batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+        amx = _safe_max(ex1, "a")  # routed rows carry a=0, never the max
+        # exchange 2 (by u): normalize a on the fly, then fuse h sums
+        state = (
+            ex1.map_batches(norm_a(amx), batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fuse_rev, batch_format="pyarrow")
+            .materialize()
+        )
+        hmx = _safe_max(state, "s")
 
     def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("authority_micro", pa.int64()),
+                    ("hub_micro", pa.int64()),
+                ]
+            ).empty_table()
+        sv = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t.column("node"),
                 "authority_micro": t.column("a"),
-                "hub_micro": t.column("h"),
+                "hub_micro": pa.array(_normdiv(sv, hmx), pa.int64()),
             }
         )
 
