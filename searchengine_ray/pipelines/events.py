@@ -42,6 +42,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.runtime import cap_worker_threads
+from .exchange import coarse_bucket_apply, packed_user_ts_key
 
 WINDOW_S = 3600
 SESSION_GAP_S = 1800
@@ -164,19 +165,11 @@ def windowed_counts(sf_dir: str, window_s: int = WINDOW_S) -> rd.Dataset:
             ["window_id", "event_type", "user_id", "n_p", "cents_p"]
         )
 
-    def coarse(t: pa.Table) -> pa.Table:
-        win = t.column("window_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((win.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
-    return (
+    return coarse_bucket_apply(
         read_events(sf_dir, columns=["ts", "event_type", "user_id", "value"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(_finalize_window_cells, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "window_id",
+        _finalize_window_cells,
     )
 
 
@@ -219,18 +212,8 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
             }
         )
 
-    def coarse(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
-    return (
-        read_events(sf_dir, columns=["user_id", "ts"])
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(per_user, batch_format="pyarrow")
+    return coarse_bucket_apply(
+        read_events(sf_dir, columns=["user_id", "ts"]), "user_id", per_user
     )
 
 
@@ -244,6 +227,26 @@ _ASOF_SCHEMA = pa.schema(
 )
 
 
+def _lr_arrays(group: pa.Table, left_type: str, right_type: str):
+    """Type masks + column arrays shared by the as-of/range join kernels;
+    None when either side is empty in this bucket."""
+    typ = group.column("event_type")
+    is_l = pc.equal(typ, left_type).combine_chunks().to_numpy(zero_copy_only=False)
+    is_r = pc.equal(typ, right_type).combine_chunks().to_numpy(zero_copy_only=False)
+    if not is_l.any() or not is_r.any():
+        return None
+    user = group.column("user_id").to_numpy(zero_copy_only=False)
+    us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    return is_l, is_r, user, us, eid
+
+
+def _lr_events(sf_dir: str, left_type: str, right_type: str) -> rd.Dataset:
+    return read_events(
+        sf_dir, columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
+
+
 def asof_join(
     sf_dir: str, left_type: str = "click", right_type: str = "view"
 ) -> rd.Dataset:
@@ -255,39 +258,20 @@ def asof_join(
     coarse user-bucket shuffle + a vectorized per-group kernel — same
     partitioning discipline as sessionize: ONE groupby on `user_id % 64`,
     never a per-user group call. Within a group, rights are lexsorted by
-    (user, ts, id) and each left binary-searches a packed (user-rank, ts)
-    int64 key — no Python per-row loop.
-
-    Packing assumption (guarded): distinct users per bucket < 2^20 and the
-    group's ts span < 2^43 us (~278 years). At larger scale raise the
-    bucket count — the per-bucket invariant is what matters, not N.
+    (user, ts, id) and each left binary-searches the shared packed
+    (user-rank, ts) int64 key (exchange.packed_user_ts_key, width-guarded)
+    — no Python per-row loop.
     """
 
     def per_bucket(group: pa.Table) -> pa.Table:
         cap_worker_threads()
         if group.num_rows == 0:
             return _ASOF_SCHEMA.empty_table()
-        import pyarrow.compute as pc
-
-        typ = group.column("event_type")
-        is_l = pc.equal(typ, left_type).combine_chunks().to_numpy(zero_copy_only=False)
-        is_r = pc.equal(typ, right_type).combine_chunks().to_numpy(zero_copy_only=False)
-        user = group.column("user_id").to_numpy(zero_copy_only=False)
-        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        if not is_l.any() or not is_r.any():
+        lr = _lr_arrays(group, left_type, right_type)
+        if lr is None:
             return _ASOF_SCHEMA.empty_table()
-
-        # dense user ranks shared by both sides
-        uniq, rank = np.unique(user, return_inverse=True)
-        t0 = us.min()
-        span = int(us.max() - t0) + 1
-        ts_bits = max(1, span.bit_length())
-        if len(uniq) >= (1 << 20) or ts_bits > 43:  # pragma: no cover
-            raise ValueError(
-                "asof_join bucket too wide for key packing; raise bucket count"
-            )
-        key = (rank.astype(np.int64) << ts_bits) | (us - t0)
+        is_l, is_r, user, us, eid = lr
+        rank, _, _, key = packed_user_ts_key(user, us, "asof_join")
 
         l_key, l_us, l_eid, l_user, l_rank = (
             key[is_l], us[is_l], eid[is_l], user[is_l], rank[is_l]
@@ -310,21 +294,8 @@ def asof_join(
             }
         )
 
-    def coarse(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
-    return (
-        read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
-        .filter(
-            expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
-        )
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    return coarse_bucket_apply(
+        _lr_events(sf_dir, left_type, right_type), "user_id", per_bucket
     )
 
 
@@ -345,11 +316,11 @@ def range_join(
     [0, window_s*1e6).
 
     Scale shape: the equi-key (user) rides a coarse 64-way bucket shuffle;
-    inside a bucket rights are sorted ONCE by a packed (user-rank, ts)
-    int64 key and every left finds its match run with two np.searchsorted
-    calls; the run expansion is np.repeat + arange arithmetic — output
-    work is O(n_matches), never O(n_left * n_right). The packed-key width
-    guard mirrors asof_join.
+    inside a bucket rights are sorted ONCE by the shared packed
+    (user-rank, ts) int64 key (exchange.packed_user_ts_key, width-guarded)
+    and every left finds its match run with two np.searchsorted calls; the
+    run expansion is np.repeat + arange arithmetic — output work is
+    O(n_matches), never O(n_left * n_right).
     """
     win_us = np.int64(window_s) * np.int64(1_000_000)
 
@@ -357,27 +328,11 @@ def range_join(
         cap_worker_threads()
         if group.num_rows == 0:
             return _ASOF_SCHEMA.empty_table()
-        import pyarrow.compute as pc
-
-        typ = group.column("event_type")
-        is_l = pc.equal(typ, left_type).combine_chunks().to_numpy(zero_copy_only=False)
-        is_r = pc.equal(typ, right_type).combine_chunks().to_numpy(zero_copy_only=False)
-        user = group.column("user_id").to_numpy(zero_copy_only=False)
-        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        if not is_l.any() or not is_r.any():
+        lr = _lr_arrays(group, left_type, right_type)
+        if lr is None:
             return _ASOF_SCHEMA.empty_table()
-
-        uniq, rank = np.unique(user, return_inverse=True)
-        t0 = us.min()
-        span = int(us.max() - t0) + 1
-        ts_bits = max(1, span.bit_length())
-        if len(uniq) >= (1 << 20) or ts_bits > 43:  # pragma: no cover
-            raise ValueError(
-                "range_join bucket too wide for key packing; raise bucket count"
-            )
-        off = us - t0
-        key = (rank.astype(np.int64) << ts_bits) | off
+        is_l, is_r, user, us, eid = lr
+        rank, off, ts_bits, key = packed_user_ts_key(user, us, "range_join")
 
         l_us, l_eid, l_user = us[is_l], eid[is_l], user[is_l]
         l_rank, l_off = rank[is_l], off[is_l]
@@ -409,21 +364,8 @@ def range_join(
             }
         )
 
-    def coarse(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
-    return (
-        read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
-        .filter(
-            expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
-        )
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    return coarse_bucket_apply(
+        _lr_events(sf_dir, left_type, right_type), "user_id", per_bucket
     )
 
 
@@ -479,19 +421,11 @@ def hopping_counts(
             ["window_id", "event_type", "user_id", "n_p", "cents_p"]
         )
 
-    def coarse(t: pa.Table) -> pa.Table:
-        win = t.column("window_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((win.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
-    return (
+    return coarse_bucket_apply(
         read_events(sf_dir, columns=["ts", "event_type", "user_id", "value"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(_finalize_window_cells, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "window_id",
+        _finalize_window_cells,
     )
 
 
@@ -683,17 +617,9 @@ def rolling_user_window(
             group.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
 
-        uniq, rank = np.unique(user, return_inverse=True)
-        t0 = us.min()
-        span = int(us.max() - t0) + 1
-        ts_bits = max(1, span.bit_length())
-        if len(uniq) >= (1 << 20) or ts_bits > 43:  # pragma: no cover
-            raise ValueError(
-                "rolling_user_window bucket too wide for key packing; "
-                "raise bucket count"
-            )
-        off = us - t0
-        key = (rank.astype(np.int64) << ts_bits) | off
+        rank, off, ts_bits, key = packed_user_ts_key(
+            user, us, "rolling_user_window"
+        )
         order = np.argsort(key, kind="stable")
         key_s, cents_s = key[order], cents[order]
         csum = np.concatenate(([0], np.cumsum(cents_s)))
@@ -712,18 +638,10 @@ def rolling_user_window(
             }
         )
 
-    def coarse(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
-    return (
-        read_events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    return coarse_bucket_apply(
+        read_events(sf_dir, columns=["event_id", "user_id", "ts", "value"]),
+        "user_id",
+        per_bucket,
     )
 
 
@@ -785,19 +703,11 @@ def pivot_event_counts(
         )
         return pa.table(cols)
 
-    def coarse(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
-    return (
+    return coarse_bucket_apply(
         read_events(sf_dir, columns=["user_id", "event_type"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(finalize, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        finalize,
     )
 
 
@@ -852,18 +762,10 @@ def funnel(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS) -> rd.Dataset:
             out[f"t{i}_us"] = pa.array(np.where(t == NONE, np.int64(-1), t), pa.int64())
         return pa.table(out)
 
-    def coarse(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
-    return (
-        read_events(sf_dir, columns=["user_id", "ts", "event_type"])
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    return coarse_bucket_apply(
+        read_events(sf_dir, columns=["user_id", "ts", "event_type"]),
+        "user_id",
+        per_bucket,
     )
 
 
@@ -916,13 +818,6 @@ def journeys(sf_dir: str, k: int = 20, gap_s: int = SESSION_GAP_S) -> rd.Dataset
             }
         )
 
-    def coarse(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket",
-            pa.array((u.view(np.uint64) % np.uint64(64)).astype(np.int32), pa.int32()),
-        )
-
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.schema(
@@ -939,10 +834,11 @@ def journeys(sf_dir: str, k: int = 20, gap_s: int = SESSION_GAP_S) -> rd.Dataset
         )
 
     return (
-        read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
-        .map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        coarse_bucket_apply(
+            read_events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"]),
+            "user_id",
+            per_bucket,
+        )
         .groupby("journey")
         .aggregate(Sum("c_p", alias_name="n_sessions"))
         .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -1065,11 +961,6 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    def user_bucket(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        b = (u.view(np.uint64) % np.uint64(256)).astype(np.int32)
-        return t.append_column("bucket", pa.array(b, pa.int32()))
-
     _C = pa.schema(
         [("cohort_week", pa.int64()), ("week_offset", pa.int64()), ("n_p", pa.int64())]
     )
@@ -1094,12 +985,12 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return (
+    return coarse_bucket_apply(
         read_events(sf_dir, columns=["ts", "user_id"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(user_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(per_user, batch_format="pyarrow")
-        .groupby(["cohort_week", "week_offset"])
-        .aggregate(_Sum("n_p", alias_name="n_users"))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        per_user,
+        n_buckets=256,
+    ).groupby(["cohort_week", "week_offset"]).aggregate(
+        _Sum("n_p", alias_name="n_users")
     )

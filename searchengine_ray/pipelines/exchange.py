@@ -25,6 +25,54 @@ import ray.data as rd
 N_ATTACH_BUCKETS = 256
 
 
+def coarse_bucket_apply(
+    ds: rd.Dataset,
+    key: str,
+    kernel,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """bucket = key % n_buckets -> groupby(bucket) -> map_groups(kernel):
+    the module-wide coarse-shuffle shape (ONE group holds many keys; the
+    kernel does a vectorized run scan, never per-key Python). Shared by
+    the events window/join/funnel/journey family (round-4 verdict ask #8 —
+    the hand-rolled per-op copies of this pipeline tail now live here)."""
+
+    def coarse(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        b = (k.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    return (
+        ds.map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def packed_user_ts_key(
+    user: np.ndarray, us: np.ndarray, op_name: str
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
+    """Dense-user-rank/timestamp int64 key packing shared by the as-of /
+    range / rolling-window kernels: rank << ts_bits | (ts - t0), so ONE
+    sort + searchsorted probes answer per-user time-range queries.
+    Returns (rank, off, ts_bits, key).
+
+    Packing assumption (guarded loudly): distinct users per bucket < 2^20
+    and the bucket's ts span < 2^43 us (~278 years). At larger scale raise
+    the bucket count — the per-bucket invariant is what matters, not N."""
+    uniq, rank = np.unique(user, return_inverse=True)
+    t0 = us.min()
+    span = int(us.max() - t0) + 1
+    ts_bits = max(1, span.bit_length())
+    if len(uniq) >= (1 << 20) or ts_bits > 43:  # pragma: no cover
+        raise ValueError(
+            f"{op_name} bucket too wide for key packing; raise bucket count"
+        )
+    off = us - t0
+    key = (rank.astype(np.int64) << ts_bits) | off
+    return rank, off, ts_bits, key
+
+
 def coarse_key_attach(
     left: rd.Dataset,
     vals: rd.Dataset,
