@@ -470,9 +470,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": lambda sf: graph_ops.hits(sf, iters=2, k=4),
         # anchor terms kept Arrow-native through the reduce (r4 ask #10)
         "anchor_texts": lambda sf: graph_ops.anchor_texts(sf, k=4, topk=3),
-        # as-of/range join machinery consolidated (r4 ask #8)
+        # as-of/range join machinery consolidated onto exchange helpers
+        # (r4 ask #8) — every op below here in this block shares the new
+        # coarse_bucket_apply / packed_user_ts_key plumbing
         "events_asof_join": lambda sf: event_ops.asof_join(sf),
         "events_range_join": lambda sf: event_ops.range_join(sf),
+        "events_windowed": lambda sf: event_ops.windowed_counts(sf),
+        "events_sessions": lambda sf: event_ops.sessionize(sf),
+        "events_funnel": lambda sf: event_ops.funnel(sf),
+        "events_journeys": lambda sf: event_ops.journeys(sf),
+        "events_hopping": lambda sf: event_ops.hopping_counts(sf),
+        "events_rolling": lambda sf: event_ops.rolling_user_window(sf),
+        "events_pivot": lambda sf: event_ops.pivot_event_counts(sf),
+        "events_retention": lambda sf: event_ops.retention_cohorts(sf),
+        # video stats stage now sniffs the frame codec per frame
+        "media_video_stats": lambda sf: mm_ops.media_video_stats(sf),
+        # NEW round 5: literal motion-JPEG (baseline JFIF frames) through
+        # the same walk+decode actor pool (r4 verdict ask #6)
+        "media_video_stats_jpeg": lambda sf: mm_ops.media_video_stats_jpeg(sf),
         # --- long-green tail (last driver rows r01–r03): fresh re-cert ---
         # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
         "lexicon": lambda sf: textops.lexicon(sf),
@@ -522,13 +537,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding-space outlier pruning: top-5 farthest-from-centroid
         # vectors per label (exact integer micro-unit contract)
         "embedding_outliers": lambda sf: ann_ops.embedding_outliers(sf, k=5),
-        # event-stream windowed shapes (events table)
-        "events_windowed": lambda sf: event_ops.windowed_counts(sf),
-        "events_sessions": lambda sf: event_ops.sessionize(sf),
-        # ordered view->click->purchase conversion chain per user
-        "events_funnel": lambda sf: event_ops.funnel(sf),
-        # top-20 per-session event-type paths (path analysis)
-        "events_journeys": lambda sf: event_ops.journeys(sf),
         # semi-structured extraction: JSON props.k aggregated per type
         "events_props_stats": lambda sf: event_ops.props_stats(sf),
         # text analysis
@@ -565,13 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": lambda sf: textops.sample_stratified(
             sf, k=50, group_col="source"
         ),
-        # event ops: sliding windows, HyperLogLog sketch, pivot, rolling
-        "events_hopping": lambda sf: event_ops.hopping_counts(sf),
+        # HyperLogLog distinct sketch (untouched this round)
         "events_distinct_hll": lambda sf: event_ops.distinct_hll(sf),
-        "events_rolling": lambda sf: event_ops.rolling_user_window(sf),
-        "events_pivot": lambda sf: event_ops.pivot_event_counts(sf),
-        # weekly retention cohorts (growth-analytics triangle)
-        "events_retention": lambda sf: event_ops.retention_cohorts(sf),
         # deterministic hash-based train/val/test assignment (documents)
         "split_assign": lambda sf: textops.split_assign(sf),
         # relational joins: native hash-shuffle Dataset.join for big x big,
@@ -629,11 +632,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": lambda sf: mm_ops.sample_frames(
             mm_ops.media_dataset_from_documents(sf)
         ).drop_columns(["frame"]),
-        # REAL video frame decode (round 4): motion-PNG/JPEG containers are
-        # walked and each sampled frame fully decoded (functions/media.py);
-        # the oracle recomputes the integer per-frame pixel stats from
-        # doc_id alone, so a hash match proves the frame-level decode
-        "media_video_stats": lambda sf: mm_ops.media_video_stats(sf),
         # keyword-in-context snippets (SERP display primitive)
         "kwic_snippets": lambda sf: textops.kwic_snippets(sf),
         # word2vec-style forward skip-gram co-occurrence counts within a
@@ -1824,6 +1822,27 @@ SELECT media_id, fi::INT AS frame_idx,
   sum(299 * r + 587 * g + 114 * b)::BIGINT AS luma_e3,
   sum(r + g + b)::BIGINT AS byte_sum
 FROM px GROUP BY media_id, fi
+""",
+        # motion-JPEG constant-tile rule (multimodal.video_jpeg_dataset_
+        # from_documents): tile t of frame f is gray value
+        # (d + 17*f + 13*t) % 256 over tw x th 8x8 tiles, tw = 1 + d%4,
+        # th = 1 + (d//4)%3, nf = 1 + d%3, stride 2; constant tiles
+        # round-trip the baseline JPEG EXACTLY (luma DC quant entry 8,
+        # chroma DC 0), so decoded pixel sums equal the formula: per tile
+        # 64 px of luma 1000*v and byte sum 3*v
+        "media_video_stats_jpeg": """
+WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 3 AS nf,
+  1 + doc_id % 4 AS tw, 1 + (doc_id // 4) % 3 AS th FROM documents),
+fr AS (SELECT media_id, tw, th, s.f AS fi
+       FROM m, LATERAL (SELECT unnest(range(0, nf, 2)) AS f) s),
+tl AS (SELECT media_id, fi, tw, th,
+  (media_id + 17 * fi + 13 * s.t) % 256 AS v
+  FROM fr, LATERAL (SELECT unnest(range(0, tw * th)) AS t) s)
+SELECT media_id, fi::INT AS frame_idx,
+  any_value(8 * tw)::INT AS width, any_value(8 * th)::INT AS height,
+  sum(64 * 1000 * v)::BIGINT AS luma_e3,
+  sum(64 * 3 * v)::BIGINT AS byte_sum
+FROM tl GROUP BY media_id, fi
 """,
         "media_phash": media_phash_sql,
         # relational joins — integer-cent / 1e-4-unit money contract

@@ -517,10 +517,11 @@ class VideoFrameStatsStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids_out, fidx, widths, heights, lumas, bsums = [], [], [], [], [], []
         for mid, p in zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()):
-            for f, _off, png in self.codecs.iter_video_frames(p):
+            for f, _off, frame in self.codecs.iter_video_frames(p):
                 if f % self.stride:
                     continue
-                px = self.codecs.decode_png(png).astype(np.int64)
+                # sniffs per frame: PNG (motion-PNG) or baseline JPEG (MJPEG)
+                px = self.codecs.decode_video_frame(frame).astype(np.int64)
                 h, w, _c = px.shape
                 ids_out.append(mid)
                 fidx.append(f)
@@ -550,6 +551,65 @@ def media_video_stats(
     `stride`-th frame through the actor pool, emit integer pixel stats the
     SQL oracle recomputes from doc_id alone."""
     return video_dataset_from_documents(sf_dir).map_batches(
+        VideoFrameStatsStage,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def video_jpeg_dataset_from_documents(sf_dir: str) -> rd.Dataset:
+    """(media_id, payload) of REAL motion-JPEG videos (baseline JFIF
+    frames) derived deterministically from doc_id: nf = 1 + doc_id % 3
+    frames of 8·tw x 8·th pixels, tw = 1 + doc_id % 4, th = 1 +
+    (doc_id // 4) % 3; the frame is a grid of constant gray 8x8 tiles
+    (R = G = B), tile t (row-major) of frame f having value
+    v = (doc_id + 17*f + 13*t) % 256. Constant tiles quantize exactly
+    through the baseline JPEG path (functions/media.py: luma DC quant
+    entry 8; gray RGB -> Cb = Cr = 128 -> chroma DC 0), so the DECODED
+    pixels equal the formula bit-for-bit and a SQL oracle can hash-check
+    the full MJPEG decode (container walk + Huffman + dequant + IDCT +
+    YCbCr->RGB) end-to-end while the codec stays fully general."""
+    from ..functions.media import encode_video
+    from ..sources.tables import read_documents
+
+    def fn(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids.tolist():
+            nf = 1 + d % 3
+            tw = 1 + d % 4
+            th = 1 + (d // 4) % 3
+            tt = np.arange(th * tw, dtype=np.int64)
+            frames = []
+            for f in range(nf):
+                tiles = ((d + 17 * f + 13 * tt) % 256).astype(np.uint8)
+                gray = np.kron(tiles.reshape(th, tw), np.ones((8, 8), np.uint8))
+                frames.append(np.repeat(gray[:, :, None], 3, axis=2))
+            payloads.append(encode_video(frames, fps=10, codec="jpeg"))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def media_video_stats_jpeg(
+    sf_dir: str, stride: int = 2, concurrency: int = 2, batch_size: int = 32
+) -> rd.Dataset:
+    """media_video_stats over a MOTION-JPEG container (round-4 verdict ask
+    #6): same actor-pool walk + per-frame decode, but every frame is a
+    real baseline JPEG; the oracle recomputes the decoded-pixel stats from
+    the constant-tile formula (exact through quantization by design)."""
+    return video_jpeg_dataset_from_documents(sf_dir).map_batches(
         VideoFrameStatsStage,
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",

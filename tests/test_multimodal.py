@@ -173,3 +173,135 @@ def test_frame_sampling_real_video(ray_session):
         assert (m.decode_video_frame(r.frame) == frames[int(r.frame_idx)]).all()
     fake_rows = out[out.media_id == 2]
     assert list(fake_rows.frame_idx) == list(range(0, 25, 2))
+
+
+# --- baseline JPEG codec (round 5: motion-JPEG container) -------------------
+
+
+def test_jpeg_constant_tiles_exact():
+    """The determinism contract behind media_video_stats_jpeg: constant
+    8x8 blocks round-trip the baseline codec EXACTLY (luma DC quant entry
+    8 makes the quantized DC = v - 128 for any v; gray RGB constants put
+    chroma DC at 0)."""
+    import numpy as np
+
+    from searchengine_ray.functions import media as m
+
+    for v in (0, 1, 7, 128, 200, 255):
+        img = np.full((16, 24), v, np.uint8)
+        dec = m.decode_jpeg(m.encode_jpeg(img))
+        assert dec.shape == (16, 24, 1)
+        assert (dec[:, :, 0] == v).all()
+
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[:8, :8] = 37
+    rgb[:8, 8:] = 130
+    rgb[8:, :8] = 255
+    rgb[8:, 8:] = 4
+    assert (m.decode_jpeg(m.encode_jpeg(rgb)) == rgb).all()
+
+
+def test_jpeg_general_roundtrip_and_meta():
+    """General (non-constant) images go through real Huffman AC coding and
+    come back within quantization error; odd dims pad+crop; SOF meta
+    parses; non-JPEG and progressive streams raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from searchengine_ray.functions import media as m
+
+    x = np.linspace(0, 255, 40)
+    y = np.linspace(0, 255, 24)
+    img = ((x[None, :] + y[:, None]) / 2).astype(np.uint8)
+    dec = m.decode_jpeg(m.encode_jpeg(img))[:, :, 0]
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+    rgb = np.stack([img, img[::-1], 255 - img], axis=2)
+    dec3 = m.decode_jpeg(m.encode_jpeg(rgb))
+    assert dec3.shape == rgb.shape
+    assert np.abs(dec3.astype(int) - rgb.astype(int)).max() <= 20
+
+    odd = (np.arange(13 * 21, dtype=np.int64) * 7 % 256).astype(np.uint8).reshape(13, 21)
+    assert m.decode_jpeg(m.encode_jpeg(odd)).shape == (13, 21, 1)
+
+    b = m.encode_jpeg(np.zeros((13, 21, 3), np.uint8))
+    assert m.parse_jpeg_meta(b) == (21, 13, 3)
+    assert m.parse_jpeg_meta(b"notajpeg") is None
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        m.decode_jpeg(b"notajpeg")
+    # flip SOF0 (0xC0) to SOF2 (0xC2, progressive) -> explicit refusal
+    prog = bytearray(b)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        m.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_dct_matches_naive_reference():
+    """The 8x8 DCT matrix used by both codec directions reproduces the
+    T.81 double-loop definition."""
+    import math
+
+    import numpy as np
+
+    from searchengine_ray.functions import media as m
+
+    rng = np.random.RandomState(7)
+    blk = rng.randint(0, 256, (8, 8)).astype(np.float64) - 128.0
+    ref = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            cv = math.sqrt(0.5) if v == 0 else 1.0
+            s = 0.0
+            for xx in range(8):
+                for yy in range(8):
+                    s += (
+                        blk[xx, yy]
+                        * math.cos((2 * xx + 1) * u * math.pi / 16)
+                        * math.cos((2 * yy + 1) * v * math.pi / 16)
+                    )
+            ref[u, v] = 0.25 * cu * cv * s
+    assert np.abs(m._DCT_M @ blk @ m._DCT_M.T - ref).max() < 1e-9
+
+
+def test_motion_jpeg_container_roundtrip_and_strict():
+    """encode_video(codec='jpeg') produces a container of real baseline
+    JPEG frames: meta parses, the walk yields JFIF payloads, constant-tile
+    frames decode exactly, strict MediaDecodeStage accepts it, truncation
+    raises, and mixed PNG/JPEG containers decode per frame."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.functions import media as m
+
+    frames = []
+    for f in range(3):
+        tiles = ((np.arange(6, dtype=np.int64) * 13 + 5 * f) % 256).astype(np.uint8)
+        gray = np.kron(tiles.reshape(2, 3), np.ones((8, 8), np.uint8))
+        frames.append(np.repeat(gray[:, :, None], 3, axis=2))
+    b = m.encode_video(frames, fps=10, codec="jpeg")
+    assert m.parse_video_meta(b) == (24, 16, 3, 10)
+    for i, off, payload in m.iter_video_frames(b):
+        assert payload[:2] == b"\xff\xd8"  # a real JFIF frame
+        assert m.parse_jpeg_meta(payload) == (24, 16, 3)
+        assert (m.decode_video_frame(payload) == frames[i]).all()
+    stage = MediaDecodeStage(strict=True)
+    out = stage(
+        pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([b], pa.binary())})
+    ).to_pandas()
+    assert out.decoded_ok.iloc[0] and out.kind.iloc[0] == KIND_VIDEO
+    with pytest.raises(ValueError, match="truncated"):
+        list(m.iter_video_frames(b[: len(b) - 2]))
+    # mixed-codec container: the per-frame sniff picks the right decoder
+    mixed_frames = [m.encode_png(frames[0]), m.encode_jpeg(frames[1])]
+    import struct as _struct
+
+    hdr = _struct.pack("<4sHHHH", m.VIDEO_SIG, 24, 16, 2, 10)
+    body = b"".join(
+        _struct.pack("<I", len(p)) + p for p in mixed_frames
+    )
+    got = [m.decode_video_frame(p) for _i, _o, p in m.iter_video_frames(hdr + body)]
+    assert (got[0] == frames[0]).all() and (got[1] == frames[1]).all()
