@@ -127,6 +127,13 @@ SHORT_LIST_POSTINGS = 16384  # below this, vectorized exact scan beats WAND (mea
 # vectorized scan (measured 4x at 950k docs): take WAND only if
 # min(df) * RATIO <= max(df). 0 disables the heuristic (tests force WAND).
 WAND_SELECTIVITY_RATIO = 8
+# Even with a dominant long list, the pivot VISITS every posting of the
+# non-dominant lists — ~5 us of Python per pivot vs ~15 ns per posting for
+# the vectorized scan, so WAND breaks even only when the non-dominant side
+# is ~100 postings per partition (measured at 10M docs: a 24k-df head term
+# paired with a 2k-df side ran 6x slower under WAND). Cap the pivot count;
+# 0 disables (tests force WAND via WAND_SELECTIVITY_RATIO=0 anyway).
+WAND_MAX_PIVOTS = 128
 
 
 def _exact_short(cursors: list["_Cursor"], n_docs: int, k: int):
@@ -168,6 +175,7 @@ def bmw_topk(
             # by the per-posting Python overhead (measured 5x at 950k docs).
             len(ns) == 1
             or rest * WAND_SELECTIVITY_RATIO > ns[0]
+            or (WAND_MAX_PIVOTS and rest > WAND_MAX_PIVOTS)
         )
     ):
         return _exact_short(cursors, n_docs, k)
