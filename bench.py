@@ -289,6 +289,13 @@ def run_once() -> dict:
     corpus_ops.skipgram_counts(SF_DIR, window=3, k=50).to_pandas()
     queries["skipgram_counts"] = round(time.perf_counter() - t0, 3)
 
+    # round-5: motion-JPEG per-frame decode (baseline JFIF Huffman+IDCT)
+    from searchengine_ray.pipelines import multimodal as mm_ops
+
+    t0 = time.perf_counter()
+    mm_ops.media_video_stats_jpeg(SF_DIR, concurrency=8).to_pandas()
+    queries["media_video_stats_jpeg"] = round(time.perf_counter() - t0, 3)
+
     # Capacity normalization (round-3 verdict ask #6): this VM advertises
     # NUM_CPUS vCPUs but delivers 18-25 of them depending on the hour, so
     # raw walls swing with host weather, not code. The probe measures the
