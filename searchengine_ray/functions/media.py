@@ -433,37 +433,56 @@ def _blockify(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
+def encode_jpeg(arr: np.ndarray, subsample: str = "444") -> bytes:
     """uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB -> baseline
-    sequential JFIF bytes (4:4:4, Annex-K-style tables, no subsampling).
-    Non-multiple-of-8 dimensions are edge-padded; SOF records the true
-    size so decoders crop back."""
+    sequential JFIF bytes. subsample: "444" (no chroma subsampling,
+    default) or "420" (2x2 luma sampling, box-averaged chroma — the
+    common web-JPEG shape; ignored for grayscale). Non-MCU-multiple
+    dimensions are edge-padded; SOF records the true size so decoders
+    crop back."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
     h, w = a.shape[:2]
     assert h > 0 and w > 0, "empty image"
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    if (ph, pw) != (h, w):
-        pad = [(0, ph - h), (0, pw - w)] + ([(0, 0)] if a.ndim == 3 else [])
-        a = np.pad(a, pad, mode="edge")
-    if a.ndim == 2:
-        planes = [a.astype(np.float64) - 128.0]
+    gray = a.ndim == 2
+    assert subsample in ("444", "420"), subsample
+    if gray:
+        samp = [(1, 1)]
         qids = [0]
+    elif subsample == "444":
+        samp = [(1, 1)] * 3
+        qids = [0, 1, 1]
+    else:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    ncomp = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mh, mw = 8 * vmax, 8 * hmax  # MCU pixel size
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    if (ph, pw) != (h, w):
+        pad = [(0, ph - h), (0, pw - w)] + ([] if gray else [(0, 0)])
+        a = np.pad(a, pad, mode="edge")
+    if gray:
+        planes = [a.astype(np.float64) - 128.0]
     else:
         ycc = _rgb_to_ycbcr(a) - 128.0
         planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
-        qids = [0, 1, 1]
-    ncomp = len(planes)
 
     qtabs = [np.array(_JPEG_QTAB_LUMA), np.array(_JPEG_QTAB_CHROMA)]
     dc_enc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
     zz = np.array(_JPEG_ZIGZAG)
 
-    # vectorized DCT + quantization per component
+    # vectorized downsample + DCT + quantization per component
     quant: list[np.ndarray] = []
-    for plane, qid in zip(planes, qids):
+    for (hi, vi), plane, qid in zip(samp, planes, qids):
+        if (hi, vi) != (hmax, vmax):
+            fy, fx = vmax // vi, hmax // hi
+            plane = plane.reshape(
+                plane.shape[0] // fy, fy, plane.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
         blocks = _blockify(plane)  # (nby, nbx, 8, 8)
         coef = np.einsum("ux,yrxc,vc->yruv", _DCT_M, blocks, _DCT_M)
         q = qtabs[qid].reshape(8, 8)
@@ -475,39 +494,46 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
 
     bw = _JpegBitWriter()
     pred = [0] * ncomp
-    nby, nbx = quant[0].shape[:2]
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(ncomp):
-                blk = quant[ci][by, bx]
-                diff = int(blk[0]) - pred[ci]
-                pred[ci] = int(blk[0])
-                size = abs(diff).bit_length()
-                code, ln = dc_enc[size]
+    mcu_rows, mcu_cols = ph // mh, pw // mw
+
+    def emit_block(blk: np.ndarray, ci: int) -> None:
+        diff = int(blk[0]) - pred[ci]
+        pred[ci] = int(blk[0])
+        size = abs(diff).bit_length()
+        code, ln = dc_enc[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        nz = np.flatnonzero(blk[1:])
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        k = 1
+        while k <= last:
+            run = 0
+            while blk[k] == 0:
+                run += 1
+                k += 1
+            while run >= 16:
+                code, ln = ac_enc[0xF0]  # ZRL
                 bw.put(code, ln)
-                if size:
-                    bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-                nz = np.flatnonzero(blk[1:])
-                last = int(nz[-1]) + 1 if len(nz) else 0
-                k = 1
-                while k <= last:
-                    run = 0
-                    while blk[k] == 0:
-                        run += 1
-                        k += 1
-                    while run >= 16:
-                        code, ln = ac_enc[0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    v = int(blk[k])
-                    size = abs(v).bit_length()
-                    code, ln = ac_enc[(run << 4) | size]
-                    bw.put(code, ln)
-                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-                    k += 1
-                if last < 63:
-                    code, ln = ac_enc[0x00]  # EOB
-                    bw.put(code, ln)
+                run -= 16
+            v = int(blk[k])
+            size = abs(v).bit_length()
+            code, ln = ac_enc[(run << 4) | size]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+            k += 1
+        if last < 63:
+            code, ln = ac_enc[0x00]  # EOB
+            bw.put(code, ln)
+
+    # interleaved MCU order: per component, Hi x Vi blocks left-to-right,
+    # top-to-bottom (T.81 A.2.3); 4:4:4 / gray degenerate to one block each
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, (hi, vi) in enumerate(samp):
+                for v in range(vi):
+                    for hh in range(hi):
+                        emit_block(quant[ci][my * vi + v, mx * hi + hh], ci)
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -521,8 +547,8 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     # true (pre-pad) size goes in SOF so decoders crop; the padded size is
     # implied by ceil-division exactly as T.81 specifies
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qids[ci]])
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
     out.append(seg(0xC0, sof))
     out.append(
         seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
@@ -563,14 +589,15 @@ def parse_jpeg_meta(b: bytes) -> tuple[int, int, int] | None:
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Baseline sequential JPEG -> uint8 (h, w, ncomp) array (ncomp 1 or
     3; 3-component scans are converted YCbCr -> RGB per JFIF). Supports
-    Hi=Vi=1 (no subsampling), restart intervals, 8-bit quant tables;
-    raises ValueError on progressive/arithmetic/subsampled streams."""
+    arbitrary integer sampling-factor ratios (4:4:4, 4:2:0, 4:2:2, ...;
+    chroma upsampled by replication), restart intervals, 8-bit quant
+    tables; raises ValueError on progressive/arithmetic streams."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> decode table
-    comps: list[tuple[int, int]] = []  # (component_id, qtab_id)
+    comps: list[tuple[int, int, int, int]] = []  # (component_id, qtab_id, Hi, Vi)
     scan_tabs: list[tuple[int, int]] = []  # (dc_id, ac_id) per component
     h = w = 0
     restart = 0
@@ -601,9 +628,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("subsampled JPEG not supported")
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential JPEG supported")
         elif marker == 0xC4:
@@ -619,7 +644,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
-            order = {cid: i for i, (cid, _tq) in enumerate(comps)}
+            order = {cid: i for i, (cid, _tq, _hi, _vi) in enumerate(comps)}
             scan_tabs = [(0, 0)] * len(comps)
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
@@ -630,46 +655,67 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     if scan_pos < 0 or not comps:
         raise ValueError("JPEG has no scan")
     ncomp = len(comps)
-    nby, nbx = -(-h // 8), -(-w // 8)
-    out = [np.zeros((nby * 8, nbx * 8), np.float64) for _ in range(ncomp)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        hmax % c[2] or vmax % c[3] for c in comps
+    ):
+        raise ValueError("non-integer sampling-factor ratios not supported")
+    mcu_rows, mcu_cols = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    out = [
+        np.zeros((mcu_rows * 8 * vi, mcu_cols * 8 * hi), np.float64)
+        for _cid, _tq, hi, vi in comps
+    ]
     br = _JpegBitReader(b, scan_pos)
     pred = [0] * ncomp
+
+    def decode_block(ci: int) -> np.ndarray:
+        dc_tbl = huff[(0, scan_tabs[ci][0])]
+        ac_tbl = huff[(1, scan_tabs[ci][1])]
+        zz = np.zeros(64, np.int32)
+        size = _huff_decode_symbol(br, dc_tbl)
+        diff = _extend(br.read_bits(size), size) if size else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            sym = _huff_decode_symbol(br, ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient overflow")
+            zz[k] = _extend(br.read_bits(size), size)
+            k += 1
+        coef = np.zeros(64, np.float64)
+        coef[_JPEG_ZIGZAG] = zz * qtabs[comps[ci][1]][_JPEG_ZIGZAG]
+        return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
             if restart and mcu and mcu % restart == 0:
                 br.restart()
                 pred = [0] * ncomp
             mcu += 1
-            for ci in range(ncomp):
-                dc_tbl = huff[(0, scan_tabs[ci][0])]
-                ac_tbl = huff[(1, scan_tabs[ci][1])]
-                zz = np.zeros(64, np.int32)
-                size = _huff_decode_symbol(br, dc_tbl)
-                diff = _extend(br.read_bits(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode_symbol(br, ac_tbl)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient overflow")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[_JPEG_ZIGZAG] = zz * qtabs[comps[ci][1]][_JPEG_ZIGZAG]
-                blk = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-                out[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
-    planes = [p[:h, :w] for p in out]
+            for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + hh) * 8
+                        out[ci][y0 : y0 + 8, x0 : x0 + 8] = decode_block(ci) + 128.0
+    # upsample subsampled components by replication, crop to the SOF size
+    planes = []
+    for p, (_cid, _tq, hi, vi) in zip(out, comps):
+        if (hi, vi) != (hmax, vmax):
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(p[:h, :w])
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
     if ncomp == 3:

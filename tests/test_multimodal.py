@@ -305,3 +305,33 @@ def test_motion_jpeg_container_roundtrip_and_strict():
     )
     got = [m.decode_video_frame(p) for _i, _o, p in m.iter_video_frames(hdr + body)]
     assert (got[0] == frames[0]).all() and (got[1] == frames[1]).all()
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0 both directions: constant 16x16 MCU tiles round-trip exactly
+    (box-averaged chroma of a constant is the constant); gradients come
+    back within quantization+subsampling tolerance; odd dims pad+crop;
+    the SOF carries the 0x22/0x11 sampling factors."""
+    import numpy as np
+
+    from searchengine_ray.functions import media as m
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:16, :16] = 40
+    img[:16, 16:] = 131
+    img[16:, :16] = 254
+    img[16:, 16:] = 6
+    b = m.encode_jpeg(img, subsample="420")
+    assert m.parse_jpeg_meta(b) == (32, 32, 3)
+    assert (m.decode_jpeg(b) == img).all()
+
+    x = np.linspace(0, 255, 48)
+    y = np.linspace(0, 255, 32)
+    gr = ((x[None, :] + y[:, None]) / 2).astype(np.uint8)
+    rgb = np.stack([gr, gr[::-1], 255 - gr], axis=2)
+    dec = m.decode_jpeg(m.encode_jpeg(rgb, subsample="420"))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 40 and err.mean() < 6
+
+    odd = np.random.RandomState(3).randint(0, 256, (19, 27, 3), np.uint8)
+    assert m.decode_jpeg(m.encode_jpeg(odd, subsample="420")).shape == (19, 27, 3)
