@@ -342,6 +342,13 @@ def make_segment_writer(index_dir: str, fingerprint: str, block_size: int):
 
 
 
+# Below this many per-part term-stat rows, one driver-side Arrow group_by
+# beats any distributed exchange's fixed cost (input is per-part term
+# STATS, not postings). Module-level so tests can force the distributed
+# coarse-bucket path on small fixtures.
+LEXICON_DRIVER_AGG_ROWS = 5_000_000
+
+
 def compute_lexicon_and_stats(
     index_dir: str,
     part_files: list[str],
@@ -354,8 +361,6 @@ def compute_lexicon_and_stats(
     """Global lexicon (df/cf per term) + stats.json over the given segment
     stat files — called by build_index for a single generation and by
     pipelines/update.py over ALL generations after an incremental update."""
-    from ray.data.aggregate import Sum
-
     lex_dir = os.path.join(index_dir, "lexicon")
     if os.path.isdir(lex_dir):  # write_parquet appends; stale files double cf
         import shutil
@@ -367,7 +372,7 @@ def compute_lexicon_and_stats(
 
         os.makedirs(lex_dir, exist_ok=True)
         pq.write_table(LEXICON.empty_table(), os.path.join(lex_dir, "lexicon-0.parquet"))
-    elif seg_stat_rows <= 5_000_000:
+    elif seg_stat_rows <= LEXICON_DRIVER_AGG_ROWS:
         # small input: one driver-side Arrow group_by beats a Ray shuffle's
         # fixed cost by seconds (input is per-part term stats, NOT postings)
         os.makedirs(lex_dir, exist_ok=True)
@@ -380,12 +385,41 @@ def compute_lexicon_and_stats(
         )
         pq.write_table(lex_tbl, os.path.join(lex_dir, "lexicon-0.parquet"))
     else:
-        (
-            rd.read_parquet(part_files, columns=["field", "term_hash", "df", "cf"])
-            .groupby(["field", "term_hash"])
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-            .write_parquet(lex_dir)  # streamed; a web-scale lexicon is itself big
-        )
+        # distributed path (round-5 rework): native groupby.aggregate does
+        # a full sort exchange — 140 s for 7.8M skinny rows at the 10M-doc
+        # smoke. The coarse term-bucket discipline used everywhere else
+        # (exchange.coarse_bucket_apply + one vectorized run-scan sum per
+        # group) moves each row once with no global sort; a web-scale
+        # lexicon streams through bucket-by-bucket and is written sharded.
+        from ..schemas import LEXICON
+        from .exchange import coarse_bucket_apply
+
+        def _sum_terms(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return LEXICON.empty_table()
+            f = group.column("field").to_numpy(zero_copy_only=False).astype(np.int64)
+            th = group.column("term_hash").to_numpy(zero_copy_only=False)
+            df = group.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            cf = group.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((f, th))
+            f, th, df, cf = f[order], th[order], df[order], cf[order]
+            new = np.r_[True, (th[1:] != th[:-1]) | (f[1:] != f[:-1])]
+            starts = np.flatnonzero(new)
+            return pa.table(
+                {
+                    "field": pa.array(f[starts].astype(np.uint8), pa.uint8()),
+                    "term_hash": pa.array(th[starts], pa.int64()),
+                    "df": pa.array(np.add.reduceat(df, starts), pa.int64()),
+                    "cf": pa.array(np.add.reduceat(cf, starts), pa.int64()),
+                }
+            )
+
+        coarse_bucket_apply(
+            rd.read_parquet(part_files, columns=["field", "term_hash", "df", "cf"]),
+            "term_hash",
+            _sum_terms,
+            n_buckets=256,
+        ).write_parquet(lex_dir)  # streamed; a web-scale lexicon is itself big
     lex_files = [os.path.join(lex_dir, f) for f in os.listdir(lex_dir) if f.endswith(".parquet")]
     n_terms = sum(pq.ParquetFile(f).metadata.num_rows for f in lex_files)
 

@@ -172,3 +172,36 @@ def test_doc_title_tokens_synthetic_field(ray_session, tmp_path_factory):
         assert title_df[0] <= body_df[0]  # title df can never exceed body df
     finally:
         eng.shutdown()
+
+
+def test_distributed_lexicon_path_matches_driver_agg(tmp_path, ray_session, monkeypatch):
+    """Forcing the >threshold coarse-bucket lexicon path on a small corpus
+    must produce the same (field, term_hash, df, cf) rows as the driver-
+    side Arrow group_by (the round-5 rework of the distributed branch)."""
+    import numpy as np
+
+    import searchengine_ray.pipelines.build as build_mod
+    from searchengine_ray.synth import write_pages
+
+    d = write_pages(str(tmp_path / "pages"), n_rows=400, n_files=4, parallel=False)
+
+    def lex_rows(index_dir):
+        import glob
+
+        files = sorted(glob.glob(index_dir + "/lexicon/*.parquet"))
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        df = t.to_pandas().sort_values(["field", "term_hash"]).reset_index(drop=True)
+        return df
+
+    idx_a = str(tmp_path / "idx_driver")
+    build_index(d, idx_a, BuildConfig(num_partitions=4), source="pages")
+    a = lex_rows(idx_a)
+
+    monkeypatch.setattr(build_mod, "LEXICON_DRIVER_AGG_ROWS", 0)
+    idx_b = str(tmp_path / "idx_dist")
+    build_index(d, idx_b, BuildConfig(num_partitions=4), source="pages")
+    b = lex_rows(idx_b)
+
+    assert len(a) == len(b) > 0
+    for col in ("field", "term_hash", "df", "cf"):
+        assert np.array_equal(a[col].to_numpy(), b[col].to_numpy()), col
