@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=128)
     ap.add_argument("--queries", action="store_true", help="also run a 200-query BM25 batch")
     ap.add_argument("--keep-index", action="store_true")
+    ap.add_argument(
+        "--object-store-gb", type=float, default=None,
+        help="Ray object-store size in GiB (default: Ray's 30%% of RAM). The "
+        "postings exchange materializes in the store; on disk-constrained "
+        "hosts a RAM-sized store avoids spilling the whole exchange to /tmp "
+        "(the 30M smoke needs this: its exchange exceeds the effective disk).",
+    )
     args = ap.parse_args()
 
     # see bench.py: keep large numpy allocations on the reusable heap
@@ -39,7 +46,11 @@ def main() -> None:
     import ray
 
     ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=(
+                 int(args.object_store_gb * (1 << 30))
+                 if args.object_store_gb else None
+             ))
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
