@@ -22,6 +22,12 @@ import subprocess
 import sys
 import time
 
+
+def _mark(name: str) -> None:
+    """Per-op progress marker on STDERR (the driver parses only the last
+    stdout line; these make a hung op locatable in the log)."""
+    print(f"[bench] {name}", file=sys.stderr, flush=True)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_SF = 1_000_000  # sf0.1 -> 100k pages (~60 MB of html)
@@ -165,6 +171,7 @@ def run_once() -> dict:
     # 1.33->0.53 s); per-query fan-out overhead stays far below scoring
     engine = SearchEngine(index_dir, n_shards=max(2, NUM_CPUS // 2), mode="bm25")
     engine.search_batch(q[:8], k=10)  # warm actors
+    _mark("bm25_200_queries")
     t0 = time.perf_counter()
     engine.search_batch(q, k=10)
     queries["bm25_200_queries"] = round(time.perf_counter() - t0, 3)
@@ -195,6 +202,7 @@ def run_once() -> dict:
         fields=(FIELD_BODY,), algo="bmw",
     )
     engine_bmw.search_batch(q[:8], k=10)
+    _mark("bm25_200_queries_bmw")
     t0 = time.perf_counter()
     engine_bmw.search_batch(q, k=10)
     queries["bm25_200_queries_bmw"] = round(time.perf_counter() - t0, 3)
@@ -204,29 +212,35 @@ def run_once() -> dict:
     engine_bmw.shutdown()
 
     # --- data ops over the sf testdata tables ---
+    _mark("lexicon_documents")
     t0 = time.perf_counter()
     textops.lexicon(SF_DIR).to_pandas()
     queries["lexicon_documents"] = round(time.perf_counter() - t0, 3)
 
+    _mark("dedup_minhash")
     t0 = time.perf_counter()
     dedup_ops.minhash_lsh_pairs(SF_DIR).to_pandas()
     queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
 
+    _mark("ann_brute")
     t0 = time.perf_counter()
     ann_ops.ann_brute_topk(SF_DIR).to_pandas()
     queries["ann_brute"] = round(time.perf_counter() - t0, 3)
 
     # round-2 ops: exact distributed n-gram Jaccard + min-label components
+    _mark("dedup_ngram_exact")
     t0 = time.perf_counter()
     dedup_ops.ngram_jaccard_pairs(SF_DIR).to_pandas()
     queries["dedup_ngram_exact"] = round(time.perf_counter() - t0, 3)
 
+    _mark("dedup_components")
     t0 = time.perf_counter()
     dedup_ops.dedup_components(SF_DIR).to_pandas()
     queries["dedup_components"] = round(time.perf_counter() - t0, 3)
 
     from searchengine_ray.pipelines import events as event_ops
 
+    _mark("events_windowed")
     t0 = time.perf_counter()
     event_ops.windowed_counts(SF_DIR).to_pandas()
     queries["events_windowed"] = round(time.perf_counter() - t0, 3)
@@ -234,22 +248,26 @@ def run_once() -> dict:
     # round-3: composed lang/quality/dedup cleaning pipeline
     from searchengine_ray.pipelines import clean as clean_ops
 
+    _mark("clean_corpus")
     t0 = time.perf_counter()
     clean_ops.clean_corpus(SF_DIR).to_pandas()
     queries["clean_corpus"] = round(time.perf_counter() - t0, 3)
 
     # round-3 LLM-data ops: substring-dedup policy strip, benchmark
     # decontamination, unigram-LM quality scoring
+    _mark("strip_dup_spans")
     t0 = time.perf_counter()
     dedup_ops.strip_dup_spans(SF_DIR).to_pandas()
     queries["strip_dup_spans"] = round(time.perf_counter() - t0, 3)
 
+    _mark("decontaminate")
     t0 = time.perf_counter()
     dedup_ops.decontaminate(SF_DIR).to_pandas()
     queries["decontaminate"] = round(time.perf_counter() - t0, 3)
 
     from searchengine_ray.pipelines import corpus as corpus_ops
 
+    _mark("unigram_logprob")
     t0 = time.perf_counter()
     corpus_ops.unigram_logprob(SF_DIR).to_pandas()
     queries["unigram_logprob"] = round(time.perf_counter() - t0, 3)
@@ -258,6 +276,7 @@ def run_once() -> dict:
     # concat-and-chunk sequence packing
     from searchengine_ray.pipelines import export as export_ops
 
+    _mark("pack_sequences")
     t0 = time.perf_counter()
     export_ops.pack_sequences(SF_DIR, seq_len=512).to_pandas()
     queries["pack_sequences"] = round(time.perf_counter() - t0, 3)
@@ -265,26 +284,31 @@ def run_once() -> dict:
     # round-3: iterative link analysis (one coarse exchange per round)
     from searchengine_ray.pipelines import graph as graph_ops
 
+    _mark("pagerank")
     t0 = time.perf_counter()
     graph_ops.pagerank(SF_DIR, iters=3, k=4).to_pandas()
     queries["pagerank"] = round(time.perf_counter() - t0, 3)
 
     # round-4 ops: HITS (block-count fix), anchor-text aggregation,
     # retention cohorts, skip-gram co-occurrence counts
+    _mark("hits")
     t0 = time.perf_counter()
     graph_ops.hits(SF_DIR, iters=2, k=4).to_pandas()
     queries["hits"] = round(time.perf_counter() - t0, 3)
 
+    _mark("anchor_texts")
     t0 = time.perf_counter()
     graph_ops.anchor_texts(SF_DIR, k=4, topk=3).to_pandas()
     queries["anchor_texts"] = round(time.perf_counter() - t0, 3)
 
     from searchengine_ray.pipelines import events as event_ops2
 
+    _mark("events_retention")
     t0 = time.perf_counter()
     event_ops2.retention_cohorts(SF_DIR).to_pandas()
     queries["events_retention"] = round(time.perf_counter() - t0, 3)
 
+    _mark("skipgram_counts")
     t0 = time.perf_counter()
     corpus_ops.skipgram_counts(SF_DIR, window=3, k=50).to_pandas()
     queries["skipgram_counts"] = round(time.perf_counter() - t0, 3)
@@ -292,6 +316,7 @@ def run_once() -> dict:
     # round-5: motion-JPEG per-frame decode (baseline JFIF Huffman+IDCT)
     from searchengine_ray.pipelines import multimodal as mm_ops
 
+    _mark("media_video_stats_jpeg")
     t0 = time.perf_counter()
     mm_ops.media_video_stats_jpeg(SF_DIR, concurrency=8).to_pandas()
     queries["media_video_stats_jpeg"] = round(time.perf_counter() - t0, 3)

@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--queries", action="store_true", help="also run a 200-query BM25 batch")
     ap.add_argument("--keep-index", action="store_true")
     ap.add_argument(
+        "--waves", type=int, default=1,
+        help="run the postings exchange in W disjoint part-waves "
+        "(BuildConfig.exchange_waves): each wave re-tokenizes the corpus but "
+        "materializes only 1/W of the packed exchange, bounding object-store "
+        "+ spill-disk footprint. The 30M smoke needs ~3 on this host.",
+    )
+    ap.add_argument(
         "--object-store-gb", type=float, default=None,
         help="Ray object-store size in GiB (default: Ray's 30%% of RAM). The "
         "postings exchange materializes in the store; on disk-constrained "
@@ -71,7 +78,8 @@ def main() -> None:
     t0 = time.perf_counter()
     # num_partitions=None -> auto-sized from input bytes (the knob the
     # round-2 verdict asked to exercise at the 10M scale)
-    metrics = build_index(pages_dir, index_dir, BuildConfig(num_partitions=None),
+    metrics = build_index(pages_dir, index_dir,
+                          BuildConfig(num_partitions=None, exchange_waves=args.waves),
                           source="pages")
     build_s = time.perf_counter() - t0
 
@@ -84,6 +92,7 @@ def main() -> None:
         "build_s": round(build_s, 1),
         "docs_per_sec": round(n_docs / build_s, 1),
         "auto_P": metrics["config"]["num_partitions"],
+        "waves": args.waves,
         "n_postings": seg.get("n_postings"),
         "bytes_per_posting": seg.get("bytes_per_posting"),
         "max_part_postings": seg.get("max_part_postings"),

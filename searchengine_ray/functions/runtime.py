@@ -105,3 +105,21 @@ def size_suffix(n_bytes: int, decimals: int = 1) -> str:
         value /= 1024.0
         i += 1
     return f"{value:.{decimals}f} {_SIZE_SUFFIXES[i]}"
+
+
+def cap_pool_size(concurrency: int) -> int:
+    """Clamp a fixed-size actor-pool request to what the cluster can start.
+
+    Ray Data's ActorPoolMapOperator waits for ALL `concurrency` actors of a
+    fixed-size pool before finishing; requesting more 1-CPU actors than the
+    cluster has CPUs deadlocks the job (measured: concurrency=8 on a 4-CPU
+    session hangs forever). One CPU is left for the upstream read tasks."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
+            return max(1, min(concurrency, cpus - 1))
+    except Exception:
+        pass
+    return concurrency

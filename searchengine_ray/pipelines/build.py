@@ -120,6 +120,14 @@ class BuildConfig:
     # have no real title column; per-field dl/avgdl/df follow normally, so
     # field-scoped queries work on a documents-built index). SQL-mirrorable
     # contract: title tokens == list_slice(body_tokens, 1, K).
+    exchange_waves: int = 1  # run the postings exchange in W disjoint
+    # part-waves (wave w builds parts with part % W == w). Each wave
+    # re-tokenizes the input but materializes only 1/W of the packed
+    # exchange in the object store — the multi-pass external-shuffle lever
+    # for when store + spill disk < ~2x the packed corpus (measured: the
+    # 30M-doc smoke's single-wave exchange spilled past the sandbox disk).
+    # EXECUTION-ONLY: output segments are byte-identical for any W, so this
+    # knob is excluded from the resume fingerprint.
 
 
 def _fingerprint(input_path: str, cfg: BuildConfig, source: str) -> str:
@@ -133,7 +141,11 @@ def _fingerprint(input_path: str, cfg: BuildConfig, source: str) -> str:
                 files.append((fn, os.path.getsize(p)))
     elif os.path.exists(input_path):
         files.append((os.path.basename(input_path), os.path.getsize(input_path)))
-    body = json.dumps({"files": files, "cfg": asdict(cfg), "source": source, "v": 1})
+    cfg_d = asdict(cfg)
+    # execution-only knobs produce byte-identical output — a build paused
+    # under one wave count must resume under another
+    cfg_d.pop("exchange_waves", None)
+    body = json.dumps({"files": files, "cfg": cfg_d, "source": source, "v": 1})
     return f"{hash64(body) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
@@ -176,7 +188,28 @@ def _postings_table(
     return pa.concat_tables(parts_out)
 
 
-def make_pages_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = frozenset()):
+def _part_filter(out: pa.Table, skip: np.ndarray, wave: tuple[int, int] | None) -> pa.Table:
+    """Drop postings for resume-completed parts and (under a waved exchange)
+    parts outside this wave. Vectorized; the common path (no skip, no wave)
+    is a no-op."""
+    if not len(skip) and wave is None:
+        return out
+    parts = out.column("part").to_numpy(zero_copy_only=False)
+    mask = None
+    if wave is not None:
+        w, n_waves = wave
+        mask = (parts % np.uint32(n_waves)) == np.uint32(w)
+    if len(skip):
+        keep = np.isin(parts, skip, invert=True)
+        mask = keep if mask is None else (mask & keep)
+    return out.filter(pa.array(mask))
+
+
+def make_pages_postings_fn(
+    cfg: BuildConfig,
+    skip_parts: frozenset[int] = frozenset(),
+    wave: tuple[int, int] | None = None,
+):
     """Batch fn: pages (url, html, lang) -> POSTINGS rows.
 
     Extraction runs on `html` (per-row invariant extract(html) == text is
@@ -197,15 +230,16 @@ def make_pages_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = frozen
         if cfg.index_title:
             fields.append((FIELD_TITLE, titles))
         out = _postings_table(doc_ids, fields, cfg.num_partitions, cfg.store_positions)
-        if len(skip):
-            mask = np.isin(out.column("part").to_numpy(zero_copy_only=False), skip, invert=True)
-            out = out.filter(pa.array(mask))
-        return out
+        return _part_filter(out, skip, wave)
 
     return fn
 
 
-def make_documents_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = frozenset()):
+def make_documents_postings_fn(
+    cfg: BuildConfig,
+    skip_parts: frozenset[int] = frozenset(),
+    wave: tuple[int, int] | None = None,
+):
     """Batch fn: testdata documents (doc_id, text[, lang]) -> POSTINGS rows
     (body field only; doc_id is given)."""
     skip = np.sort(np.fromiter(skip_parts, dtype=np.uint32, count=len(skip_parts)))
@@ -228,10 +262,7 @@ def make_documents_postings_fn(cfg: BuildConfig, skip_parts: frozenset[int] = fr
             cfg.num_partitions,
             cfg.store_positions,
         )
-        if len(skip):
-            mask = np.isin(out.column("part").to_numpy(zero_copy_only=False), skip, invert=True)
-            out = out.filter(pa.array(mask))
-        return out
+        return _part_filter(out, skip, wave)
 
     return fn
 
@@ -650,31 +681,43 @@ def build_index(
     done = mf.completed_parts(index_dir, fingerprint)
     metrics["parts_skipped_resume"] = len(done)
     if len(done) < cfg.num_partitions:
-        if source == "pages":
-            src = rd.read_parquet(input_path, columns=["url", "html", "lang"])
-            prep = make_pages_postings_fn(cfg, frozenset(done))
-        else:
-            src = rd.read_parquet(
-                f"{input_path}/documents.parquet" if os.path.isdir(input_path) else input_path,
-                columns=["doc_id", "text", "lang"],
+        import pandas as pd
+
+        n_waves = max(1, int(cfg.exchange_waves or 1))
+        wave_frames: list = []
+        stats_blobs: list[str] = []
+        for w in range(n_waves):
+            wave = (w, n_waves) if n_waves > 1 else None
+            if source == "pages":
+                src = rd.read_parquet(input_path, columns=["url", "html", "lang"])
+                prep = make_pages_postings_fn(cfg, frozenset(done), wave=wave)
+            else:
+                src = rd.read_parquet(
+                    f"{input_path}/documents.parquet" if os.path.isdir(input_path) else input_path,
+                    columns=["doc_id", "text", "lang"],
+                )
+                prep = make_documents_postings_fn(cfg, frozenset(done), wave=wave)
+            packed = src.map_batches(
+                make_packed_fn(prep, cfg.shuffle_compression),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                zero_copy_batch=True,
             )
-            prep = make_documents_postings_fn(cfg, frozenset(done))
-        packed = src.map_batches(
-            make_packed_fn(prep, cfg.shuffle_compression),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            zero_copy_batch=True,
-        )
-        writer = make_segment_writer(index_dir, fingerprint, cfg.block_size)
-        seg_ds = packed.groupby("part").map_groups(writer, batch_format="pyarrow")
-        seg_metrics = seg_ds.to_pandas()
-        # persist Ray's per-operator execution stats with the run lineage
-        # (T5 analog of the reference's throughput sampler, SURVEY.md §2.3)
+            writer = make_segment_writer(index_dir, fingerprint, cfg.block_size)
+            seg_ds = packed.groupby("part").map_groups(writer, batch_format="pyarrow")
+            wave_frames.append(seg_ds.to_pandas())
+            # persist Ray's per-operator execution stats with the run lineage
+            # (T5 analog of the reference's throughput sampler, SURVEY.md §2.3)
+            try:
+                stats_blobs.append(seg_ds.stats())
+            except Exception:  # stats are observability, never fail the build
+                pass
+        seg_metrics = pd.concat(wave_frames) if wave_frames else pd.DataFrame()
         try:
             os.makedirs(mf.manifest_dir(index_dir), exist_ok=True)
             with open(os.path.join(mf.manifest_dir(index_dir), "ray_stats.txt"), "w") as fh:
-                fh.write(seg_ds.stats())
-        except Exception:  # stats are observability, never fail the build
+                fh.write(f"\n\n{'=' * 20} wave boundary {'=' * 20}\n\n".join(stats_blobs))
+        except Exception:
             pass
         if len(seg_metrics) == 0:  # every row filtered -> zero groups
             metrics["segments"] = {

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions import media as _media_codecs
-from ..functions.runtime import cap_worker_threads
+from ..functions.runtime import cap_pool_size, cap_worker_threads
 
 # 16-byte deterministic fake media header: magic, kind, width, height, n_frames
 # NB: a module-level struct.Struct would break pickle-by-value task
@@ -245,7 +245,7 @@ def media_meta(media_ds: rd.Dataset, concurrency: int = 2, batch_size: int = 64)
         MediaDecodeStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=cap_pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -256,7 +256,7 @@ def image_features(media_ds: rd.Dataset, concurrency: int = 2, batch_size: int =
         ImageFeatureStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=cap_pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -267,7 +267,7 @@ def sample_frames(media_ds: rd.Dataset, stride: int = 10, concurrency: int = 2) 
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=concurrency,
+        concurrency=cap_pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -385,7 +385,7 @@ def media_image_stats(sf_dir: str, concurrency: int = 2, batch_size: int = 64) -
         ImageStatsStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=cap_pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -460,7 +460,7 @@ def media_phash(sf_dir: str, concurrency: int = 2, batch_size: int = 64) -> rd.D
         ImagePhashStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=cap_pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -555,7 +555,7 @@ def media_video_stats(
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=cap_pool_size(concurrency),
         num_cpus=1,
     )
 
@@ -614,6 +614,6 @@ def media_video_stats_jpeg(
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=cap_pool_size(concurrency),
         num_cpus=1,
     )

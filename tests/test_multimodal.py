@@ -335,3 +335,16 @@ def test_jpeg_420_subsampling():
 
     odd = np.random.RandomState(3).randint(0, 256, (19, 27, 3), np.uint8)
     assert m.decode_jpeg(m.encode_jpeg(odd, subsample="420")).shape == (19, 27, 3)
+
+
+def test_oversized_actor_pool_request_completes(ray_session):
+    """Requesting a fixed-size actor pool larger than the cluster must not
+    deadlock: Ray Data waits for ALL actors of a fixed-size pool, so the
+    library clamps concurrency to cluster CPUs (functions/runtime.py
+    cap_pool_size; measured hang: concurrency=8 on a 4-CPU session)."""
+    from searchengine_ray.pipelines.multimodal import media_video_stats_jpeg
+
+    df = media_video_stats_jpeg(
+        "/root/testdata/sf0.001", concurrency=64
+    ).to_pandas()
+    assert len(df) > 0

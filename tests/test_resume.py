@@ -85,3 +85,36 @@ def test_shuffle_compression_is_transport_only(pages_dir, tmp_path, ray_session)
                 os.path.join(b, "segments", part, f),
                 shallow=False,
             ), (part, f)
+
+
+def test_exchange_waves_byte_identical(pages_dir, tmp_path_factory, cfg, ray_session):
+    """A waved exchange (exchange_waves=3: each wave builds only parts with
+    part % 3 == w, bounding the materialized shuffle to ~1/3 of the packed
+    corpus) must produce byte-identical segments AND the same resume
+    fingerprint as the single-wave build — the knob is execution-only."""
+    import dataclasses
+    import json
+
+    single = str(tmp_path_factory.mktemp("idx_wave1"))
+    waved = str(tmp_path_factory.mktemp("idx_wave3"))
+    build_index(pages_dir, single, cfg, source="pages")
+    cfg_w = dataclasses.replace(cfg, exchange_waves=3)
+    m = build_index(pages_dir, waved, cfg_w, source="pages")
+    assert m["segments"]["n_parts_built"] == cfg.num_partitions
+    assert _segments_equal(single, waved)
+    with open(os.path.join(single, "stats.json")) as fh:
+        fp_single = json.load(fh)["fingerprint"]
+    with open(os.path.join(waved, "stats.json")) as fh:
+        fp_waved = json.load(fh)["fingerprint"]
+    assert fp_single == fp_waved
+
+    # a build interrupted mid-wave resumes: drop one part from each wave
+    # residue class and rebuild under a DIFFERENT wave count
+    for part in (1, 3, 5):
+        shutil.rmtree(os.path.join(waved, "segments", mf.part_name(part)))
+        os.unlink(os.path.join(mf.manifest_dir(waved), mf.part_name(part) + ".json"))
+    m2 = build_index(pages_dir, waved, dataclasses.replace(cfg, exchange_waves=2),
+                     source="pages")
+    assert m2["parts_skipped_resume"] == 3
+    assert m2["segments"]["n_parts_built"] == 3
+    assert _segments_equal(single, waved)
