@@ -42,6 +42,7 @@ from ..functions.runtime import cap_worker_threads
 from ..functions.scoring import round6
 from ..functions.tokenize import tokenize_flat
 from ..sources.tables import read_documents, read_embeddings
+from .exchange import coarse_bucket_apply, coarse_pair_bucket_apply
 
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 4 rows per band
@@ -62,19 +63,11 @@ def coarse_pair_dedup(
     pairs: rd.Dataset, ka: str, kb: str, vcol: str | None = None
 ) -> rd.Dataset:
     """Dedup (ka, kb[, vcol]) pair rows that can surface from several
-    buckets: coarse pbucket shuffle (pair-hash % N_COARSE_BUCKETS; equal
+    buckets: coarse pair-bucket shuffle (pair-hash % N_COARSE_BUCKETS; equal
     pairs still co-locate) + ONE vectorized run-dedup per coarse group —
     never a per-distinct-pair map_groups (module docstring). vcol, when
     present, is identical across a pair's occurrences, so keeping the
     first row is exact; vcol=None dedups bare key pairs."""
-
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column(ka).to_numpy(zero_copy_only=False)
-        b = t.column(kb).to_numpy(zero_copy_only=False)
-        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
-            N_COARSE_BUCKETS
-        )
-        return t.append_column("pbucket", pa.array(code.astype(np.int32), pa.int32()))
 
     def run_dedup(group: pa.Table) -> pa.Table:
         a = group.column(ka).to_numpy(zero_copy_only=False)
@@ -95,11 +88,7 @@ def coarse_pair_dedup(
             cols[vcol] = pa.array(v[order][new], pa.float64())
         return pa.table(cols)
 
-    return (
-        pairs.map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pbucket")
-        .map_groups(run_dedup, batch_format="pyarrow")
-    )
+    return coarse_pair_bucket_apply(pairs, ka, kb, run_dedup, N_COARSE_BUCKETS)
 
 
 def _minhash_params(num_perm: int = MINHASH_PERMS, seed: int = 12345):
@@ -488,11 +477,6 @@ def minhash_lsh_pairs(
             }
         )
 
-    def key_bucket(t: pa.Table) -> pa.Table:
-        k = t.column("key").to_numpy(zero_copy_only=False)
-        b = (k.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32)
-        return t.append_column("kbucket", pa.array(b, pa.int32()))
-
     _A = pa.schema(
         [
             ("doc_a", pa.int64()),
@@ -530,22 +514,14 @@ def minhash_lsh_pairs(
         )
 
     sides = pairs.map_batches(pair_sides, batch_format="pyarrow", zero_copy_batch=True)
-    attached = (
+    attached = coarse_bucket_apply(
         sides.union(
             sig_side.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
-        )
-        .map_batches(key_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("kbucket")
-        .map_groups(attach, batch_format="pyarrow")
+        ),
+        "key",
+        attach,
+        N_COARSE_BUCKETS,
     )
-
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
-        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
-            N_COARSE_BUCKETS
-        )
-        return t.append_column("pbucket", pa.array(code.astype(np.int32), pa.int32()))
 
     def est_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -572,10 +548,8 @@ def minhash_lsh_pairs(
             }
         )
 
-    return (
-        attached.map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pbucket")
-        .map_groups(est_group, batch_format="pyarrow")
+    return coarse_pair_bucket_apply(
+        attached, "doc_a", "doc_b", est_group, N_COARSE_BUCKETS
     )
 
 
@@ -680,11 +654,6 @@ def ngram_jaccard_pairs(
     # measured 8s of pure per-group overhead at sf0.1). Instead group by
     # shingle % N_COARSE_BUCKETS (same co-location guarantee: equal shingles
     # share a bucket) and process each bucket's shingle RUNS vectorized.
-    def bucket_of(t: pa.Table) -> pa.Table:
-        sh = t.column("shingle").to_numpy(zero_copy_only=False)
-        b = (sh.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32)
-        return t.append_column("bucket", pa.array(b, pa.int32()))
-
     def bucket_shingle_pairs(group: pa.Table) -> pa.Table:
         doc = group.column("doc_id").to_numpy(zero_copy_only=False)
         sz = group.column("sz").to_numpy(zero_copy_only=False)
@@ -723,14 +692,6 @@ def ngram_jaccard_pairs(
             }
         )
 
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
-        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
-            N_COARSE_BUCKETS
-        )
-        return t.append_column("pbucket", pa.array(code.astype(np.int32), pa.int32()))
-
     def bucket_pair_jaccard(group: pa.Table) -> pa.Table:
         # fully vectorized: one reduceat over the (doc_a, doc_b) runs
         a = group.column("doc_a").to_numpy(zero_copy_only=False)
@@ -761,13 +722,11 @@ def ngram_jaccard_pairs(
     )
     if candidate_ids_ds is not None:
         rows_ds = _semi_filter_rows_by_ids(rows_ds, candidate_ids_ds)
-    return (
-        rows_ds.map_batches(bucket_of, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(bucket_shingle_pairs, batch_format="pyarrow")
-        .map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pbucket")
-        .map_groups(bucket_pair_jaccard, batch_format="pyarrow")
+    shingle_pairs = coarse_bucket_apply(
+        rows_ds, "shingle", bucket_shingle_pairs, N_COARSE_BUCKETS
+    )
+    return coarse_pair_bucket_apply(
+        shingle_pairs, "doc_a", "doc_b", bucket_pair_jaccard, N_COARSE_BUCKETS
     )
 
 
@@ -777,22 +736,9 @@ def _semi_filter_rows_by_ids(rows_ds: rd.Dataset, ids_ds: rd.Dataset) -> rd.Data
     tagged into one union schema, ONE exchange on doc_id % N, vectorized
     run scan keeps shingle rows whose doc run contains an id row. Each id
     and shingle row crosses the exchange exactly once; no driver state."""
-    _S = pa.schema(
-        [
-            ("dbucket", pa.int32()),
-            ("doc_id", pa.int64()),
-            ("shingle", pa.int64()),
-            ("sz", pa.int64()),
-            ("is_id", pa.int8()),
-        ]
-    )
-
     def tag_rows(t: pa.Table) -> pa.Table:
-        d = t.column("doc_id").to_numpy(zero_copy_only=False)
-        b = (d.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32)
         return pa.table(
             {
-                "dbucket": pa.array(b, pa.int32()),
                 "doc_id": t.column("doc_id"),
                 "shingle": t.column("shingle"),
                 "sz": t.column("sz"),
@@ -802,11 +748,9 @@ def _semi_filter_rows_by_ids(rows_ds: rd.Dataset, ids_ds: rd.Dataset) -> rd.Data
 
     def tag_ids(t: pa.Table) -> pa.Table:
         d = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (d.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32)
         n = len(d)
         return pa.table(
             {
-                "dbucket": pa.array(b, pa.int32()),
                 "doc_id": pa.array(d, pa.int64()),
                 "shingle": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "sz": pa.array(np.zeros(n, np.int64), pa.int64()),
@@ -834,7 +778,7 @@ def _semi_filter_rows_by_ids(rows_ds: rd.Dataset, ids_ds: rd.Dataset) -> rd.Data
     union = rows_ds.map_batches(
         tag_rows, batch_format="pyarrow", zero_copy_batch=True
     ).union(ids_ds.map_batches(tag_ids, batch_format="pyarrow", zero_copy_batch=True))
-    return union.groupby("dbucket").map_groups(keep_allowed, batch_format="pyarrow")
+    return coarse_bucket_apply(union, "doc_id", keep_allowed, N_COARSE_BUCKETS)
 
 
 VERIFY_PAIR_BUDGET = 2_000_000  # max candidate pairs for the driver-collect
@@ -871,7 +815,7 @@ def ngram_jaccard_verify(
         filter (the cheap path; bounded by the budget);
       pairs >  pair_budget — pairs NEVER land on the driver: exact rows and
         candidate rows meet in a coarse-bucket pair exchange (the same
-        pbucket discipline as coarse_pair_dedup) and exact rows survive iff
+        pair-bucket discipline as coarse_pair_dedup) and exact rows survive iff
         their (a, b) key appears among the candidates."""
     cand_ds = minhash_lsh_pairs(sf_dir, threshold=max(0.3, threshold - 0.2)).materialize()
     n_pairs = cand_ds.count()
@@ -972,14 +916,6 @@ def ngram_jaccard_verify(
             }
         )
 
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
-        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
-            N_COARSE_BUCKETS
-        )
-        return t.append_column("pbucket", pa.array(code.astype(np.int32), pa.int32()))
-
     def semi(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _E.empty_table()
@@ -1009,11 +945,7 @@ def ngram_jaccard_verify(
     tagged = exact.map_batches(
         tag_exact, batch_format="pyarrow", zero_copy_batch=True
     ).union(cand_keys)
-    return (
-        tagged.map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("pbucket")
-        .map_groups(semi, batch_format="pyarrow")
-    )
+    return coarse_pair_bucket_apply(tagged, "doc_a", "doc_b", semi, N_COARSE_BUCKETS)
 
 
 def _components_propagate(pairs: rd.Dataset, docs: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
@@ -2257,11 +2189,6 @@ def dedup_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         toks, "inner", num_partitions=16, on=("doc_id",), right_on=("td",)
     )
 
-    def cbucket(t: pa.Table) -> pa.Table:
-        comp = t.column("component_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (comp.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32)
-        return t.append_column("cbucket", pa.array(b, pa.int32()))
-
     _O = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -2290,11 +2217,7 @@ def dedup_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
             }
         )
 
-    return (
-        joined.map_batches(cbucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cbucket")
-        .map_groups(pick, batch_format="pyarrow")
-    )
+    return coarse_bucket_apply(joined, "component_id", pick, N_COARSE_BUCKETS)
 
 
 def dedup_incremental(sf_dir: str, mod: int = 2) -> rd.Dataset:

@@ -39,8 +39,37 @@ def coarse_bucket_apply(
 
     def coarse(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
+        if k.dtype != np.int64:
+            k = k.astype(np.int64)
         b = (k.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    return (
+        ds.map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def coarse_pair_bucket_apply(
+    ds: rd.Dataset,
+    ka: str,
+    kb: str,
+    kernel,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """coarse_bucket_apply for a composite (ka, kb) int64 pair key:
+    bucket = ((ka * 31) ^ kb) % n_buckets, so equal pairs co-locate. Shared
+    by the dedup pair tails (pair dedup, est-Jaccard, exact-Jaccard count,
+    verify semi-join) — the same run-scan discipline, pair-keyed."""
+
+    def coarse(t: pa.Table) -> pa.Table:
+        a = t.column(ka).to_numpy(zero_copy_only=False)
+        b = t.column(kb).to_numpy(zero_copy_only=False)
+        code = ((a.view(np.uint64) * np.uint64(31)) ^ b.view(np.uint64)) % np.uint64(
+            n_buckets
+        )
+        return t.append_column("bucket", pa.array(code.astype(np.int32), pa.int32()))
 
     return (
         ds.map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
