@@ -344,6 +344,14 @@ class _JpegBitWriter:
             self.put(0x7F, 8 - self.n)  # pad with 1 bits
         return bytes(self.out)
 
+    def restart_marker(self, idx: int) -> None:
+        """Pad to the byte boundary (stuffed like any entropy byte) and
+        emit RST(idx mod 8) — markers are raw, never stuffed (T.81 B.2.1)."""
+        if self.n:
+            self.put(0x7F, 8 - self.n)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (idx & 7))
+
 
 class _JpegBitReader:
     """Entropy-stream reader with 0xFF00 unstuffing; stops at any marker
@@ -384,12 +392,24 @@ class _JpegBitReader:
         return v
 
     def restart(self) -> None:
-        """Consume the pending RSTn marker and realign (DRI support)."""
-        if not (self.marker is not None and 0xD0 <= self.marker <= 0xD7):
-            raise ValueError("expected restart marker")
-        self.pos += 2  # the FF and the RSTn byte
+        """Discard pad bits to the byte boundary and consume the RSTn
+        marker (DRI support). At an interval boundary the reader usually
+        still holds unread pad bits — or sits exactly on the marker's
+        0xFF — with .marker unset, because only a read_bit() that ran dry
+        peeks ahead; so the marker must be read from the stream here, not
+        assumed to have been latched already."""
         self.acc = 0
         self.n = 0
+        if self.marker is None:
+            if not (
+                self.pos + 1 < len(self.d)
+                and self.d[self.pos] == 0xFF
+                and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected restart marker")
+        elif not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2  # the FF and the RSTn byte
         self.marker = None
 
 
@@ -433,13 +453,17 @@ def _blockify(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(arr: np.ndarray, subsample: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, subsample: str = "444", restart_interval: int = 0
+) -> bytes:
     """uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB -> baseline
     sequential JFIF bytes. subsample: "444" (no chroma subsampling,
     default) or "420" (2x2 luma sampling, box-averaged chroma — the
     common web-JPEG shape; ignored for grayscale). Non-MCU-multiple
     dimensions are edge-padded; SOF records the true size so decoders
-    crop back."""
+    crop back. restart_interval > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (DC predictors reset, cycling RST0..RST7) — the
+    shape libjpeg produces for error-resilient web JPEGs."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
@@ -528,8 +552,13 @@ def encode_jpeg(arr: np.ndarray, subsample: str = "444") -> bytes:
 
     # interleaved MCU order: per component, Hi x Vi blocks left-to-right,
     # top-to-bottom (T.81 A.2.3); 4:4:4 / gray degenerate to one block each
+    mcu = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart_marker(mcu // restart_interval - 1)
+                pred[:] = [0] * ncomp
+            mcu += 1
             for ci, (hi, vi) in enumerate(samp):
                 for v in range(vi):
                     for hh in range(hi):
@@ -556,6 +585,8 @@ def encode_jpeg(arr: np.ndarray, subsample: str = "444") -> bytes:
     out.append(
         seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
     )
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])

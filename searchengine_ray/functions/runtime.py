@@ -123,3 +123,25 @@ def cap_pool_size(concurrency: int) -> int:
     except Exception:
         pass
     return concurrency
+
+
+def pool_kwargs(concurrency: int) -> dict:
+    """map_batches kwargs for a fixed-size 1-CPU actor pool that cannot
+    deadlock the cluster: {"concurrency": capped, "num_cpus": c}.
+
+    Beyond cap_pool_size's size clamp, a 1-CPU cluster needs the actor at
+    num_cpus=0 — even a single 1-CPU actor claims the only CPU forever and
+    starves the upstream read tasks (measured: a concurrency=1 pool on a
+    num_cpus=1 session hangs until killed; num_cpus=0 completes). The
+    zero-CPU actor oversubscribes a 1-CPU box, which merely timeslices."""
+    n = cap_pool_size(concurrency)
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
+            if cpus <= 1:
+                return {"concurrency": n, "num_cpus": 0}
+    except Exception:
+        pass
+    return {"concurrency": n, "num_cpus": 1}

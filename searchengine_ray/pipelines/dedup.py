@@ -1614,18 +1614,11 @@ def decontaminate(
 
     _U = pa.schema(
         [
-            ("bucket", pa.int32()),
             ("shingle", pa.int64()),
             ("doc_id", pa.int64()),
             ("kind", pa.int8()),  # 0 = train pair, 1 = bench shingle, 2 = zero-shingle doc
         ]
     )
-
-    def _with_bucket(sh: np.ndarray) -> pa.Array:
-        return pa.array(
-            (sh.view(np.uint64) % np.uint64(N_COARSE_BUCKETS)).astype(np.int32),
-            pa.int32(),
-        )
 
     def train_rows(t: pa.Table) -> pa.Table:
         got = _train_distinct(t)
@@ -1642,7 +1635,6 @@ def decontaminate(
         )
         return pa.table(
             {
-                "bucket": _with_bucket(sh_all),
                 "shingle": pa.array(sh_all, pa.int64()),
                 "doc_id": pa.array(did_all, pa.int64()),
                 "kind": pa.array(kind, pa.int8()),
@@ -1653,7 +1645,6 @@ def decontaminate(
         sh = t.column("shingle").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": _with_bucket(sh),
                 "shingle": t.column("shingle"),
                 "doc_id": pa.array(np.zeros(len(sh), np.int64), pa.int64()),
                 "kind": pa.array(np.ones(len(sh), np.int8), pa.int8()),
@@ -1706,8 +1697,7 @@ def decontaminate(
         .union(bench_ds.map_batches(bench_rows, batch_format="pyarrow", zero_copy_batch=True))
     )
     return (
-        union.groupby("bucket")
-        .map_groups(semi, batch_format="pyarrow")
+        coarse_bucket_apply(union, "shingle", semi, N_COARSE_BUCKETS)
         .groupby("doc_id")
         .aggregate(_Sum("n_p", alias_name="n_shingles"), _Sum("ov_p", alias_name="n_overlap"))
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

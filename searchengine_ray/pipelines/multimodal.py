@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions import media as _media_codecs
-from ..functions.runtime import cap_pool_size, cap_worker_threads
+from ..functions.runtime import cap_worker_threads, pool_kwargs
 
 # 16-byte deterministic fake media header: magic, kind, width, height, n_frames
 # NB: a module-level struct.Struct would break pickle-by-value task
@@ -245,8 +245,7 @@ def media_meta(media_ds: rd.Dataset, concurrency: int = 2, batch_size: int = 64)
         MediaDecodeStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=cap_pool_size(concurrency),
-        num_cpus=1,
+        **pool_kwargs(concurrency),
     )
 
 
@@ -256,8 +255,7 @@ def image_features(media_ds: rd.Dataset, concurrency: int = 2, batch_size: int =
         ImageFeatureStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=cap_pool_size(concurrency),
-        num_cpus=1,
+        **pool_kwargs(concurrency),
     )
 
 
@@ -267,8 +265,7 @@ def sample_frames(media_ds: rd.Dataset, stride: int = 10, concurrency: int = 2) 
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=cap_pool_size(concurrency),
-        num_cpus=1,
+        **pool_kwargs(concurrency),
     )
 
 
@@ -385,8 +382,7 @@ def media_image_stats(sf_dir: str, concurrency: int = 2, batch_size: int = 64) -
         ImageStatsStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=cap_pool_size(concurrency),
-        num_cpus=1,
+        **pool_kwargs(concurrency),
     )
 
 
@@ -460,8 +456,7 @@ def media_phash(sf_dir: str, concurrency: int = 2, batch_size: int = 64) -> rd.D
         ImagePhashStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=cap_pool_size(concurrency),
-        num_cpus=1,
+        **pool_kwargs(concurrency),
     )
 
 
@@ -555,8 +550,7 @@ def media_video_stats(
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=cap_pool_size(concurrency),
-        num_cpus=1,
+        **pool_kwargs(concurrency),
     )
 
 
@@ -614,6 +608,5 @@ def media_video_stats_jpeg(
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=cap_pool_size(concurrency),
-        num_cpus=1,
+        **pool_kwargs(concurrency),
     )

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.runtime import cap_pool_size, cap_worker_threads
+from ..functions.runtime import cap_worker_threads, pool_kwargs
 from ..functions.tokenize import parse_query_prefix, parse_query_signed
 from ..schemas import FIELD_BODY, FIELD_TITLE
 from ..state.shards import (
@@ -168,6 +168,5 @@ def evaluate_queries(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=cap_pool_size(concurrency),
-        num_cpus=1,
+        **pool_kwargs(concurrency),
     )

@@ -169,13 +169,19 @@ class _Part:
             return int(rows[i])
         return None
 
-    def postings_for(self, field: int, term_hash: int) -> tuple[np.ndarray, np.ndarray] | None:
+    def postings_for(
+        self, field: int, term_hash: int, row: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """`row`: pass a segment row already located by find() to skip the
+        duplicate lexicon binary search (the routed query path resolves
+        every term's row up front for its df)."""
         key = (field, term_hash)
         hit = self._decoded.get(key)
         if hit is not None:
             self._decoded.move_to_end(key)
             return hit
-        row = self.find(field, term_hash)
+        if row is None:
+            row = self.find(field, term_hash)
         if row is None:
             return None
         ords = decode_ords(
@@ -237,9 +243,14 @@ class _Part:
             docs, tfs = docs[keep], tfs[keep]
         return tfs, docs
 
-    def row_dict(self, field: int, term_hash: int) -> dict | None:
-        """Raw segment row views (for the BMW cursor's selective block decode)."""
-        row = self.find(field, term_hash)
+    def row_dict(
+        self, field: int, term_hash: int, row: int | None = None
+    ) -> dict | None:
+        """Raw segment row views (for the BMW cursor's selective block
+        decode). `row`: a segment row already located by find(), to skip
+        the duplicate binary search on the routed query path."""
+        if row is None:
+            row = self.find(field, term_hash)
         if row is None:
             return None
         out = {
@@ -650,8 +661,8 @@ class LocalIndex:
             if exact:
                 scores = np.zeros(len(part.doc_ids), dtype=np.float64)
                 touched = np.zeros(len(part.doc_ids), dtype=bool)
-                for _si, t, _r in rows:  # already in TermSpec order
-                    ords, tfs = part.postings_for(t.field, t.term_hash)
+                for _si, t, r in rows:  # already in TermSpec order
+                    ords, tfs = part.postings_for(t.field, t.term_hash, row=r)
                     scores[ords] += bm25_term_scores(
                         tfs, part.dl[t.field][ords], t.idf, t.qtf, self.avgdl[t.field]
                     )
@@ -664,10 +675,10 @@ class LocalIndex:
                 cursors = [
                     _Cursor(
                         si, t.qtf * t.idf, self.avgdl[t.field],
-                        part.row_dict(t.field, t.term_hash), bs,
+                        part.row_dict(t.field, t.term_hash, row=r), bs,
                         dl=part.dl[t.field],
                     )
-                    for si, t, _r in rows
+                    for si, t, r in rows
                 ]
                 ords, s = bmw_topk(cursors, len(part.doc_ids), k)
                 if not len(ords):

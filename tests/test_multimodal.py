@@ -238,6 +238,40 @@ def test_jpeg_general_roundtrip_and_meta():
         m.decode_jpeg(bytes(prog))
 
 
+def test_jpeg_restart_intervals():
+    """DRI streams decode identically to single-interval streams: the
+    reader must realign at every RSTn boundary even though it usually
+    still holds pad bits (the .marker latch is only set by a read that
+    ran dry). Covers gray/444/420, RST0..7 cycling, and a corrupted
+    restart byte raising instead of mis-decoding."""
+    import numpy as np
+    import pytest as _pytest
+
+    from searchengine_ray.functions import media as m
+
+    rng = np.random.default_rng(7)
+    for shape, sub in [((16, 16), "444"), ((24, 17, 3), "444"), ((33, 31, 3), "420")]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = m.decode_jpeg(m.encode_jpeg(img, subsample=sub))
+        for ri in (1, 3):
+            b = m.encode_jpeg(img, subsample=sub, restart_interval=ri)
+            assert b"\xff\xdd" in b and b"\xff\xd0" in b  # DRI + RST0
+            assert np.array_equal(m.decode_jpeg(b), base)
+
+    # > 8 intervals: markers cycle RST0..RST7 and keep decoding exactly
+    img = rng.integers(0, 256, (8, 8 * 20), dtype=np.uint8)
+    b = m.encode_jpeg(img, restart_interval=1)
+    for n in range(8):
+        assert bytes([0xFF, 0xD0 + n]) in b
+    assert np.array_equal(m.decode_jpeg(b), m.decode_jpeg(m.encode_jpeg(img)))
+
+    # corrupting a restart marker fails loudly, never silently mis-decodes
+    i = b.find(b"\xff\xd0")
+    bad = b[: i + 1] + b"\xd9" + b[i + 2 :]
+    with _pytest.raises(ValueError, match="restart"):
+        m.decode_jpeg(bad)
+
+
 def test_jpeg_dct_matches_naive_reference():
     """The 8x8 DCT matrix used by both codec directions reproduces the
     T.81 double-loop definition."""
@@ -348,3 +382,37 @@ def test_oversized_actor_pool_request_completes(ray_session):
         "/root/testdata/sf0.001", concurrency=64
     ).to_pandas()
     assert len(df) > 0
+
+
+def test_actor_pool_on_one_cpu_cluster_completes():
+    """A fixed-size pool on a 1-CPU cluster is the degenerate deadlock: the
+    single 1-CPU actor claims the only CPU and the upstream read tasks
+    starve forever (measured hang before the fix). pool_kwargs drops the
+    actor to num_cpus=0 there so reads can interleave. Fresh subprocess:
+    needs its own ray.init(num_cpus=1)."""
+    import subprocess
+    import sys
+
+    code = """
+import ray, sys
+sys.path.insert(0, "/root/repo")
+ray.init(address="local", num_cpus=1, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from searchengine_ray.pipelines.multimodal import media_meta, media_dataset_from_documents
+df = media_meta(media_dataset_from_documents("/root/testdata/sf0.001")).to_pandas()
+assert len(df) > 0, len(df)
+ray.shutdown()
+print("ONECPU_OK", len(df))
+"""
+    import os
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert "ONECPU_OK" in out.stdout, out.stdout + out.stderr
