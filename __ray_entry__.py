@@ -447,51 +447,41 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver evaluates entries in INSERTION order and
     # records rows for the first ~50 keys (r03/r04 each recorded exactly 50).
-    # Round-5 window (counted programmatically against CORRECTNESS_r0*.json,
-    # not by hand): positions 1-19 are the ops whose CODE changed this round
-    # (their r04 rows are stale) plus the brand-new media_video_stats_jpeg;
-    # positions 20-50 are the 31 entries with NO r04 row at all (last
-    # certified r01-r03, code unchanged). Positions 51+ are hash-green in
-    # r04 under code untouched since, ordered core-engine-first in case the
-    # driver records more than 50. Union of r04+r05 rows covers all 89.
+    #
+    # Round-5 window, recomputed against `git diff 8b99de8..HEAD` (the r04
+    # snapshot) AFTER the post-closure work landed: a prior r0N row is only
+    # trustworthy if the op's backing modules are untouched since round N.
+    # Modules changed this round: build.py, state/shards.py, state/bmw.py,
+    # pipelines/query.py, functions/runtime.py (query+media pools),
+    # graph.py, multimodal.py + functions/media.py, dedup.py, events.py.
+    # exchange.py changed ADDITIVELY only (new helpers; coarse_key_attach
+    # byte-identical), so corpus/export/joins/textops ops keep valid r04
+    # rows. The window therefore covers, in priority order:
+    #   1-10  the query path (every _topk/_phrase/_fused/_diversified op
+    #         builds the index via build.py and serves via shards/bmw/query
+    #         — ALL changed this round: lexicon exchange rework, decode
+    #         LRU, WAND routing, pool clamps)
+    #   11-13 graph.py ops (HITS 2-exchange rework, Arrow-native anchors)
+    #   14-19 media ops (JPEG codec incl. 4:2:0 + restart markers, sniff)
+    #   20-33 dedup.py ops + prepare_corpus (budget guards, distributed
+    #         query shingles, bucket-tail consolidation)
+    #   34-45 events.py ops (as-of/range machinery consolidation)
+    #   46-50 spare slots -> the oldest single-r03-row ops on UNCHANGED
+    #         modules (ann.py / clean.py / textops.py), freshest-needed
+    #         first.
+    # Positions 51+ have a valid row under unchanged code (r03 for the
+    # textops/ann tail the r04 judge accepted, r04 for the rest), ordered
+    # most-stale-first in case the driver records more than 50.
     return {
-        # --- 1-19: changed in round 5 / new (fresh rows required) ---
-        # NEW round 5: literal motion-JPEG (baseline JFIF frames) through
-        # the same walk+decode actor pool (r4 verdict ask #6)
-        "media_video_stats_jpeg": lambda sf: mm_ops.media_video_stats_jpeg(sf),
-        # video stats stage now sniffs the frame codec per frame
-        "media_video_stats": lambda sf: mm_ops.media_video_stats(sf),
-        # similar-document retrieval: query shingle table now built by a
-        # DISTRIBUTED scan (no driver-side corpus read; r4 verdict ask #1)
-        "similar_docs": lambda sf: dedup_ops.similar_docs(sf),
-        # benchmark decontamination: bench-shingle collect now budget-
-        # guarded with a distributed semi-join fallback (r4 verdict ask #3)
-        "decontaminate": lambda sf: dedup_ops.decontaminate(sf),
-        # LSH-verification tier: candidate doc-id allowlist now budget-
-        # guarded (VERIFY_ID_BUDGET; distributed doc-bucket semi-join above)
-        "dedup_verify": lambda sf: dedup_ops.ngram_jaccard_verify(sf, threshold=0.5),
-        # int64-offset assert + searchsorted membership guard in the est path
-        "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
-        # accepts a Dataset allowlist for the >budget verify path
-        "dedup_ngram_jaccard": lambda sf: dedup_ops.ngram_jaccard_pairs(sf, threshold=0.5),
-        # HITS hubs/authorities (exchange count reworked this round)
-        "hits_scores": lambda sf: graph_ops.hits(sf, iters=2, k=4),
-        # anchor terms kept Arrow-native through the reduce (r4 ask #10)
-        "anchor_texts": lambda sf: graph_ops.anchor_texts(sf, k=4, topk=3),
-        # as-of/range join machinery consolidated onto exchange helpers
-        # (r4 ask #8) — every op below here in this block shares the new
-        # coarse_bucket_apply / packed_user_ts_key plumbing
-        "events_asof_join": lambda sf: event_ops.asof_join(sf),
-        "events_range_join": lambda sf: event_ops.range_join(sf),
-        "events_windowed": lambda sf: event_ops.windowed_counts(sf),
-        "events_sessions": lambda sf: event_ops.sessionize(sf),
-        "events_funnel": lambda sf: event_ops.funnel(sf),
-        "events_journeys": lambda sf: event_ops.journeys(sf),
-        "events_hopping": lambda sf: event_ops.hopping_counts(sf),
-        "events_rolling": lambda sf: event_ops.rolling_user_window(sf),
-        "events_pivot": lambda sf: event_ops.pivot_event_counts(sf),
-        "events_retention": lambda sf: event_ops.retention_cohorts(sf),
-        # --- 20-50: no r04 row (long-green r01-r03, unchanged code) ---
+        # --- 1-10: index build + query serving (build/shards/bmw/query all
+        # changed this round; each entry rebuilds the index from parquet and
+        # answers its query set through the shard-actor pool) ---
+        "bm25_topk": lambda sf: _topk_pipeline(sf, mode="bm25"),
+        "reference_topk": lambda sf: _topk_pipeline(sf, mode="reference"),
+        "bm25_conjunctive_topk": lambda sf: _topk_pipeline(sf, mode="bm25", conjunctive=True),
+        "bm25_not_topk": lambda sf: _topk_pipeline(
+            sf, mode="bm25", query_set=DOC_NOT_QUERIES, negation=True
+        ),
         "bm25_prefix_topk": lambda sf: _topk_pipeline(
             sf, mode="bm25", query_set=DOC_PREFIX_QUERIES, prefix=True
         ),
@@ -500,9 +490,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fields=(FIELD_BODY, FIELD_TITLE),
         ),
         "phrase_topk": lambda sf: _phrase_pipeline(sf),
-        # shared-code twins of in-window entries (same pipelines, params)
         "phrase_slop_topk": lambda sf: _phrase_pipeline(sf, slop=PHRASE_SLOP),
-        # dedup suite
+        # two-stage ranking: BM25 top-100 candidates re-ranked by
+        # bm25 x ln(1 + pagerank) — the Anatomy fusion, candidates-bounded
+        "bm25_pagerank_topk": lambda sf: _fused_pipeline(sf),
+        # SERP diversification: <= DIVERSITY_CAP results per source domain
+        "bm25_diversified_topk": lambda sf: _diversified_pipeline(sf),
+        # --- 11-13: link analysis (graph.py changed this round) ---
+        "pagerank": lambda sf: graph_ops.pagerank(sf, iters=3, k=4),
+        "hits_scores": lambda sf: graph_ops.hits(sf, iters=2, k=4),
+        "anchor_texts": lambda sf: graph_ops.anchor_texts(sf, k=4, topk=3),
+        # --- 14-19: multimodal (multimodal.py + functions/media.py changed:
+        # JPEG codec, per-frame sniff, restart markers, pool clamps) ---
+        # NEW round 5: literal motion-JPEG (baseline JFIF frames) through
+        # the same walk+decode actor pool (r4 verdict ask #6)
+        "media_video_stats_jpeg": lambda sf: mm_ops.media_video_stats_jpeg(sf),
+        "media_video_stats": lambda sf: mm_ops.media_video_stats(sf),
+        "media_frames": lambda sf: mm_ops.sample_frames(
+            mm_ops.media_dataset_from_documents(sf)
+        ).drop_columns(["frame"]),
+        # multimodal plumbing: payloads DERIVED from documents.doc_id by
+        # fixed formulas, decoded by the REAL binary actor-pool stage; the
+        # SQL oracle recomputes expected metadata from doc_id, verifying
+        # the encode->decode round-trip
+        "media_meta": lambda sf: mm_ops.media_meta(mm_ops.media_dataset_from_documents(sf)),
+        # REAL image decode (round 3): formula-pixel PNGs per doc are
+        # encoded and fully decoded (zlib inflate + unfilter,
+        # functions/media.py) in the actor pool; the oracle recomputes the
+        # integer pixel stats from doc_id alone, so a hash match proves
+        # the pixel-level decode, not just header plumbing
+        "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
+        # perceptual average-hash via the real PNG decode (integer-exact)
+        "media_phash": lambda sf: mm_ops.media_phash(sf),
+        # --- 20-33: dedup suite (dedup.py changed: budget guards,
+        # distributed query shingles, coarse-bucket-tail consolidation) ---
+        # similar-document retrieval: query shingle table built by a
+        # DISTRIBUTED scan (no driver-side corpus read; r4 verdict ask #1)
+        "similar_docs": lambda sf: dedup_ops.similar_docs(sf),
+        # benchmark decontamination: bench-shingle collect budget-guarded
+        # with a distributed semi-join fallback (r4 verdict ask #3)
+        "decontaminate": lambda sf: dedup_ops.decontaminate(sf),
+        # LSH-verification tier: candidate doc-id allowlist budget-guarded
+        # (VERIFY_ID_BUDGET; distributed doc-bucket semi-join above it)
+        "dedup_verify": lambda sf: dedup_ops.ngram_jaccard_verify(sf, threshold=0.5),
+        "dedup_minhash_pairs": lambda sf: dedup_ops.minhash_lsh_pairs(sf, threshold=0.5),
+        "dedup_ngram_jaccard": lambda sf: dedup_ops.ngram_jaccard_pairs(sf, threshold=0.5),
         "dedup_exact": lambda sf: dedup_ops.exact_duplicates(sf),
         "dedup_simhash": lambda sf: dedup_ops.simhash(sf),
         "dedup_components": lambda sf: dedup_ops.dedup_components(sf),
@@ -519,9 +551,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the POLICY half of substring dedup: strip every token covered by
         # a corpus-duplicated 5-gram window (ExactSubstr rule)
         "strip_dup_spans": lambda sf: dedup_ops.strip_dup_spans(sf),
-        # similarity search
-        "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
-        "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        # composed flagship: clean -> decontaminate -> strip dup spans
+        # (rides the changed dedup.py paths end-to-end)
+        "prepare_corpus": lambda sf: clean_ops.prepare_corpus(sf),
+        # --- 34-45: events suite (events.py consolidated onto exchange
+        # helpers this round — every op below shares the new plumbing) ---
+        "events_asof_join": lambda sf: event_ops.asof_join(sf),
+        "events_range_join": lambda sf: event_ops.range_join(sf),
+        "events_windowed": lambda sf: event_ops.windowed_counts(sf),
+        "events_sessions": lambda sf: event_ops.sessionize(sf),
+        "events_funnel": lambda sf: event_ops.funnel(sf),
+        "events_journeys": lambda sf: event_ops.journeys(sf),
+        "events_hopping": lambda sf: event_ops.hopping_counts(sf),
+        "events_rolling": lambda sf: event_ops.rolling_user_window(sf),
+        "events_pivot": lambda sf: event_ops.pivot_event_counts(sf),
+        "events_retention": lambda sf: event_ops.retention_cohorts(sf),
+        # semi-structured extraction: JSON props.k aggregated per type
+        "events_props_stats": lambda sf: event_ops.props_stats(sf),
+        # HyperLogLog distinct sketch (events.py-backed)
+        "events_distinct_hll": lambda sf: event_ops.distinct_hll(sf),
+        # --- 46-50: spare slots -> oldest single-r03-row ops on modules
+        # UNTOUCHED since their certification (ann.py / clean.py /
+        # textops.py) ---
         # IVF-flat with the deterministic first-16 quantizer (train_iters=0)
         # so the oracle can recompute list assignment + probing in SQL;
         # Lloyd-refined quantizer quality is covered by tests/test_ann.py
@@ -531,52 +582,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding-space outlier pruning: top-5 farthest-from-centroid
         # vectors per label (exact integer micro-unit contract)
         "embedding_outliers": lambda sf: ann_ops.embedding_outliers(sf, k=5),
-        # semi-structured extraction: JSON props.k aggregated per type
-        "events_props_stats": lambda sf: event_ops.props_stats(sf),
-        # text analysis
-        "quality_scores": lambda sf: textops.quality_scores(sf),
-        "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
         "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
-        # composed flagship: clean -> decontaminate -> strip dup spans
-        "prepare_corpus": lambda sf: clean_ops.prepare_corpus(sf),
-        "sample_stratified": lambda sf: textops.sample_stratified(sf, k=20),
         # quality-weighted Bernoulli subsample (CCNet-style reweighting):
         # keep iff md5frac(doc_id) < min(1, n_tokens/64)
         "sample_weighted": lambda sf: textops.sample_weighted(sf),
+        "length_quantiles": lambda sf: textops.length_quantiles(sf),
+        # ^-- window boundary (50). Below: valid row under unchanged code,
+        # most-stale-first (r03-row textops/ann ops, then r04-green). --
+        "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
+        "quality_scores": lambda sf: textops.quality_scores(sf),
+        "topk_per_group": lambda sf: textops.topk_per_group(sf, k=5),
+        "sample_stratified": lambda sf: textops.sample_stratified(sf, k=20),
         "cap_per_source": lambda sf: textops.sample_stratified(
             sf, k=50, group_col="source"
         ),
-        "length_quantiles": lambda sf: textops.length_quantiles(sf),
         "token_counts": lambda sf: textops.token_counts(sf),
         "lang_id": lambda sf: textops.lang_id(sf),
         "fingerprints": lambda sf: textops.fingerprints(sf),
-        # multimodal plumbing: payloads DERIVED from documents.doc_id by
-        # fixed formulas, decoded by the REAL binary actor-pool stage; the
-        # SQL oracle recomputes expected metadata from doc_id, verifying
-        # the encode->decode round-trip
-        "media_meta": lambda sf: mm_ops.media_meta(mm_ops.media_dataset_from_documents(sf)),
-        # REAL image decode (round 3): formula-pixel PNGs per doc are
-        # encoded and fully decoded (zlib inflate + unfilter,
-        # functions/media.py) in the actor pool; the oracle recomputes the
-        # integer pixel stats from doc_id alone, so a hash match proves
-        # the pixel-level decode, not just header plumbing
-        "media_image_stats": lambda sf: mm_ops.media_image_stats(sf),
-        # perceptual average-hash via the real PNG decode (integer-exact)
-        "media_phash": lambda sf: mm_ops.media_phash(sf),
-        # ^-- window boundary (50). Below: r04-green, unchanged since. --
-        # core engine (SURVEY.md §2: M4/M5/A1-A5/O1-O4 re-expressed)
+        # core engine scan-side twins (textops.py, r04-green unchanged)
         "lexicon": lambda sf: textops.lexicon(sf),
         "doc_token_stats": lambda sf: textops.doc_token_stats(sf),
         "postings": lambda sf: textops.postings(sf),
         "top_terms": lambda sf: textops.top_terms(sf, k=20),
-        "bm25_topk": lambda sf: _topk_pipeline(sf, mode="bm25"),
-        "reference_topk": lambda sf: _topk_pipeline(sf, mode="reference"),
-        "bm25_conjunctive_topk": lambda sf: _topk_pipeline(sf, mode="bm25", conjunctive=True),
-        "bm25_not_topk": lambda sf: _topk_pipeline(
-            sf, mode="bm25", query_set=DOC_NOT_QUERIES, negation=True
-        ),
-        # HyperLogLog distinct sketch (untouched this round)
-        "events_distinct_hll": lambda sf: event_ops.distinct_hll(sf),
         # deterministic hash-based train/val/test assignment (documents)
         "split_assign": lambda sf: textops.split_assign(sf),
         # relational joins: native hash-shuffle Dataset.join for big x big,
@@ -610,16 +638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: export_ops.pack_sequences(sf, seq_len=512),
         # tokenizer export: frequency-ranked vocab ids, positional checksum
         "tokenize_ids": lambda sf: export_ops.tokenize_ids(sf),
-        # distributed PageRank (integer micro-units, derived link graph):
-        # one coarse exchange per power iteration, edges never stored
-        "pagerank": lambda sf: graph_ops.pagerank(sf, iters=3, k=4),
-        # two-stage ranking: BM25 top-100 candidates re-ranked by
-        # bm25 x ln(1 + pagerank) — the Anatomy fusion, candidates-bounded
-        "bm25_pagerank_topk": lambda sf: _fused_pipeline(sf),
         # query autocomplete: top-k lexicon completions per prefix by cf
         "suggest_terms": lambda sf: textops.suggest_terms(sf),
-        # SERP diversification: <= DIVERSITY_CAP results per source domain
-        "bm25_diversified_topk": lambda sf: _diversified_pipeline(sf),
         # long-doc chunking with overlap (RAG/context-window prep)
         "chunk_spans": lambda sf: export_ops.chunk_spans(sf, chunk=128, overlap=16),
         # deterministic source-weighted corpus mixing
@@ -631,9 +651,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # perplexity-style quality signal: mean unigram NLL per doc under
         # the corpus's own unigram LM (integer-1e-6-nat exact sums)
         "unigram_logprob": lambda sf: corpus_ops.unigram_logprob(sf),
-        "media_frames": lambda sf: mm_ops.sample_frames(
-            mm_ops.media_dataset_from_documents(sf)
-        ).drop_columns(["frame"]),
         # keyword-in-context snippets (SERP display primitive)
         "kwic_snippets": lambda sf: textops.kwic_snippets(sf),
         # word2vec-style forward skip-gram co-occurrence counts within a
