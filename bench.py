@@ -124,6 +124,10 @@ def run_once() -> dict:
         hash64_array(t.column("url").combine_chunks())
         return t
 
+    def _warm_docs(t):
+        hash64_array(t.column("doc_id").cast("string").combine_chunks())
+        return t
+
     (
         rd.read_parquet(pages_dir, columns=["url"])
         .map_batches(_warm, batch_format="pyarrow", batch_size=1024)
@@ -210,6 +214,16 @@ def run_once() -> dict:
     # the Ray Data jobs below
     engine.shutdown()
     engine_bmw.shutdown()
+
+    # re-warm (untimed): the ~60 s query section lets Ray reap idle task
+    # workers, so the FIRST Dataset job after it re-pays worker startup +
+    # package import (~3 s measured — the old lexicon_documents line was
+    # position-sensitive, not slow). Same rationale as the pre-build warm.
+    (
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+        .map_batches(_warm_docs, batch_format="pyarrow", batch_size=8192)
+        .count()
+    )
 
     # --- data ops over the sf testdata tables ---
     _mark("lexicon_documents")
