@@ -231,6 +231,7 @@ def _init_zigzag() -> None:
 
 
 _init_zigzag()
+_JPEG_ZIGZAG_NP = np.array(_JPEG_ZIGZAG, np.int64)
 
 # Annex K quantization tables (luminance DC entry lowered 16 -> 8 for the
 # exact-constant-block contract above; still a perfectly valid table)
@@ -320,6 +321,135 @@ def _huff_decode_table(bits: list[int], vals: list[int]):
         maxcode[ln] = code - 1 if n else -1
         code <<= 1
     return mincode, maxcode, valptr, vals
+
+
+# --- fast entropy decode path ------------------------------------------
+# The per-bit _JpegBitReader walk costs ~1 µs/bit in CPython; at 4-6
+# bits/symbol that dominates media_video_stats_jpeg. The fast path peeks
+# 16 bits through a sliding-window table and resolves a whole Huffman
+# symbol with two list lookups. Behavior is bit-identical to the T.81
+# F.2.2 procedure (prefix-free codes -> first matching prefix is THE
+# code), including the quirks the slow reader had: reads past the end of
+# the entropy data (or past any real marker) yield 0 bits, undefined
+# codes raise, and a restart boundary that is not exactly at a marker
+# (more than 7 unread bits left) raises "expected restart marker".
+
+_HUFF_LUT16_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _huff_lut16(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """(symbol, code_length) lookup tables indexed by the next 16 bits.
+    Undefined prefixes have length 0. Cached: frames of one video (and
+    every frame our encoder writes) share the same four tables."""
+    key = (tuple(bits), tuple(vals))
+    hit = _HUFF_LUT16_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, np.int16)
+    lnt = np.zeros(1 << 16, np.uint8)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            sym[lo : lo + (1 << (16 - ln))] = vals[k]
+            lnt[lo : lo + (1 << (16 - ln))] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    out = (sym.tolist(), lnt.tolist())
+    if len(_HUFF_LUT16_CACHE) > 64:  # bound: 64 tables x ~1.25 MB
+        _HUFF_LUT16_CACHE.clear()
+    _HUFF_LUT16_CACHE[key] = out
+    return out
+
+
+def _split_entropy_segments(b: bytes, pos: int) -> list[bytes]:
+    """Unstuff the entropy-coded data starting at `pos` and split it at
+    RSTn markers; stops at the first real (non-RST) marker or at EOF.
+    Returns one bytes object per restart interval."""
+    arr = np.frombuffer(b, np.uint8)
+    ffs = np.flatnonzero(arr[pos:] == 0xFF) + pos
+    segs: list[bytes] = []
+    parts: list[bytes] = []
+    start = pos
+    n = len(b)
+    for ff in ffs.tolist():
+        if ff < start:
+            continue  # consumed by a previous FF00 / RST skip
+        nxt = b[ff + 1] if ff + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed literal FF
+            parts.append(b[start : ff + 1])
+            start = ff + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: close the interval
+            parts.append(b[start:ff])
+            segs.append(b"".join(parts))
+            parts = []
+            start = ff + 2
+        else:  # real marker (EOI, ...): entropy data ends here
+            parts.append(b[start:ff])
+            segs.append(b"".join(parts))
+            return segs
+    parts.append(b[start:n])
+    segs.append(b"".join(parts))
+    return segs
+
+
+def _entropy_window(seg: bytes) -> tuple[list[int], int]:
+    """(w, nbits): w[i] is the 16 bits starting at bit i of `seg` as an
+    int, zero-padded past the end (w[nbits] exists and is the all-past-end
+    window), so reads clamped to index nbits yield 0 bits — the same
+    semantics as the bit-by-bit reader running dry."""
+    bits = np.unpackbits(np.frombuffer(seg, np.uint8)).astype(np.uint32)
+    nbits = len(bits)
+    ext = np.concatenate([bits, np.zeros(16, np.uint32)])
+    w = np.zeros(nbits + 1, np.uint32)
+    for j in range(16):
+        w += ext[j : j + nbits + 1] << (15 - j)
+    return w.tolist(), nbits
+
+
+class _FastEntropyReader:
+    """Sliding-window bit reader over pre-split entropy segments. w[i] is
+    the 16 bits starting at bit i (zero-padded past the end), so a Huffman
+    symbol is two list indexings and a value read is one. decode_jpeg
+    inlines this logic in its MCU loop; the class exists as the named
+    subject of the fast-vs-bitwise fuzz test (same helpers underneath)."""
+
+    __slots__ = ("segs", "si", "w", "nbits", "p")
+
+    def __init__(self, segs: list[bytes]) -> None:
+        self.segs = segs
+        self.si = 0
+        self._load(segs[0] if segs else b"")
+
+    def _load(self, seg: bytes) -> None:
+        self.w, self.nbits = _entropy_window(seg)
+        self.p = 0
+
+    def decode_symbol(self, tbl: tuple[list[int], list[int]]) -> int:
+        symt, lnt = tbl
+        p = self.p
+        pk = self.w[p if p < self.nbits else self.nbits]
+        ln = lnt[pk]
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.p = p + ln
+        return symt[pk]
+
+    def read_bits(self, k: int) -> int:
+        p = self.p
+        self.p = p + k
+        return self.w[p if p < self.nbits else self.nbits] >> (16 - k)
+
+    def restart(self) -> None:
+        # mirror the slow reader: at a restart boundary only pad bits (< 8)
+        # of the current interval may remain unread, and the next interval
+        # must exist (i.e. an RSTn marker was present in the stream)
+        if self.nbits - self.p >= 8 or self.si + 1 >= len(self.segs):
+            raise ValueError("expected restart marker")
+        self.si += 1
+        self._load(self.segs[self.si])
 
 
 class _JpegBitWriter:
@@ -423,10 +553,6 @@ def _huff_decode_symbol(br: _JpegBitReader, tbl) -> int:
             raise ValueError("invalid JPEG Huffman code")
         code = (code << 1) | br.read_bit()
     return vals[valptr[ln] + code - mincode[ln]]
-
-
-def _extend(v: int, size: int) -> int:
-    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
 def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
@@ -669,7 +795,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 bits = list(body[off + 1 : off + 17])
                 nv = sum(bits)
                 vals = list(body[off + 17 : off + 17 + nv])
-                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                huff[(tc, th)] = _huff_lut16(bits, vals)
                 off += 17 + nv
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])
@@ -697,50 +823,88 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         np.zeros((mcu_rows * 8 * vi, mcu_cols * 8 * hi), np.float64)
         for _cid, _tq, hi, vi in comps
     ]
-    br = _JpegBitReader(b, scan_pos)
+    # Entropy decode, fused loop. Same tables/window/segment helpers as
+    # _FastEntropyReader (whose semantics the fuzz test pins against the
+    # bit-by-bit T.81 reference); inlined here because the per-symbol
+    # function-call overhead was >30% of decode wall at fixture scale.
+    segs = _split_entropy_segments(b, scan_pos)
+    win, nbits = _entropy_window(segs[0] if segs else b"")
+    seg_i = 0
     pred = [0] * ncomp
-
-    def decode_block(ci: int) -> np.ndarray:
-        dc_tbl = huff[(0, scan_tabs[ci][0])]
-        ac_tbl = huff[(1, scan_tabs[ci][1])]
-        zz = np.zeros(64, np.int32)
-        size = _huff_decode_symbol(br, dc_tbl)
-        diff = _extend(br.read_bits(size), size) if size else 0
-        pred[ci] += diff
-        zz[0] = pred[ci]
-        k = 1
-        while k < 64:
-            sym = _huff_decode_symbol(br, ac_tbl)
-            if sym == 0x00:  # EOB
-                break
-            run, size = sym >> 4, sym & 0x0F
-            if size == 0:
-                if run != 15:
-                    raise ValueError("bad AC symbol")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient overflow")
-            zz[k] = _extend(br.read_bits(size), size)
-            k += 1
-        coef = np.zeros(64, np.float64)
-        coef[_JPEG_ZIGZAG] = zz * qtabs[comps[ci][1]][_JPEG_ZIGZAG]
-        return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-
+    # per-component hot state: (dc_sym, dc_len, ac_sym, ac_len, dequant in
+    # zigzag order, MCU block geometry)
+    zig = _JPEG_ZIGZAG_NP
+    dctT, dct = _DCT_M.T, _DCT_M
+    ctabs = []
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
+        dc_sym, dc_len = huff[(0, scan_tabs[ci][0])]
+        ac_sym, ac_len = huff[(1, scan_tabs[ci][1])]
+        ctabs.append((dc_sym, dc_len, ac_sym, ac_len, qtabs[tq][zig], hi, vi))
+    p = 0
     mcu = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
             if restart and mcu and mcu % restart == 0:
-                br.restart()
+                # mirror _FastEntropyReader.restart(): only pad bits may
+                # remain unread, and the next interval must exist
+                if nbits - p >= 8 or seg_i + 1 >= len(segs):
+                    raise ValueError("expected restart marker")
+                seg_i += 1
+                win, nbits = _entropy_window(segs[seg_i])
+                p = 0
                 pred = [0] * ncomp
             mcu += 1
-            for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+            for ci, (dc_sym, dc_len, ac_sym, ac_len, qz, hi, vi) in enumerate(ctabs):
                 for v in range(vi):
                     for hh in range(hi):
+                        zz = [0] * 64
+                        pk = win[p if p < nbits else nbits]
+                        ln = dc_len[pk]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        size = dc_sym[pk]
+                        p += ln
+                        if size:
+                            val = win[p if p < nbits else nbits] >> (16 - size)
+                            p += size
+                            half = 1 << (size - 1)
+                            if val < half:
+                                val += 1 - (half << 1)
+                            pred[ci] += val
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            pk = win[p if p < nbits else nbits]
+                            ln = ac_len[pk]
+                            if ln == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            sym = ac_sym[pk]
+                            p += ln
+                            if sym == 0x00:  # EOB
+                                break
+                            size = sym & 0x0F
+                            if size == 0:
+                                if sym != 0xF0:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("AC coefficient overflow")
+                            val = win[p if p < nbits else nbits] >> (16 - size)
+                            p += size
+                            half = 1 << (size - 1)
+                            if val < half:
+                                val += 1 - (half << 1)
+                            zz[k] = val
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[zig] = np.asarray(zz, np.int32) * qz
                         y0 = (my * vi + v) * 8
                         x0 = (mx * hi + hh) * 8
-                        out[ci][y0 : y0 + 8, x0 : x0 + 8] = decode_block(ci) + 128.0
+                        out[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                            dctT @ coef.reshape(8, 8) @ dct + 128.0
+                        )
     # upsample subsampled components by replication, crop to the SOF size
     planes = []
     for p, (_cid, _tq, hi, vi) in zip(out, comps):

@@ -416,3 +416,119 @@ print("ONECPU_OK", len(df))
         env=env,
     )
     assert "ONECPU_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_jpeg_fast_entropy_reader_matches_bitwise_reference():
+    """The LUT16 fast entropy path must be bit-identical to the T.81
+    F.2.2 bit-by-bit procedure (the _JpegBitReader/_huff_decode_symbol
+    pair, kept as the executable reference). Fuzz random images through
+    every subsample/restart shape and replay each scan with both readers,
+    comparing every decoded Huffman symbol and value-bit read."""
+    import numpy as np
+
+    from searchengine_ray.functions import media as m
+
+    rng = np.random.default_rng(20260818)
+
+    def replay(b):
+        """Decode b's entropy stream symbol-by-symbol with BOTH readers,
+        returning the (symbol, bits) transcript of each."""
+        # parse just enough of the headers (tables + scan offset)
+        pos = 2
+        import struct as st
+
+        huff_raw = {}
+        comps = []
+        restart = 0
+        scan_tabs = []
+        h = w = 0
+        while True:
+            marker = b[pos + 1]
+            ln = st.unpack(">H", b[pos + 2 : pos + 4])[0]
+            body = b[pos + 4 : pos + 2 + ln]
+            if marker == 0xC4:
+                off = 0
+                while off < len(body):
+                    tc, th = body[off] >> 4, body[off] & 0x0F
+                    bits = list(body[off + 1 : off + 17])
+                    nv = sum(bits)
+                    vals = list(body[off + 17 : off + 17 + nv])
+                    huff_raw[(tc, th)] = (bits, vals)
+                    off += 17 + nv
+            elif marker in (0xC0, 0xC1):
+                _p, h, w, nc = st.unpack(">BHHB", body[:6])
+                for ci in range(nc):
+                    _cid, samp, _tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    comps.append((samp >> 4, samp & 0x0F))
+            elif marker == 0xDD:
+                restart = st.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:
+                ns = body[0]
+                scan_tabs = [
+                    (body[2 + 2 * si] >> 4, body[2 + 2 * si] & 0x0F)
+                    for si in range(ns)
+                ]
+                scan_pos = pos + 2 + ln
+                break
+            pos += 2 + ln
+
+        hmax = max(c[0] for c in comps)
+        vmax = max(c[1] for c in comps)
+        mcu_rows, mcu_cols = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+
+        def walk(decode_symbol, read_bits, do_restart):
+            out = []
+            pred_reset = [0]
+            mcu = 0
+            for _my in range(mcu_rows):
+                for _mx in range(mcu_cols):
+                    if restart and mcu and mcu % restart == 0:
+                        do_restart()
+                    mcu += 1
+                    for ci, (hi, vi) in enumerate(comps):
+                        for _ in range(hi * vi):
+                            size = decode_symbol((0, scan_tabs[ci][0]))
+                            out.append(("dc", size, read_bits(size) if size else 0))
+                            k = 1
+                            while k < 64:
+                                sym = decode_symbol((1, scan_tabs[ci][1]))
+                                out.append(("ac", sym))
+                                if sym == 0x00:
+                                    break
+                                run, sz = sym >> 4, sym & 0x0F
+                                if sz == 0:
+                                    k += 16
+                                    continue
+                                k += run
+                                out.append(("bits", read_bits(sz)))
+                                k += 1
+            return out
+
+        slow = m._JpegBitReader(b, scan_pos)
+        slow_tabs = {k: m._huff_decode_table(*v) for k, v in huff_raw.items()}
+        t_slow = walk(
+            lambda key: m._huff_decode_symbol(slow, slow_tabs[key]),
+            slow.read_bits,
+            slow.restart,
+        )
+        fast = m._FastEntropyReader(m._split_entropy_segments(b, scan_pos))
+        fast_tabs = {k: m._huff_lut16(*v) for k, v in huff_raw.items()}
+        t_fast = walk(
+            lambda key: fast.decode_symbol(fast_tabs[key]),
+            fast.read_bits,
+            fast.restart,
+        )
+        return t_slow, t_fast
+
+    for trial in range(6):
+        hgt, wid = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        if trial % 2:
+            img = rng.integers(0, 256, (hgt, wid, 3), np.uint8)
+        else:
+            img = rng.integers(0, 256, (hgt, wid), np.uint8)
+        for kwargs in ({}, {"restart_interval": 2}):
+            if img.ndim == 3 and trial % 3 == 0:
+                kwargs = dict(kwargs, subsample="420")
+            b = m.encode_jpeg(img, **kwargs)
+            t_slow, t_fast = replay(b)
+            assert t_slow == t_fast, (trial, kwargs)
