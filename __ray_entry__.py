@@ -570,9 +570,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": lambda sf: event_ops.props_stats(sf),
         # HyperLogLog distinct sketch (events.py-backed)
         "events_distinct_hll": lambda sf: event_ops.distinct_hll(sf),
-        # --- 46-50: spare slots -> oldest single-r03-row ops on modules
-        # UNTOUCHED since their certification (ann.py / clean.py /
-        # textops.py) ---
+        # --- 46-47: NEW round-5 ops (no driver row ever -> a first row
+        # outranks a third row for the unchanged-module spares below) ---
+        # per-doc first-seen-text fraction (Lee et al. novelty signal);
+        # integer novelty_e6 contract, two coarse exchanges
+        "ngram_novelty": lambda sf: dedup_ops.ngram_novelty(sf),
+        # event-rate anomaly days (integer z-test, combiner-first)
+        "events_anomaly": lambda sf: event_ops.anomaly_days(sf),
+        # --- 48-50: spare slots -> oldest single-r03-row ops on modules
+        # UNTOUCHED since their certification (ann.py / clean.py) ---
         # IVF-flat with the deterministic first-16 quantizer (train_iters=0)
         # so the oracle can recompute list assignment + probing in SQL;
         # Lloyd-refined quantizer quality is covered by tests/test_ann.py
@@ -583,12 +589,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectors per label (exact integer micro-unit contract)
         "embedding_outliers": lambda sf: ann_ops.embedding_outliers(sf, k=5),
         "clean_corpus": lambda sf: clean_ops.clean_corpus(sf),
+        # ^-- window boundary (50). Below: valid row under unchanged code,
+        # most-stale-first (r03-row textops/ann ops, then r04-green). --
         # quality-weighted Bernoulli subsample (CCNet-style reweighting):
         # keep iff md5frac(doc_id) < min(1, n_tokens/64)
         "sample_weighted": lambda sf: textops.sample_weighted(sf),
         "length_quantiles": lambda sf: textops.length_quantiles(sf),
-        # ^-- window boundary (50). Below: valid row under unchanged code,
-        # most-stale-first (r03-row textops/ann ops, then r04-green). --
         "ann_brute_topk": lambda sf: ann_ops.ann_brute_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
         "ann_lsh_topk": lambda sf: ann_ops.ann_lsh_topk(sf, n_queries=ANN_QUERIES, k=TOPK),
         "quality_scores": lambda sf: textops.quality_scores(sf),
@@ -1811,6 +1817,33 @@ r AS (SELECT qid, did, j,
       FROM jac)
 SELECT qid AS query_id, rank::INT AS rank, did AS doc_id, {_r6('j')} AS jaccard
 FROM r WHERE rank <= 5
+""",
+        # per-doc novelty: shingle's corpus-wide first occurrence = min
+        # doc_id; novelty_e6 = floor(1e6 * fresh / total) (integer-exact)
+        "ngram_novelty": f"""
+WITH {_shingle_ctes(toks)},
+mins AS (SELECT su, min(doc_id) AS m FROM shd GROUP BY 1)
+SELECT shd.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN mins.m < shd.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_stale,
+       ((1000000 * (count(*) - sum(CASE WHEN mins.m < shd.doc_id THEN 1 ELSE 0 END)))
+        // count(*))::BIGINT AS novelty_e6
+FROM shd JOIN mins ON mins.su = shd.su
+GROUP BY 1
+""",
+        # integer z-test: flag day c of a type iff
+        # (n*c - s)^2 >= sigma^2 * (n*s2 - s^2)   [sigma = 2]
+        "events_anomaly": """
+WITH c AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day_id,
+                  count(*)::BIGINT AS n_events
+           FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, count(*)::HUGEINT AS n, sum(n_events)::HUGEINT AS s,
+              sum(n_events::HUGEINT * n_events)::HUGEINT AS s2
+       FROM c GROUP BY 1)
+SELECT c.event_type, c.day_id, c.n_events
+FROM c JOIN st USING (event_type)
+WHERE (st.n * c.n_events - st.s) * (st.n * c.n_events - st.s)
+      >= 4 * (st.n * st.s2 - st.s * st.s)
 """,
         "unigram_logprob": uni_nll,
         "dedup_simhash": simhash_sql,

@@ -215,6 +215,45 @@ def run_once() -> dict:
     engine.shutdown()
     engine_bmw.shutdown()
 
+    # --- north-rule metric: BM25 top-10 rank-identity RATE vs the
+    # independent pure-Python oracle on the reference query set. Identity
+    # is asserted exactly in tests/test_build_query.py; the bench records
+    # the measured rate (docIDs AND scores must match per query) so the
+    # artifact carries the number the rule names. Runs on a dedicated 2k-doc
+    # corpus: the oracle tokenizes in pure Python, so corpus size — not
+    # query count — bounds its cost.
+    _mark("rank_identity")
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.functions.hashing import hash64
+    from searchengine_ray.oracle import brute_topk, build_brute_index
+
+    rid_pages = "/tmp/seray_bench_pages_2000"
+    write_pages(rid_pages, n_rows=2000, n_files=4, parallel=False)
+    rid_idx = f"/tmp/seray_bench_rid_idx_{NUM_CPUS}"
+    shutil.rmtree(rid_idx, ignore_errors=True)
+    build_index(rid_pages, rid_idx, BuildConfig(num_partitions=4), source="pages")
+    rid_tbl = pq.read_table(rid_pages)
+    rid_docs = [
+        (hash64(u), t, t.split("\n", 1)[0] + "\n")
+        for u, t, lang in zip(
+            rid_tbl.column("url").to_pylist(),
+            rid_tbl.column("text").to_pylist(),
+            rid_tbl.column("lang").to_pylist(),
+        )
+        if lang == "en"
+    ]
+    rid_brute = build_brute_index(rid_docs)
+    rid_engine = SearchEngine(rid_idx, n_shards=2, mode="bm25")
+    rid_queries = make_queries_table(200).column("query").to_pylist()
+    rid_results = rid_engine.search_batch(rid_queries, k=10)
+    rid_ok = sum(
+        got == brute_topk(rid_brute, qq, k=10, mode="bm25")
+        for qq, got in zip(rid_queries, rid_results)
+    )
+    rank_identity_rate = rid_ok / len(rid_queries)
+    rid_engine.shutdown()
+
     # re-warm (untimed): the ~60 s query section lets Ray reap idle task
     # workers, so the FIRST Dataset job after it re-pays worker startup +
     # package import (~3 s measured — the old lexicon_documents line was
@@ -360,6 +399,11 @@ def run_once() -> dict:
         "bytes_per_posting": metrics.get("segments", {}).get("bytes_per_posting"),
         "stage_wall_s": metrics.get("stage_wall_s"),
         "effective_parallelism": eff_par,
+        # north-rule metric: fraction of the 200-query reference set whose
+        # BM25 top-10 (docIDs and scores) is identical to the independent
+        # pure-Python oracle
+        "rank_identity_rate": rank_identity_rate,
+        "rank_identity_queries": len(rid_queries),
     }
     ray.shutdown()
     return result

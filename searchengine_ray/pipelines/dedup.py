@@ -2273,3 +2273,104 @@ def dedup_incremental(sf_dir: str, mod: int = 2) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(mark, batch_format="pyarrow")
     )
+
+
+def ngram_novelty(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_shingles, n_stale, novelty_e6) per doc with >= SHINGLE_K
+    tokens — how much of each document is first-seen text vs text that
+    already appeared earlier in the corpus (the per-doc novelty signal of
+    Lee et al. 2021's duplicate-text analysis, doc-id order standing in
+    for crawl order).
+
+    n_shingles = distinct 3-gram shingles of the doc (same md5+FNV shingle
+    contract as ngram_jaccard_pairs); n_stale = those whose corpus-wide
+    FIRST occurrence (min doc_id over all docs containing the shingle) is
+    an earlier doc; novelty_e6 = floor(1e6 * (n_shingles - n_stale) /
+    n_shingles) — integer, so the SQL oracle matches bit-exactly.
+
+    Scale shape: two coarse exchanges, no driver state. (1) distinct
+    (doc_id, shingle) rows (per-batch distinct == global: a doc lives in
+    one block) group by shingle; a vectorized run scan computes each
+    shingle's min doc and emits ONE partial row per (doc) per bucket-group
+    with its (n_p, stale_p) sums. (2) partials group by doc_id and sum.
+    Both keys hash near-uniformly (shingle: md5-derived; doc_id: dense),
+    so no salt is needed; per-shingle fan-out is 1 row regardless of df —
+    unlike the pair ops there is no quadratic bucket risk, so no
+    MAX_SHINGLE_DF cap applies (the oracle models this op exactly)."""
+    _R = pa.schema([("doc_id", pa.int64()), ("shingle", pa.int64())])
+    _P = pa.schema(
+        [("doc_id", pa.int64()), ("n_p", pa.int64()), ("stale_p", pa.int64())]
+    )
+    _O = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_shingles", pa.int64()),
+            ("n_stale", pa.int64()),
+            ("novelty_e6", pa.int64()),
+        ]
+    )
+
+    def doc_shingles(t: pa.Table) -> pa.Table:
+        # distinct (doc_id, shingle) for this block's docs
+        cap_worker_threads()
+        rows, sh = _doc_shingle_hashes(t)
+        if len(sh) == 0:
+            return _R.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sh, rows))
+        r_s, s_s = rows[order], sh[order]
+        first = np.r_[True, (r_s[1:] != r_s[:-1]) | (s_s[1:] != s_s[:-1])]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[r_s[first]], pa.int64()),
+                "shingle": pa.array(s_s[first], pa.int64()),
+            }
+        )
+
+    def min_doc_partials(group: pa.Table) -> pa.Table:
+        # run scan per shingle: min doc = first of the (shingle, doc) sort;
+        # then combine to one partial row per doc within this bucket-group
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _P.empty_table()
+        sh = group.column("shingle").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh_s, doc_s = sh[order], doc[order]
+        new = np.r_[True, sh_s[1:] != sh_s[:-1]]
+        run_id = np.cumsum(new) - 1
+        min_doc = doc_s[new][run_id]  # first doc of the run, broadcast back
+        stale = (min_doc < doc_s).astype(np.int64)
+        u_doc, inv = np.unique(doc_s, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u_doc, pa.int64()),
+                "n_p": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "stale_p": pa.array(np.bincount(inv, weights=stale).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n_p = group.column("n_p").to_numpy(zero_copy_only=False)
+        st_p = group.column("stale_p").to_numpy(zero_copy_only=False)
+        u_doc, inv = np.unique(doc, return_inverse=True)
+        n = np.bincount(inv, weights=n_p).astype(np.int64)
+        st = np.bincount(inv, weights=st_p).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(u_doc, pa.int64()),
+                "n_shingles": pa.array(n, pa.int64()),
+                "n_stale": pa.array(st, pa.int64()),
+                "novelty_e6": pa.array((1_000_000 * (n - st)) // n, pa.int64()),
+            }
+        )
+
+    rows = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        doc_shingles, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = coarse_bucket_apply(rows, "shingle", min_doc_partials, N_COARSE_BUCKETS)
+    return coarse_bucket_apply(partials, "doc_id", per_doc, N_COARSE_BUCKETS)

@@ -994,3 +994,114 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
     ).groupby(["cohort_week", "week_offset"]).aggregate(
         _Sum("n_p", alias_name="n_users")
     )
+
+
+_DAY_US = np.int64(86400) * np.int64(1_000_000)
+
+
+def anomaly_days(sf_dir: str, sigma: int = 2) -> rd.Dataset:
+    """(event_type, day_id, n_events) — the event-rate anomaly monitor a
+    production ingest pipeline runs over its logs: days whose event count
+    deviates from the type's own mean by >= `sigma` POPULATION std-devs
+    (over the days the type has >= 1 event). day_id = epoch_us // 1 day
+    (the windowed_counts window convention; ts >= 0 contract as
+    documented there).
+
+    Exactness contract (no float mean/std anywhere): with n = #days of the
+    type, s = sum of day counts, s2 = sum of squared day counts, a day of
+    count c is flagged iff
+
+        (n*c - s)^2 >= sigma^2 * (n*s2 - s^2)
+
+    — the z-test with both sides multiplied by n^2, all in integers, so
+    the SQL oracle (HUGEINT arithmetic) matches bit-exactly.
+
+    Scale shape: per-batch Arrow group_by combiner (one row per
+    (type, day) per batch) -> ONE coarse day-bucket exchange makes the
+    counts global -> the flag pass is a native groupby over the
+    (type x day) COUNTS table, which is analysis-metadata-sized (days in
+    corpus x event types), never event-sized. int64 throughout with a loud
+    overflow assert ((n*c)^2 must fit; trips at ~3e9 events/day/type)."""
+    _P = pa.schema(
+        [("event_type", pa.string()), ("day_id", pa.int64()), ("n_p", pa.int64())]
+    )
+    _O = pa.schema(
+        [("event_type", pa.string()), ("day_id", pa.int64()), ("n_events", pa.int64())]
+    )
+    sig2 = int(sigma) * int(sigma)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if t.num_rows == 0:
+            return _P.empty_table()
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = pa.table(
+            {
+                "event_type": t.column("event_type").combine_chunks(),
+                "day_id": pa.array(us // _DAY_US, pa.int64()),
+            }
+        )
+        agg = (
+            sub.group_by(["event_type", "day_id"])
+            .aggregate([([], "count_all")])
+            .select(["event_type", "day_id", "count_all"])
+        )
+        return agg.rename_columns(["event_type", "day_id", "n_p"])
+
+    def day_sums(group: pa.Table) -> pa.Table:
+        # all partials for this bucket's days are here -> global sums
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _P.empty_table()
+        agg = (
+            group.select(["event_type", "day_id", "n_p"])
+            .group_by(["event_type", "day_id"])
+            .aggregate([("n_p", "sum")])
+            .select(["event_type", "day_id", "n_p_sum"])
+        )
+        return agg.rename_columns(["event_type", "day_id", "n_p"])
+
+    def flag(group: pa.Table) -> pa.Table:
+        # one event type (possibly several, under map_groups batching) of
+        # the COUNTS table: vectorized run scan per type
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _O.empty_table()
+        typ = group.column("event_type").combine_chunks()
+        codes = typ.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        day = group.column("day_id").to_numpy(zero_copy_only=False)
+        c = group.column("n_p").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((day, codes))
+        codes_s, day_s, c_s = codes[order], day[order], c[order]
+        new = np.r_[True, codes_s[1:] != codes_s[:-1]]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(c_s)]).astype(np.int64)[run_id]
+        s = np.add.reduceat(c_s, starts)[run_id]
+        s2 = np.add.reduceat(c_s * c_s, starts)[run_id]
+        # loud int64 guard (ADVICE style): (n*c)^2 and sig2*n*s2 must fit
+        peak = max(int(np.max(n * c_s)), int(np.max(s)))
+        assert peak < (1 << 31) and sig2 * int(np.max(n * s2)) < (1 << 62), (
+            "anomaly_days int64 overflow: day counts too large; shard days"
+        )
+        lhs = (n * c_s - s) ** 2
+        rhs = sig2 * (n * s2 - s * s)
+        keep = lhs >= rhs
+        return pa.table(
+            {
+                "event_type": typ.take(pa.array(order)).filter(pa.array(keep)),
+                "day_id": pa.array(day_s[keep], pa.int64()),
+                "n_events": pa.array(c_s[keep], pa.int64()),
+            }
+        )
+
+    counts = coarse_bucket_apply(
+        read_events(sf_dir, columns=["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "day_id",
+        day_sums,
+    )
+    # counts is (types x days)-sized metadata; the string-keyed native
+    # groupby here shuffles only that
+    return counts.groupby("event_type").map_groups(flag, batch_format="pyarrow")

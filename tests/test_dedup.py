@@ -502,3 +502,44 @@ def test_similar_docs_multifile_dir(tmp_path, ray_session):
     assert set(a["query_id"]) == {0, 101}
     top0 = a[(a.query_id == 0) & (a["rank"] == 1)]["doc_id"].iloc[0]
     assert top0 == 1
+
+
+def test_ngram_novelty_crafted(tmp_path, ray_session):
+    """First-seen shingles belong to the min doc_id: a verbatim copy of an
+    earlier doc scores novelty 0, the original 1e6, a half-copied doc in
+    between; short docs (< 3 tokens) are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "eta theta iota kappa"
+    rows = [
+        (0, a),                       # original: all shingles first-seen
+        (1, a),                       # verbatim copy -> novelty 0
+        (2, b + " " + a),             # prefix fresh, suffix stale
+        (3, "hi"),                    # < 3 tokens -> no row
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        dd.ngram_novelty(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2]
+    assert out.loc[0, "n_shingles"] == 4 and out.loc[0, "novelty_e6"] == 1_000_000
+    assert out.loc[1, "n_stale"] == 4 and out.loc[1, "novelty_e6"] == 0
+    # doc 2: 10 tokens -> 8 shingles; the 4 shingles fully inside the "a"
+    # suffix are stale (first seen in doc 0), the 2 bridge shingles and the
+    # 2 b-only shingles are fresh
+    assert out.loc[2, "n_shingles"] == 8 and out.loc[2, "n_stale"] == 4
+    assert out.loc[2, "novelty_e6"] == 500_000

@@ -301,3 +301,45 @@ def test_retention_cohorts_crafted(tmp_path, ray_session):
         (1, 0, 1),  # user 2's cohort
         (1, 1, 1),  # user 2 back in week 2
     ]
+
+
+def test_anomaly_days_crafted(tmp_path, ray_session):
+    """Integer z-test: a flat series flags nothing... except that a
+    constant series has var 0, so EVERY day satisfies (nc-s)^2 >= 0 —
+    the degenerate-but-correct z-test edge; a single spike day in an
+    otherwise flat series is the only flag once var > 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines import events as ev
+
+    day_us = 86400 * 1_000_000
+    # type "flat": 3 events/day for 10 days -> var 0 -> all 10 days flag
+    # type "spiky": 2/day for 9 days, 30 on day 9 -> only day 9 flags at 2σ
+    ts, typ = [], []
+    for d in range(10):
+        ts += [d * day_us + i for i in range(3)]
+        typ += ["flat"] * 3
+    for d in range(9):
+        ts += [d * day_us + 1000 + i for i in range(2)]
+        typ += ["spiky"] * 2
+    ts += [9 * day_us + 1000 + i for i in range(30)]
+    typ += ["spiky"] * 30
+    n = len(ts)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(typ, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = ev.anomaly_days(str(tmp_path)).to_pandas()
+    flat = out[out.event_type == "flat"]
+    spiky = out[out.event_type == "spiky"]
+    assert len(flat) == 10  # zero-variance: every day trivially flags
+    assert list(spiky.day_id) == [9] and list(spiky.n_events) == [30]
