@@ -228,7 +228,10 @@ def run_once() -> dict:
     from searchengine_ray.functions.hashing import hash64
     from searchengine_ray.oracle import brute_topk, build_brute_index
 
-    rid_pages = "/tmp/seray_bench_pages_2000"
+    # dedicated dir: at 2000 rows the main-corpus floor uses the SAME
+    # /tmp/seray_bench_pages_2000 path with n_files=32 — sharing it would
+    # thrash the layout marker every run
+    rid_pages = "/tmp/seray_bench_rid_pages_2000"
     write_pages(rid_pages, n_rows=2000, n_files=4, parallel=False)
     rid_idx = f"/tmp/seray_bench_rid_idx_{NUM_CPUS}"
     shutil.rmtree(rid_idx, ignore_errors=True)

@@ -104,6 +104,16 @@ def write_pages(out_dir: str, n_rows: int, n_files: int = 8, parallel: bool = Tr
     if os.path.exists(marker) and open(marker).read().strip() == tag:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # a mismatched marker means a DIFFERENT (n_rows, n_files, version)
+    # layout lives here: regenerating in place would leave the old layout's
+    # extra part files behind (measured: a 32-file 2000-row dir rewritten
+    # as 4 files kept parts 4..31 -> a 3750-row corpus with duplicate urls
+    # that silently broke BM25 rank-identity). Clear the old layout first.
+    if os.path.exists(marker):
+        os.remove(marker)
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
     bounds = np.linspace(0, n_rows, n_files + 1, dtype=np.int64)
     spans = [(int(bounds[k]), int(bounds[k + 1]), os.path.join(out_dir, f"part-{k:04d}.parquet"))
              for k in range(n_files) if bounds[k] < bounds[k + 1]]

@@ -205,3 +205,24 @@ def test_distributed_lexicon_path_matches_driver_agg(tmp_path, ray_session, monk
     assert len(a) == len(b) > 0
     for col in ("field", "term_hash", "df", "cf"):
         assert np.array_equal(a[col].to_numpy(), b[col].to_numpy()), col
+
+
+def test_write_pages_layout_change_clears_stale_parts(tmp_path):
+    """Rewriting a fixture dir with a different (n_rows, n_files) layout
+    must not leave the old layout's extra part files behind (a mixed dir
+    duplicates urls and silently breaks BM25 rank-identity)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.synth import write_pages
+
+    d = str(tmp_path / "pages")
+    write_pages(d, n_rows=200, n_files=8, parallel=False)
+    write_pages(d, n_rows=100, n_files=2, parallel=False)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(files) == 2, files
+    total = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows for f in files)
+    assert total == 100
+    urls = pq.read_table(d, columns=["url"]).column("url").to_pylist()
+    assert len(urls) == len(set(urls))
