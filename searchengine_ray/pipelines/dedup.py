@@ -1070,32 +1070,40 @@ def _components_propagate(pairs: rd.Dataset, docs: rd.Dataset, max_rounds: int =
             }
         )
 
+    def min_label(g: pa.Table) -> pa.Table:
+        # vectorized per-node min over a coarse node-bucket group, emitted
+        # straight in label-row shape (replaces the native sort-based Min
+        # aggregate + reshape: ~0.5 s/round of fixed overhead at toy scale,
+        # one fewer operator at any scale)
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, node))
+        node_s, lab_s = node[order], lab[order]
+        first = np.r_[True, node_s[1:] != node_s[:-1]]
+        return pa.table(
+            {
+                "node": pa.array(node_s[first], pa.int64()),
+                "nbr": pa.nulls(int(first.sum()), pa.int64()),
+                "label": pa.array(lab_s[first], pa.int64()),
+            }
+        )
+
     prev_sum = None
     for _ in range(max_rounds):
         # ONE fused Ray job per round: union -> coarse groupby (forward)
-        # -> Min aggregate -> reshape -> materialize; plus a scalar sum for
-        # the fixpoint check (labels monotonically non-increasing)
+        # -> coarse min-scan -> materialize; plus a scalar sum for the
+        # fixpoint check (labels monotonically non-increasing)
         jump_rows = labels.map_batches(
             label_links, batch_format="pyarrow", zero_copy_batch=True
         )
-        labels = (
+        forwarded = (
             labels.union(edge_rows, jump_rows)
             .map_batches(node_bucket, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(forward, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": t.column("node"),
-                        "nbr": pa.nulls(t.num_rows, pa.int64()),
-                        "label": t.column("label"),
-                    }
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
+        )
+        labels = (
+            coarse_bucket_apply(forwarded, "node", min_label, N_COARSE_BUCKETS)
             .repartition(4)
             .materialize()
         )
@@ -1114,7 +1122,12 @@ def _components_propagate(pairs: rd.Dataset, docs: rd.Dataset, max_rounds: int =
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # union + min: paired docs take the propagated label, the rest themselves
+    # union + min: paired docs take the propagated label, the rest
+    # themselves. Ray's NATIVE Min aggregate, deliberately: this is the
+    # one docs-sized (not edges-sized) reduce, and the native hash
+    # aggregate measured faster here than the coarse min-scan used in the
+    # propagation rounds (4.4 s vs 3.9 s whole-op at sf0.1 — the 256-group
+    # sort dominates at this fan-in).
     from ray.data.aggregate import Min as _Min
 
     return (
