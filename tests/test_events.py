@@ -343,3 +343,24 @@ def test_anomaly_days_crafted(tmp_path, ray_session):
     spiky = out[out.event_type == "spiky"]
     assert len(flat) == 10  # zero-variance: every day trivially flags
     assert list(spiky.day_id) == [9] and list(spiky.n_events) == [30]
+
+
+def test_anomaly_integer_ztest_matches_rational():
+    """Property: the integer flag (n*c - s)^2 >= sigma^2*(n*s2 - s^2) is
+    EXACTLY (c - mean)^2 >= sigma^2 * var over the rationals — no float
+    boundary cases exist by construction."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        n = int(rng.integers(1, 12))
+        counts = rng.integers(1, 10_000, n).tolist()
+        s, s2 = sum(counts), sum(c * c for c in counts)
+        mean = Fraction(s, n)
+        var = Fraction(s2, n) - mean * mean
+        for c in counts:
+            int_flag = (n * c - s) ** 2 >= 4 * (n * s2 - s * s)
+            frac_flag = (Fraction(c) - mean) ** 2 >= 4 * var
+            assert int_flag == frac_flag
