@@ -364,6 +364,16 @@ def run_once() -> dict:
     event_ops2.retention_cohorts(SF_DIR).to_pandas()
     queries["events_retention"] = round(time.perf_counter() - t0, 3)
 
+    _mark("events_anomaly")
+    t0 = time.perf_counter()
+    event_ops2.anomaly_days(SF_DIR).to_pandas()
+    queries["events_anomaly"] = round(time.perf_counter() - t0, 3)
+
+    _mark("ngram_novelty")
+    t0 = time.perf_counter()
+    dedup_ops.ngram_novelty(SF_DIR).to_pandas()
+    queries["ngram_novelty"] = round(time.perf_counter() - t0, 3)
+
     _mark("skipgram_counts")
     t0 = time.perf_counter()
     corpus_ops.skipgram_counts(SF_DIR, window=3, k=50).to_pandas()
