@@ -78,6 +78,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", default="/tmp/seray_bench_pages_100000")
     args = ap.parse_args()
+    # this script SIGKILLs any `ray::` worker process on the box — it must
+    # own the host (same discipline as bench.py); refuse if Ray is already up
+    pre = subprocess.run(["pgrep", "-f", "raylet"], capture_output=True, text=True)
+    if pre.stdout.strip():
+        sys.exit("refusing to run: another Ray session is alive on this host")
     if not os.path.isdir(args.pages):
         sys.path.insert(0, REPO)
         from searchengine_ray.synth import write_pages
