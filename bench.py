@@ -247,15 +247,22 @@ def run_once() -> dict:
         if lang == "en"
     ]
     rid_brute = build_brute_index(rid_docs)
-    rid_engine = SearchEngine(rid_idx, n_shards=2, mode="bm25")
     rid_queries = make_queries_table(200).column("query").to_pylist()
-    rid_results = rid_engine.search_batch(rid_queries, k=10)
-    rid_ok = sum(
-        got == brute_topk(rid_brute, qq, k=10, mode="bm25")
-        for qq, got in zip(rid_queries, rid_results)
-    )
-    rank_identity_rate = rid_ok / len(rid_queries)
-    rid_engine.shutdown()
+    rank_identity = {}
+    for rid_mode in ("bm25", "reference"):
+        rid_engine = SearchEngine(rid_idx, n_shards=2, mode=rid_mode)
+        rid_results = rid_engine.search_batch(rid_queries, k=10)
+        # reference mode reads only the top-1000 postings by tf per term
+        # (Engine.cs:185-199) — at 2k docs head terms exceed that, so the
+        # oracle must model the cutoff (it is deterministic on both sides)
+        rid_trunc = 1000 if rid_mode == "reference" else None
+        rid_ok = sum(
+            got == brute_topk(rid_brute, qq, k=10, mode=rid_mode, ref_truncate=rid_trunc)
+            for qq, got in zip(rid_queries, rid_results)
+        )
+        rank_identity[rid_mode] = rid_ok / len(rid_queries)
+        rid_engine.shutdown()
+    rank_identity_rate = rank_identity["bm25"]
 
     # re-warm (untimed): the ~60 s query section lets Ray reap idle task
     # workers, so the FIRST Dataset job after it re-pays worker startup +
@@ -416,6 +423,8 @@ def run_once() -> dict:
         # BM25 top-10 (docIDs and scores) is identical to the independent
         # pure-Python oracle
         "rank_identity_rate": rank_identity_rate,
+        # same check under the reference Engine's exact scoring formula
+        "rank_identity_rate_reference": rank_identity["reference"],
         "rank_identity_queries": len(rid_queries),
     }
     ray.shutdown()
