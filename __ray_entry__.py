@@ -662,6 +662,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word2vec-style forward skip-gram co-occurrence counts within a
         # 3-token window (bigram_counts is the d=1 special case)
         "skipgram_counts": lambda sf: corpus_ops.skipgram_counts(sf, window=3, k=50),
+        # near-dup cluster-size histogram (dedup diagnostics; composition
+        # of dedup_components, so it inherits that op's certification)
+        "dedup_cluster_sizes": lambda sf: dedup_ops.dedup_cluster_sizes(sf),
     }
 
 
@@ -1844,6 +1847,20 @@ SELECT c.event_type, c.day_id, c.n_events
 FROM c JOIN st USING (event_type)
 WHERE (st.n * c.n_events - st.s) * (st.n * c.n_events - st.s)
       >= 4 * (st.n * st.s2 - st.s * st.s)
+""",
+        "dedup_cluster_sizes": f"""
+WITH RECURSIVE {sh_ctes},
+{_ngram_body()},
+pairs AS (SELECT da, db FROM jac WHERE j >= 0.5),
+edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node WHERE w.comp < e.b
+),
+comp AS (SELECT node AS doc_id, min(comp) AS component_id FROM walk GROUP BY node),
+cs AS (SELECT component_id, count(*)::BIGINT AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM cs GROUP BY 1
 """,
         "unigram_logprob": uni_nll,
         "dedup_simhash": simhash_sql,

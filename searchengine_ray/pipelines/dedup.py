@@ -2387,3 +2387,35 @@ def ngram_novelty(sf_dir: str) -> rd.Dataset:
     )
     partials = coarse_bucket_apply(rows, "shingle", min_doc_partials, N_COARSE_BUCKETS)
     return coarse_bucket_apply(partials, "doc_id", per_doc, N_COARSE_BUCKETS)
+
+
+def dedup_cluster_sizes(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """(cluster_size, n_clusters) — size histogram of the near-duplicate
+    clusters (singletons included): the dedup-diagnostics readout that
+    sizes keeper policies and spots pathological mega-clusters before a
+    strip pass. Composition: dedup_components -> one coarse exchange
+    co-locating each component's member rows (exact per-component sizes
+    via np.unique) emitting per-bucket partial histograms -> a
+    histogram-sized native groupby sum. Output rows = distinct cluster
+    sizes (tiny at any corpus scale)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    _H = pa.schema([("cluster_size", pa.int64()), ("n_p", pa.int64())])
+
+    def sizes(group: pa.Table) -> pa.Table:
+        cap_worker_threads()
+        if group.num_rows == 0:
+            return _H.empty_table()
+        comp_ids = group.column("component_id").to_numpy(zero_copy_only=False)
+        _, member_counts = np.unique(comp_ids, return_counts=True)
+        size_u, size_n = np.unique(member_counts, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(size_u.astype(np.int64), pa.int64()),
+                "n_p": pa.array(size_n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    comp = dedup_components(sf_dir, threshold=threshold)
+    hist = coarse_bucket_apply(comp, "component_id", sizes, N_COARSE_BUCKETS)
+    return hist.groupby("cluster_size").aggregate(_Sum("n_p", alias_name="n_clusters"))
