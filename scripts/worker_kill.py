@@ -61,10 +61,17 @@ def run_build(pages: str, idx: str, kill: bool) -> tuple[int, str, int]:
         deadline = time.time() + 120
         while time.time() < deadline and p.poll() is None and kills < 3:
             time.sleep(2.0)
+            # list workers WITH their titles and skip ray::IDLE — killing
+            # only idle workers would pass the check vacuously
             out = subprocess.run(
-                ["pgrep", "-f", "ray::"], capture_output=True, text=True
-            ).stdout.split()
-            for v in [int(x) for x in out][:1]:
+                ["pgrep", "-a", "-f", "ray::"], capture_output=True, text=True
+            ).stdout.splitlines()
+            busy = [
+                int(line.split()[0])
+                for line in out
+                if "ray::" in line and "ray::IDLE" not in line
+            ]
+            for v in busy[:1]:
                 try:
                     os.kill(v, signal.SIGKILL)
                     kills += 1

@@ -358,8 +358,10 @@ def _huff_lut16(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]
             k += 1
         code <<= 1
     out = (sym.tolist(), lnt.tolist())
-    if len(_HUFF_LUT16_CACHE) > 64:  # bound: 64 tables x ~1.25 MB
-        _HUFF_LUT16_CACHE.clear()
+    if len(_HUFF_LUT16_CACHE) > 64:  # bound: 64 tables x ~1.25 MB;
+        # evict ONE arbitrary entry (not clear()) so the hot shared
+        # tables stay resident even on corpora with many table defs
+        _HUFF_LUT16_CACHE.pop(next(iter(_HUFF_LUT16_CACHE)))
     _HUFF_LUT16_CACHE[key] = out
     return out
 
@@ -395,18 +397,28 @@ def _split_entropy_segments(b: bytes, pos: int) -> list[bytes]:
     return segs
 
 
-def _entropy_window(seg: bytes) -> tuple[list[int], int]:
+# below this many bits the window is materialized as a Python list (fastest
+# scalar indexing); above it the uint32 ndarray is indexed directly — a
+# PyLong-per-bit list costs ~30 bytes/bit (~300x the scan), the ndarray 4
+_WINDOW_LIST_MAX_BITS = 1 << 20  # 128 KB of scan -> <= ~32 MB of list
+
+
+def _entropy_window(seg: bytes) -> tuple:
     """(w, nbits): w[i] is the 16 bits starting at bit i of `seg` as an
     int, zero-padded past the end (w[nbits] exists and is the all-past-end
     window), so reads clamped to index nbits yield 0 bits — the same
-    semantics as the bit-by-bit reader running dry."""
-    bits = np.unpackbits(np.frombuffer(seg, np.uint8)).astype(np.uint32)
+    semantics as the bit-by-bit reader running dry. Small segments return
+    a Python list (fastest indexing); large ones return the int32 ndarray
+    to keep decode memory ~4 bytes/bit instead of ~30 (SIGNED so the
+    value-extend arithmetic `val += 1 - (half << 1)` stays correct when a
+    read comes back as a numpy scalar)."""
+    bits = np.unpackbits(np.frombuffer(seg, np.uint8)).astype(np.int32)
     nbits = len(bits)
-    ext = np.concatenate([bits, np.zeros(16, np.uint32)])
-    w = np.zeros(nbits + 1, np.uint32)
+    ext = np.concatenate([bits, np.zeros(16, np.int32)])
+    w = np.zeros(nbits + 1, np.int32)
     for j in range(16):
         w += ext[j : j + nbits + 1] << (15 - j)
-    return w.tolist(), nbits
+    return (w.tolist() if nbits <= _WINDOW_LIST_MAX_BITS else w), nbits
 
 
 class _FastEntropyReader:
@@ -840,33 +852,33 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         dc_sym, dc_len = huff[(0, scan_tabs[ci][0])]
         ac_sym, ac_len = huff[(1, scan_tabs[ci][1])]
         ctabs.append((dc_sym, dc_len, ac_sym, ac_len, qtabs[tq][zig], hi, vi))
-    p = 0
+    bp = 0
     mcu = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
             if restart and mcu and mcu % restart == 0:
                 # mirror _FastEntropyReader.restart(): only pad bits may
                 # remain unread, and the next interval must exist
-                if nbits - p >= 8 or seg_i + 1 >= len(segs):
+                if nbits - bp >= 8 or seg_i + 1 >= len(segs):
                     raise ValueError("expected restart marker")
                 seg_i += 1
                 win, nbits = _entropy_window(segs[seg_i])
-                p = 0
+                bp = 0
                 pred = [0] * ncomp
             mcu += 1
             for ci, (dc_sym, dc_len, ac_sym, ac_len, qz, hi, vi) in enumerate(ctabs):
                 for v in range(vi):
                     for hh in range(hi):
                         zz = [0] * 64
-                        pk = win[p if p < nbits else nbits]
+                        pk = win[bp if bp < nbits else nbits]
                         ln = dc_len[pk]
                         if ln == 0:
                             raise ValueError("invalid JPEG Huffman code")
                         size = dc_sym[pk]
-                        p += ln
+                        bp += ln
                         if size:
-                            val = win[p if p < nbits else nbits] >> (16 - size)
-                            p += size
+                            val = win[bp if bp < nbits else nbits] >> (16 - size)
+                            bp += size
                             half = 1 << (size - 1)
                             if val < half:
                                 val += 1 - (half << 1)
@@ -874,12 +886,12 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                         zz[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            pk = win[p if p < nbits else nbits]
+                            pk = win[bp if bp < nbits else nbits]
                             ln = ac_len[pk]
                             if ln == 0:
                                 raise ValueError("invalid JPEG Huffman code")
                             sym = ac_sym[pk]
-                            p += ln
+                            bp += ln
                             if sym == 0x00:  # EOB
                                 break
                             size = sym & 0x0F
@@ -891,8 +903,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                             k += sym >> 4
                             if k > 63:
                                 raise ValueError("AC coefficient overflow")
-                            val = win[p if p < nbits else nbits] >> (16 - size)
-                            p += size
+                            val = win[bp if bp < nbits else nbits] >> (16 - size)
+                            bp += size
                             half = 1 << (size - 1)
                             if val < half:
                                 val += 1 - (half << 1)

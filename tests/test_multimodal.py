@@ -532,3 +532,22 @@ def test_jpeg_fast_entropy_reader_matches_bitwise_reference():
             b = m.encode_jpeg(img, **kwargs)
             t_slow, t_fast = replay(b)
             assert t_slow == t_fast, (trial, kwargs)
+
+
+def test_jpeg_large_segment_ndarray_window(monkeypatch):
+    """Above _WINDOW_LIST_MAX_BITS the entropy window stays an int32
+    ndarray (memory bound); the decode must be identical to the list
+    path, including value extension (signed arithmetic) and restarts."""
+    import numpy as np
+
+    from searchengine_ray.functions import media as m
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (48, 56, 3), np.uint8)
+    for kwargs in ({}, {"restart_interval": 3}, {"subsample": "420"}):
+        b = m.encode_jpeg(img, **kwargs)
+        want = m.decode_jpeg(b)  # list path
+        monkeypatch.setattr(m, "_WINDOW_LIST_MAX_BITS", 0)
+        got = m.decode_jpeg(b)  # ndarray path
+        monkeypatch.undo()
+        assert np.array_equal(got, want), kwargs
